@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Defaults are chosen for the local[32] test harness but every knob is the
+  * one you would also set on a 1000-executor cluster: AQE re-plans shuffles
+  * at runtime (partition coalescing + skew-join splitting), broadcast
+  * threshold keeps star-schema dims out of the shuffle, and shuffle
+  * partition count is sized to the parallelism actually available instead
+  * of the 200 default.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analytics, built from codegen'd native functions
+  * (no UDFs in the hot path).
+  *
+  * Re-expresses the reference's sentiment step (Spark NLP pretrained
+  * pipeline + a Python `Counter` UDF, `tweets.py:53-59`) as a pure
+  * lexicon-scoring computation that whole-stage codegen can inline, plus
+  * the text-quality / language-ID / token-counting operators a
+  * training-data pipeline needs.
+  *
+  * Every function here has an exact SQL twin used to generate the DuckDB
+  * oracle (see [[graft.OracleSql]]) — lexicons are defined once below and
+  * interpolated into both engines.
+  */
+object TextFunctions {
+
+  /** Sentiment lexicons. On real data these would be e.g. the VADER or
+    * AFINN word lists; for the closed 31-word synthetic vocabulary we pin a
+    * deterministic split so the oracle is exact.
+    */
+  val positiveWords: Seq[String] = Seq("fast", "small", "value", "merge", "join")
+  val negativeWords: Seq[String] = Seq("slow", "big", "scan", "dup", "filter")
+
+  /** English stopwords present in the synthetic vocabulary. */
+  val stopWords: Seq[String] = Seq("the", "a")
+
+  /** Whitespace tokens. Single source of tokenization for all text ops. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens that belong to `lexicon` (duplicates counted — the
+    * reference's majority vote is over occurrences, not distinct words).
+    */
+  def lexiconCount(text: Column, lexicon: Seq[String]): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lex, t)))
+  }
+
+  def positiveCount(text: Column): Column = lexiconCount(text, positiveWords)
+  def negativeCount(text: Column): Column = lexiconCount(text, negativeWords)
+
+  /** Majority vote over token sentiments: the Spark-first twin of the
+    * reference's `Counter(col).most_common(1)[0][0]` UDF (`tweets.py:56`).
+    * Tri-state like the reference: positive / negative / na.
+    */
+  def overallSentiment(text: Column): Column = {
+    val p = positiveCount(text)
+    val n = negativeCount(text)
+    when(p > n, "positive").when(n > p, "negative").otherwise("na")
+  }
+
+  /** Distinct word n-gram shingles, space-joined, for MinHash / Jaccard. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, n))))
+  }
+
+  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Number of word tokens (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alphabetic runs, digit runs, and residual
+    * non-space symbols each count as one token — a cheap deterministic
+    * stand-in for a real BPE vocabulary pass.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Ratio of stopword tokens to all tokens, rounded for hash stability. */
+  def stopwordRatio(text: Column): Column =
+    round(lexiconCount(text, stopWords).cast("double") / tokenCount(text), 6)
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) chars to length. */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
+        / length(text),
+      6)
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    round(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / tokenCount(text),
+      6)
+
+  /** Heuristic language ID: stopword-profile scoring. With only English
+    * stopword markers in the synthetic vocabulary this is a two-way
+    * en/und decision; the operator shape (argmax over per-language profile
+    * scores) is what a real lang-ID (e.g. CLD-style n-gram profiles) slots
+    * into.
+    */
+  def langId(text: Column): Column =
+    when(lexiconCount(text, stopWords) > 0, "en").otherwise("und")
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * h = (h * 31 + codepoint) mod 1e9+7. Codegen-friendly (aggregate over
+    * a char array) and exactly reproducible in ANSI SQL.
+    */
+  val FpMod: Long = 1000000007L
+  val FpBase: Long = 31L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * FpBase + c) % FpMod)
+}

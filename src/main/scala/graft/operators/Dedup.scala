@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.plans.HashFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2
+  * q20–q24). All of them are declarative DataFrame transforms: Catalyst
+  * prunes the scans and AQE handles skew; nothing collects to the driver.
+  *
+  * Scale notes (100 TB):
+  *  - [[exact]] shuffles a 32-byte digest + id, never the document text.
+  *  - [[minHashPairs]] is linear in corpus size: LSH banding shuffles
+  *    (band, bandHash) keys; only same-bucket candidates are joined. The
+  *    all-pairs variant [[ngramJaccardPairs]] exists as the correctness
+  *    baseline / small-side path.
+  *  - [[simHashPairs]] blocks on 15-bit simhash chunks: hamming ≤ 3 over a
+  *    60-bit fingerprint pigeonholes into ≥1 of the 4 chunks, so chunk
+  *    equality is a lossless blocking key.
+  */
+object Dedup {
+
+  /** Exact dedup on document text: group by sha256 digest, keep the lowest
+    * id as the canonical copy. Returns (id, n_copies).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Shingled docs with MinHash signatures — the shared prefix of the
+    * MinHash pipeline.
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("sh"))
+
+  /** MinHash + LSH near-duplicate pairs, exact-verified.
+    *
+    * shingle → 128-hash MinHash signature (native codegen'd expression) →
+    * 32 bands × 4 rows → bucket self-join on (band, bandHash) → exact
+    * Jaccard filter at `threshold`. Band parameters give miss probability
+    * (1 - s^4)^32 ≈ 1e-15 at s = 0.9, so the verified output equals the
+    * brute-force result for any realistically separated corpus.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7,
+      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val d = shingled(docs, idCol, textCol, n)
+      .withColumn("sig", HashFunctions.minHashSignature(col("sh")))
+
+    val banded = d
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyPairs(candidates, d, threshold)
+  }
+
+  /** Brute-force n-gram Jaccard similarity self-join (the correctness
+    * baseline for [[minHashPairs]]). A size-ratio prefilter (|A|/|B| must
+    * be within [t, 1/t] when J ≥ t) prunes the quadratic blowup without
+    * changing the result.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val d = shingled(docs, idCol, textCol, n).withColumn("sz", size(col("sh")))
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        col("a.id") < col("b.id")
+          && col("b.sz") * threshold <= col("a.sz")
+          && col("a.sz") * threshold <= col("b.sz"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+    pairs.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact-verify candidate pairs against the shingle sets. */
+  private def verifyPairs(candidates: DataFrame, d: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(d.as("da"), col("id_a") === col("da.id"))
+      .join(d.as("db"), col("id_b") === col("db.id"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("da.sh"), col("db.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** SimHash near-duplicate pairs: 60-bit simhash fingerprints, blocked on
+    * 4 × 15-bit chunks (lossless for maxHamming ≤ 3), hamming-verified.
+    * Returns (id_a, id_b, hamming).
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only lossless for hamming <= 3")
+    val t = docs.select(
+      col(idCol).as("id"),
+      HashFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sim"))
+
+    val banded = t
+      .select(col("id"), col("sim"),
+        explode(array((0 to 3).map(c =>
+          struct(
+            lit(c).as("chunk"),
+            (shiftrightunsigned(col("sim"), c * 15) % 32768).as("cv"))): _*)).as("x"))
+      .select(col("id"), col("sim"), col("x.chunk").as("chunk"), col("x.cv").as("cv"))
+
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), brute force
+    * with the codegen'd [[graft.plans.CosineSimilarity]] kernel. The LSH
+    * scale path is [[Knn.lshBuckets]]. Returns (id_a, id_b, cos).
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.plans.VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
