@@ -1,0 +1,282 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** DuckDB-runnable SQL twins of every `SparkEntry.queries` entry (the
+  * driver's correctness oracle). Lexicons and constants are interpolated
+  * from the same Scala values the Spark operators use, so the two engines
+  * can never drift.
+  *
+  * Column aliases MUST match the Spark output column names exactly — the
+  * driver sorts columns by name before hashing values.
+  */
+object OracleSql {
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val pos = sqlList(TextFunctions.positiveWords)
+  private val neg = sqlList(TextFunctions.negativeWords)
+  private val stop = sqlList(TextFunctions.stopWords)
+
+  private val sentimentCase =
+    s"""CASE
+       |  WHEN len(list_filter(string_split(text,' '), t -> t IN $pos))
+       |     > len(list_filter(string_split(text,' '), t -> t IN $neg)) THEN 'positive'
+       |  WHEN len(list_filter(string_split(text,' '), t -> t IN $neg))
+       |     > len(list_filter(string_split(text,' '), t -> t IN $pos)) THEN 'negative'
+       |  ELSE 'na' END""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc (twin of TextFunctions.shingles). */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+      |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t)""".stripMargin
+
+  private val jaccardPairs =
+    s"""$shingleCte,
+       |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+       |  round(len(list_intersect(a.sh,b.sh))::DOUBLE
+       |    /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),4) jaccard
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7""".stripMargin
+
+  /** 60-bit simhash per doc, exact twin of HashKernels.tokenHash60/simHash64:
+    * two 30-bit polynomial hashes per token (the list_reduce starts from the
+    * first char, which equals 0*base+c1, so the fold matches the kernel).
+    */
+  private val simhashCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |h AS (SELECT doc_id, len(toks) n,
+      |  [ (list_reduce(list_transform(string_split(tok,''), c -> ascii(c)::BIGINT),
+      |       (a,b) -> (a*31+b)%1000000007) & 1073741823) * 1073741824
+      |  + (list_reduce(list_transform(string_split(tok,''), c -> ascii(c)::BIGINT),
+      |       (a,b) -> (a*131+b)%1000000009) & 1073741823)
+      |    for tok in toks] hs FROM t),
+      |f AS (SELECT doc_id, CAST(list_sum(
+      |  [CASE WHEN 2*len(list_filter(hs, x -> (x >> i) & 1 = 1)) > n
+      |        THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0,60)]) AS BIGINT) sim
+      |FROM h)""".stripMargin
+
+  private val cosineCte =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)"""
+
+  val sql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |WHERE lang = 'en' AND NOT starts_with(text, 'the ')""".stripMargin,
+
+    "q02_sentiment" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text,' '), t -> t IN $pos))::BIGINT n_pos,
+         |  len(list_filter(string_split(text,' '), t -> t IN $neg))::BIGINT n_neg,
+         |  $sentimentCase sentiment
+         |FROM documents""".stripMargin,
+
+    "q03_sentiment_daily" ->
+      s"""SELECT source,
+         |  count(*) FILTER (WHERE s = 'positive') positive_count,
+         |  count(*) FILTER (WHERE s = 'negative') negative_count,
+         |  count(*) FILTER (WHERE s = 'na') na_count
+         |FROM (SELECT source, $sentimentCase s FROM documents)
+         |GROUP BY source""".stripMargin,
+
+    "q04_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) avg_disc,
+        |  count(*) count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q05_join_star" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) revenue,
+        |  count(*) n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q06_date_parts" ->
+      """SELECT CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INT) date_id,
+        |  CAST(year(o_orderdate) AS INT) y,
+        |  CAST(month(o_orderdate) AS INT) m,
+        |  CAST(day(o_orderdate) AS INT) d,
+        |  count(*) n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) total_price
+        |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q07_quality_checks" ->
+      """WITH m AS (SELECT
+        |  count(*) row_count,
+        |  count(*) - count(o_custkey) null_custkey,
+        |  count(*) - count(DISTINCT o_orderkey) pk_dup,
+        |  count(*) FILTER (WHERE o_totalprice <= 0) nonpositive_total,
+        |  count(*) FILTER (WHERE o_orderdate > TIMESTAMP '2001-08-01') future_orders
+        |FROM orders)
+        |SELECT 'row_count' check_name, row_count "value" FROM m
+        |UNION ALL SELECT 'null_custkey', null_custkey FROM m
+        |UNION ALL SELECT 'pk_dup', pk_dup FROM m
+        |UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM m
+        |UNION ALL SELECT 'future_orders', future_orders FROM m""".stripMargin,
+
+    "q08_daily_join" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) d, count(*) n_purchases,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT CAST(ts AS DATE) d, count(*) n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT a.d, n_purchases, purchase_value, n_clicks FROM a JOIN b USING (d)""".stripMargin,
+
+    "q09_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INT) rnk,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) running_value,
+        |  lag(value) OVER w prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q10_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) rk
+        |FROM orders QUALIFY rk <= 3""".stripMargin,
+
+    "q11_pivot" ->
+      """SELECT CAST(ts AS DATE) d,
+        |  count(*) FILTER (WHERE event_type='click') n_click,
+        |  count(*) FILTER (WHERE event_type='error') n_error,
+        |  count(*) FILTER (WHERE event_type='purchase') n_purchase,
+        |  count(*) FILTER (WHERE event_type='signup') n_signup,
+        |  count(*) FILTER (WHERE event_type='view') n_view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) prev_us FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END new_sess FROM l),
+        |s AS (SELECT user_id, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) session_seq, count(*) n_events,
+        |  min(us) start_us, max(us) end_us
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "q13_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) window_start_us, event_type,
+        |  count(*) n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') region_name, coalesce(n_name, 'ALL') nation_name,
+        |  count(*) n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q15_semi_anti_join" ->
+      """SELECT 'with_orders' kind, c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' kind, c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q16_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) n_parts,
+        |  count(DISTINCT l_suppkey) n_supps,
+        |  count(DISTINCT l_orderkey) n_orders,
+        |  count(*) n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) doc_id, count(*) n_copies FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
+
+    "q21_dedup_minhash" -> jaccardPairs,
+
+    "q22_dedup_simhash" ->
+      s"""$simhashCte
+         |SELECT a.doc_id id_a, b.doc_id id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
+    "q23_ngram_jaccard" -> jaccardPairs,
+
+    "q24_embed_neardup" ->
+      s"""$cosineCte,
+         |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+         |  round(list_dot_product(a.v,b.v)
+         |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+
+    "q25_knn_brute" ->
+      s"""$cosineCte,
+         |s AS (SELECT q.vec_id qid, c.vec_id nid,
+         |  round(list_dot_product(q.v,c.v)
+         |    /(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v))),6) score
+         |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT qid query_id,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INT) rank,
+         |  nid neighbor_id
+         |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    "q30_lang_id" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0
+         |       THEN 'en' ELSE 'und' END lang_pred
+         |FROM documents""".stripMargin,
+
+    "q31_text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text)::BIGINT n_chars_obs,
+         |  len(string_split(text,' '))::BIGINT n_tokens,
+         |  round(len(list_filter(string_split(text,' '), t -> t IN $stop))::DOUBLE
+         |    / len(string_split(text,' ')), 6) stopword_ratio,
+         |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+         |    / length(text), 6) punct_ratio,
+         |  round(CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+         |    / len(string_split(text,' ')), 6) mean_token_len
+         |FROM documents""".stripMargin,
+
+    "q32_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' '))::BIGINT ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT re_tokens
+        |FROM documents""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text,''), c -> ascii(c)::BIGINT),
+        |    (a,b) -> (a*31+b) % 1000000007) fp
+        |FROM documents""".stripMargin,
+
+    "q40_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END fmt,
+        |  length(text)::BIGINT n_bytes,
+        |  CAST(length(text) % 640 AS INT) width,
+        |  CAST((length(text) * 31) % 480 AS INT) height
+        |FROM documents""".stripMargin,
+  )
+}

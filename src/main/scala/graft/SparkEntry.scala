@@ -1,13 +1,90 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Knn, Multimodal, Relational}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * with a DuckDB oracle twin in [[OracleSql]] for every SQL-expressible one.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> ((s, dir) => Relational.filterProject(Tables.documents(s, dir))),
+    "q02_sentiment" -> ((s, dir) => Relational.sentiment(Tables.documents(s, dir))),
+    "q03_sentiment_daily" -> ((s, dir) => Relational.sentimentSummary(Tables.documents(s, dir))),
+    "q04_pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q05_join_star" -> ((s, dir) =>
+      Relational.starRevenue(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "q06_date_parts" -> ((s, dir) => Relational.datePartsDaily(Tables.orders(s, dir))),
+    "q07_quality_checks" -> ((s, dir) => Relational.qualityChecks(Tables.orders(s, dir))),
+    "q08_daily_join" -> ((s, dir) => Relational.dailyJoin(Tables.events(s, dir))),
+    "q09_window_funcs" -> ((s, dir) => Relational.windowFuncs(Tables.events(s, dir))),
+    "q10_topk_per_group" -> ((s, dir) => Relational.topKPerGroup(Tables.orders(s, dir))),
+    "q11_pivot" -> ((s, dir) => Relational.pivotDaily(Tables.events(s, dir))),
+    "q12_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
+    "q13_tumbling_window" -> ((s, dir) => Relational.tumblingWindow(Tables.events(s, dir))),
+    "q14_rollup" -> ((s, dir) =>
+      Relational.rollupAcctbal(
+        Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q15_semi_anti_join" -> ((s, dir) =>
+      Relational.semiAntiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q16_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
+    "q17_approx_distinct" -> ((s, dir) => Relational.approxDistinct(Tables.lineitem(s, dir))),
+
+    "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    "q21_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    "q22_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
+    "q24_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
+
+    "q25_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "q26_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    "q30_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+    "q31_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_obs"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))),
+    "q32_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.regexTokenCount(col("text")).as("re_tokens"))),
+    "q33_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    "q40_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
+  )
+
+  /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and
+    * q26 (approximate ANN) are rows-only by design.
+    */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

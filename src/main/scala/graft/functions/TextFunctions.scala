@@ -52,13 +52,18 @@ object TextFunctions {
     when(p > n, "positive").when(n > p, "negative").otherwise("na")
   }
 
-  /** Distinct word n-gram shingles, space-joined, for MinHash / Jaccard. */
+  /** Distinct word n-gram shingles, space-joined, for MinHash / Jaccard.
+    * Documents with fewer than `n` tokens yield an empty shingle set (the
+    * unguarded `sequence(0, size-n)` would be descending and crash slice).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */

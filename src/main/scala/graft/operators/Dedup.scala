@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import graft.plans.HashFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY §2
@@ -21,14 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on document text: group by sha256 digest, keep the lowest
-    * id as the canonical copy. Returns (id, n_copies).
+  /** Whitespace-collapsed, trimmed, lowercased text — the normalization the
+    * exact-dedup key is computed over.
+    */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup on normalized text. Shuffles only a 64-bit `xxhash64` key
+    * plus the id — never the document text — so the shuffle width is
+    * constant regardless of document size (the 100 TB path). Returns
+    * (id, n_copies) where id is the lowest id of each duplicate class.
+    *
+    * xxhash64 collisions across distinct 100 TB-scale corpora are possible
+    * in principle; callers needing cryptographic certainty can re-verify
+    * survivors with [[exactSurvivors]] (which carries the text) or a
+    * sha2 digest second pass.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .groupBy(sha2(col(textCol), 256).as("digest"))
+      .select(col(idCol), xxhash64(normalized(col(textCol))).as("digest"))
+      .groupBy(col("digest"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
+
+  /** The surviving corpus after exact dedup: full rows of the canonical
+    * (lowest-id) copy of each duplicate class — what a training-data
+    * pipeline actually feeds downstream.
+    */
+  def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(exact(docs, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
 
   /** Shingled docs with MinHash signatures — the shared prefix of the
     * MinHash pipeline.
@@ -51,7 +72,8 @@ object Dedup {
   def minHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7,
-      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 32, rowsPerBand: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val d = shingled(docs, idCol, textCol, n)
       .withColumn("sig", HashFunctions.minHashSignature(col("sh")))
 
@@ -63,18 +85,39 @@ object Dedup {
             sequence(lit(0), lit(bands - 1)),
             b => struct(
               b.as("band"),
-              xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))))
+              xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
+
+    val candidates = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
     verifyPairs(candidates, d, threshold)
+  }
+
+  /** Per-bucket candidate cap (SURVEY §5). A boilerplate-text bucket with B
+    * members emits B²/2 candidate pairs; one hot bucket at corpus scale can
+    * dwarf the rest of the job and AQE skew-split cannot help (the blowup is
+    * in the join output, not the input partition). Capping keeps the
+    * lowest-id `cap` members per bucket — a documented approximation: pairs
+    * between two docs that BOTH fall outside the cap in EVERY shared bucket
+    * are missed. With cap ≫ any legitimate near-dup cluster size, only
+    * degenerate buckets are truncated.
+    */
+  val DefaultBucketCap = 1000
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
+    banded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
   }
 
   /** Brute-force n-gram Jaccard similarity self-join (the correctness
@@ -113,19 +156,20 @@ object Dedup {
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is only lossless for hamming <= 3")
     val t = docs.select(
       col(idCol).as("id"),
       HashFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sim"))
 
-    val banded = t
+    val banded0 = t
       .select(col("id"), col("sim"),
         explode(array((0 to 3).map(c =>
           struct(
             lit(c).as("chunk"),
             (shiftrightunsigned(col("sim"), c * 15) % 32768).as("cv"))): _*)).as("x"))
       .select(col("id"), col("sim"), col("x.chunk").as("chunk"), col("x.cv").as("cv"))
+    val banded = capBuckets(banded0, Seq("chunk", "cv"), bucketCap)
 
     banded.as("a")
       .join(banded.as("b"),

@@ -27,9 +27,22 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Long]] 
   override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     b.foldLeft(a)(insert)
 
+  /** Bounded ordered insert. The buffer is kept sorted (best first), so a
+    * full buffer rejects a non-qualifying row with ONE comparison against
+    * the current minimum — the common case on a big corpus — and a
+    * qualifying row costs O(k) to splice (k is small; no per-row full
+    * re-sort).
+    */
   private def insert(buf: Seq[Scored], in: Scored): Seq[Scored] = {
-    val merged = (buf :+ in).sortWith(better)
-    if (merged.size > k) merged.take(k) else merged
+    if (buf.size >= k && !better(in, buf.last)) buf
+    else {
+      val at = buf.indexWhere(better(in, _)) match {
+        case -1 => buf.size
+        case i  => i
+      }
+      val spliced = (buf.take(at) :+ in) ++ buf.drop(at)
+      if (spliced.size > k) spliced.take(k) else spliced
+    }
   }
 
   override def finish(buf: Seq[Scored]): Seq[Long] = buf.map(_.id)
@@ -54,10 +67,13 @@ object Knn {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
 
+    // Score rounded to 6 dp before ranking: ranks then depend only on the
+    // rounded value + id tie-break, so any engine (or oracle) that computes
+    // cosine within 1e-7 produces the identical top-k order.
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       .select(
         col("qid"), col("id"),
-        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("score"))
+        round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6).as("score"))
 
     scored
       .groupBy("qid")
@@ -66,31 +82,44 @@ object Knn {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"), col("neighbor_id"))
   }
 
-  /** Random-hyperplane LSH ANN — the 100 TB scale path. The corpus is
-    * hashed once into 16-bit sign buckets; queries probe their own bucket
-    * plus all hamming-1 neighbors (multi-probe) and rank only those
-    * candidates. Recall is approximate by construction (rows-only oracle).
+  /** Multi-table random-hyperplane LSH ANN — the 100 TB scale path.
+    *
+    * Classic (b, L) LSH: each vector is hashed into L independent tables of
+    * b sign-bits each; a query's candidates are the union over tables of
+    * its exact-bucket colliders. Collision probability per table is
+    * (1 - θ/π)^b for angle θ, so near vectors are found with probability
+    * 1 - (1 - (1-θ/π)^b)^L while the candidate set stays tiny.
+    *
+    * Scale shape: the corpus side explodes only (id, bucket) — 8 ints per
+    * vector, NOT the vector itself — and the candidate (qid, id) pairs are
+    * re-joined to the corpus vectors for scoring. The query side is
+    * broadcast. Recall is approximate by construction (rows-only oracle).
     * Returns (query_id, rank, neighbor_id).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val bucket = graft.plans.VectorFunctions.lshBucket16 _
-    val c = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("v"), bucket(col(vecCol)).as("bucket"))
-    val probes = queries.select(
-      col(idCol).as("qid"), col(vecCol).as("qv"), bucket(col(vecCol)).as("qb"))
-      .select(col("qid"), col("qv"),
-        explode(array((-1 to 15).map {
-          case -1 => col("qb")
-          case b  => col("qb").bitwiseXOR(lit(1 << b))
-        }: _*)).as("bucket"))
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    val buckets = (v: org.apache.spark.sql.Column) =>
+      graft.plans.VectorFunctions.lshBuckets(v, bits, tables)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cb = corpus.select(
+      col(idCol).as("id"), explode(buckets(col(vecCol))).as("bucket"))
+    val qb = queries.select(
+      col(idCol).as("qid"), explode(buckets(col(vecCol))).as("bucket"))
 
-    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    c.join(broadcast(probes), Seq("bucket"))
+    val candidates = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
+      .select("qid", "id")
+      .distinct()
+
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    candidates
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("id"),
-        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("score"))
+        round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6).as("score"))
       .groupBy("qid")
       .agg(topk(col("id"), col("score")).as("ids"))
       .select(col("qid").as("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))

@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Core relational operators (SURVEY §2 q01–q17), generalizing the
+  * reference's ETL semantics (`/root/reference/airflow/dags/tasks/tweets.py`,
+  * `market.py`) into reusable DataFrame→DataFrame transforms.
+  *
+  * Numeric discipline: money-ish doubles are summed as DECIMAL so the
+  * result is independent of partial-aggregation order (a double sum over N
+  * partitions is order-dependent; a decimal sum is exact), then cast back
+  * to double for a stable, engine-neutral output. See SURVEY §5.
+  */
+object Relational {
+
+  /** Cast a 2-dp money double to an exact decimal for order-independent
+    * sums. Precision 12 keeps products within decimal range:
+    * (12,2)×(5,2)×(5,2) → (24,6), far below the 38-digit ceiling.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** q01: projection + equality filter + negated prefix filter — the
+    * reference's tweet-ingest shape (`tweets.py:50-51`: `select('full_text')`,
+    * `lang == 'en'`, `~startswith('RT @')`).
+    */
+  def filterProject(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("lang") === "en" && !col("text").startsWith("the "))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+
+  /** q02: per-document sentiment — lexicon counts + majority vote
+    * (`tweets.py:53-59` re-expressed as codegen'd columns, no UDF).
+    */
+  def sentiment(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.positiveCount(col("text")).cast("long").as("n_pos"),
+      TextFunctions.negativeCount(col("text")).cast("long").as("n_neg"),
+      TextFunctions.overallSentiment(col("text")).as("sentiment"))
+
+  /** q03: sentiment counts pivoted to a wide per-group record
+    * (`tweets.py:62-77`'s groupBy-count + wide summary row).
+    */
+  def sentimentSummary(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), TextFunctions.overallSentiment(col("text")).as("sentiment"))
+      .groupBy("source")
+      .pivot("sentiment", Seq("positive", "negative", "na"))
+      .count()
+      .select(
+        col("source"),
+        coalesce(col("positive"), lit(0L)).as("positive_count"),
+        coalesce(col("negative"), lit(0L)).as("negative_count"),
+        coalesce(col("na"), lit(0L)).as("na_count"))
+
+  /** q04: multi-aggregate pricing summary (TPC-H Q1 shape). */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    val charge = disc * (lit(1) + dec(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q05: star join — fact lineitem against broadcast dims
+    * supplier→nation→region, revenue by nation. Only the fact table
+    * shuffles (for the final agg); every dim join is a BroadcastHashJoin.
+    */
+  def starRevenue(
+      lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(revenue).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q06: date-part derivation + composite date id + daily aggregate
+    * (`tweets.py:41-43,67-70`, `market.py:31-41`).
+    */
+  def datePartsDaily(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+      .withColumn("date_id", (col("y") * 10000 + col("m") * 100 + col("d")).cast("int"))
+      .groupBy("date_id", "y", "m", "d")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(decSum(col("o_totalprice")), 2).as("total_price"))
+
+  /** q07: data-quality suite as ONE Spark job (`tweets.py:136-142`,
+    * `market.py:45-52` ran one driver round-trip per check): row count,
+    * null rate, pk uniqueness, domain checks — a single scan + stack.
+    */
+  def qualityChecks(orders: DataFrame): DataFrame =
+    orders
+      .agg(
+        count(lit(1)).as("row_count"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_custkey"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("pk_dup"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_total"),
+        sum(when(col("o_orderdate") > lit("2001-08-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("future_orders"))
+      .selectExpr(
+        """stack(5,
+          |  'row_count', row_count,
+          |  'null_custkey', null_custkey,
+          |  'pk_dup', pk_dup,
+          |  'nonpositive_total', nonpositive_total,
+          |  'future_orders', future_orders) as (check_name, value)""".stripMargin)
+
+  /** q08: two daily aggregates joined on date — the reference's
+    * markets_value ⋈ tweets_sentiment analysis join (README.md).
+    */
+  def dailyJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("purchase_value"))
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases.join(clicks, Seq("d"))
+  }
+
+  /** q09: window functions — running sum / rank / lag per user. The
+    * running sum accumulates DECIMAL inside the frame so both engines (and
+    * any partitioning) agree bit-for-bit.
+    */
+  def windowFuncs(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      row_number().over(w).cast("int").as("rnk"),
+      sum(col("value").cast("decimal(18,2)")).over(wRows).cast("double").as("running_value"),
+      lag(col("value"), 1).over(w).as("prev_value"))
+  }
+
+  /** q10: top-k per group via window + filter. */
+  def topKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("int").as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** q11: pivot — event_type × day count matrix (`tweets.py:64-77`'s wide
+    * record, generalized to a dynamic pivot with a pinned column list so
+    * the output schema is stable).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def pivotDaily(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d")
+      .pivot("event_type", EventTypes)
+      .count()
+      .select(
+        col("d") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  /** q12: gap-based sessionization — lag + cumulative flag sum. Timestamps
+    * are compared as epoch micros so the whole computation is integer
+    * arithmetic (engine- and timezone-neutral).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRows))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+  }
+
+  /** q13: tumbling time-window aggregation (batch twin of
+    * [[graft.streaming.EventStream]]). Uses Spark's `window()` so the
+    * exact same expression runs under Structured Streaming.
+    */
+  def tumblingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** q14: hierarchical rollup over region → nation with broadcast dims. */
+  def rollupAcctbal(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(decSum(col("c_acctbal")), 2).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_acctbal"))
+
+  /** q15: left-semi + left-anti join — customers with / without orders,
+    * tagged and unioned. Both halves shuffle only the keys.
+    */
+  def semiAntiJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select(col("o_custkey"))
+    val withOrders = customer
+      .join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("kind"), col("c_custkey"), col("c_name"))
+    val noOrders = customer
+      .join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("kind"), col("c_custkey"), col("c_name"))
+    withOrders.unionAll(noOrders)
+  }
+
+  /** q16: exact distinct aggregates. */
+  def distinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  /** q17: HLL++ approximate distinct — the scale path of q16 (one pass, no
+    * per-key shuffle of distinct values; rows-only oracle because the
+    * sketch estimate is engine-specific).
+    */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -122,7 +122,7 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.HashKernels.minHashSignature($c);")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
@@ -139,14 +139,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.HashKernels.simHash64($c);")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object HashFunctions {
   def minHashSignature(shingles: Column): Column =
-    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles)))
+    GraftColumnShim.column(MinHashSignature(GraftColumnShim.expression(shingles)))
 
   def simHash64(tokens: Column): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+    GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
 }

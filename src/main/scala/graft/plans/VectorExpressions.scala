@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression: cosine similarity over two `array<float>`
   * embedding columns.
@@ -18,16 +18,43 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (`q24_embed_neardup`).
   *
   * Accumulates in `double` left-to-right, so results are deterministic and
-  * independent of partitioning.
+  * independent of partitioning. Mismatched vector lengths raise at runtime
+  * (silent truncation would mask corrupt data at 100 TB).
   */
-case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    VectorKernels.cosine(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.VectorKernels.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels shared by interpreted eval and generated code (same
+  * pattern as [[HashKernels]]: one static call inside whole-stage codegen,
+  * small enough for the JIT, no boxing).
+  */
+object VectorKernels {
+
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosineSimilarity: vector lengths differ (${n} vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -39,36 +66,85 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
-       """.stripMargin
-    })
+  private def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  val LshMaxDim = 256
+  private val MaxPlanes = 128
+
+  /** Fixed pseudo-random hyperplanes (uniform in [-1, 1], SplitMix64
+    * stream — deterministic across JVMs/executors). Vectors longer than
+    * [[LshMaxDim]] use only the first [[LshMaxDim]] components.
+    */
+  val Hyperplanes: Array[Array[Double]] =
+    Array.tabulate(MaxPlanes, LshMaxDim) { (p, i) =>
+      splitMix64(p.toLong * LshMaxDim + i).toDouble / Long.MaxValue.toDouble
+    }
+
+  /** Multi-table random-hyperplane sign hash: returns `tables` bucket ids,
+    * one per table, each over `bits` hyperplanes (table t uses planes
+    * [t*bits, (t+1)*bits)). Bucket ids are table-tagged (t << bits | hash)
+    * so a single equi-join key distinguishes tables.
+    */
+  def lshBuckets(v: ArrayData, bits: Int, tables: Int): ArrayData = {
+    require(bits * tables <= MaxPlanes, s"bits*tables must be <= $MaxPlanes")
+    val n = math.min(v.numElements(), LshMaxDim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        val plane = Hyperplanes(t * bits + b)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += v.getFloat(i).toDouble * plane(i)
+          i += 1
+        }
+        if (dot > 0.0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = (t << bits) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Multi-table random-hyperplane LSH bucket ids of an `array<float>`
+  * vector — the blocking keys for the ANN scale path (SURVEY §2
+  * `q26_knn_lsh`). Returns `array<int>` of length `tables`.
+  */
+case class LshBuckets(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBuckets(input.asInstanceOf[ArrayData], bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.lshBuckets($c, $bits, $tables);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftColumnShim.column(
+      CosineSimilarity(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Column API for [[LshBuckets]]. */
+  def lshBuckets(v: Column, bits: Int, tables: Int): Column =
+    GraftColumnShim.column(LshBuckets(GraftColumnShim.expression(v), bits, tables))
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the test star schema (TESTDATA.md).
@@ -23,7 +25,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`,
+    * so the column arrives as a raw nanos long; normalize it here to a
+    * micros-precision timestamp (integer `div`, no double round-trip — a
+    * double mantissa can't hold epoch-nanos exactly).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
