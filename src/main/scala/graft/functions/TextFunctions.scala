@@ -66,10 +66,14 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  /** Exact Jaccard similarity of two distinct-shingle arrays. J(∅,∅) is
+    * defined as 0 (two shingle-less docs carry no similarity evidence —
+    * and it keeps the division total).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
   /** Number of word tokens (whitespace tokenization). */

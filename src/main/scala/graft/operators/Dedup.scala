@@ -51,13 +51,16 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
 
-  /** Shingled docs with MinHash signatures — the shared prefix of the
-    * MinHash pipeline.
+  /** Shingled docs — the shared prefix of the shingle-based pipelines.
+    * Shingle-less docs (shorter than n tokens) are dropped here: they have
+    * no Jaccard evidence, and an empty set's MinHash signature is the
+    * all-max constant — every such doc would collide in every LSH band.
     */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Structured-Streaming twin of the batch tumbling-window aggregate
+  * (SURVEY §2 `streaming.EventStream`; q13's streaming twin).
+  *
+  * The reference processed "streams" as daily Airflow batches
+  * (`tweets_and_market.py`); Spark-first that becomes `readStream` →
+  * watermark → windowed agg, with the SAME column expressions as the batch
+  * operator — one definition of the computation, two execution modes.
+  *
+  * Watermark semantics at scale: state for a 1-hour window is dropped once
+  * the watermark (max event time − delay) passes the window end, so state
+  * size is bounded by (delay / window) × |keys|, independent of stream
+  * length.
+  */
+object EventStream {
+
+  /** ts, event_type, value → windowed counts + value sums. Works on a
+    * streaming OR batch DataFrame (the plan is identical; Catalyst adds
+    * stateful operators only under `writeStream`).
+    */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+}

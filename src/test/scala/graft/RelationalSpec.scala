@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("star join plan broadcasts every dim (BroadcastHashJoin x3, no SortMergeJoin)") {
+    val li = Seq((1L, 10L, 100.0, 0.1)).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((10L, 20)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((20, 30, "GERMANY")).toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((30, "EUROPE")).toDF("r_regionkey", "r_name")
+    val plan = Relational.starRevenue(li, sup, nat, reg)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pricing summary on a hand-computed slice") {
+    val ts = Timestamp.valueOf("1998-01-01 00:00:00")
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.10, 0.05, ts),
+      ("A", "F", 20.0, 200.0, 0.00, 0.10, ts),
+      ("R", "O", 5.0, 50.0, 0.50, 0.00, Timestamp.valueOf("1999-01-01 00:00:00")))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate")
+    val rows = Relational.pricingSummary(li).collect()
+    assert(rows.length == 1) // the 1999 row is filtered out
+    val r = rows(0)
+    assert(r.getAs[Double]("sum_qty") == 30.0)
+    assert(r.getAs[Double]("sum_base_price") == 300.0)
+    assert(math.abs(r.getAs[Double]("sum_disc_price") - (90.0 + 200.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sum_charge") - (90.0 * 1.05 + 200.0 * 1.10)) < 1e-9)
+    assert(r.getAs[Long]("count_order") == 2L)
+  }
+
+  test("sessionize splits on gaps > 30 min and counts events per session") {
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val ev = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(20)),   // session 1: 3 events
+      (1L, 4L, t(120)), (1L, 5L, t(125)),                 // session 2: 2 events
+      (2L, 6L, t(0))                                      // other user: own session
+    ).toDF("user_id", "event_id", "ts")
+    val out = Relational.sessionize(ev)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("quality checks flag planted defects") {
+    val ts = Timestamp.valueOf("2000-01-01 00:00:00")
+    val orders = Seq(
+      (1L, Option(5L), 10.0, ts),
+      (1L, Option(6L), -2.0, ts),                                 // dup pk + nonpositive
+      (3L, Option.empty[Long], 7.0, Timestamp.valueOf("2002-01-01 00:00:00")) // null fk + future
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val checks = Relational.qualityChecks(orders)
+      .as[(String, Long)].collect().toMap
+    assert(checks == Map(
+      "row_count" -> 3L, "null_custkey" -> 1L, "pk_dup" -> 1L,
+      "nonpositive_total" -> 1L, "future_orders" -> 1L))
+  }
+
+  test("topK per group keeps exactly k, ordered, per partition key") {
+    val orders = (1L to 20L).map(i => (i, s"P${i % 2}", i.toDouble)).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val out = Relational.topKPerGroup(orders, k = 3)
+      .select($"o_orderpriority", $"rk", $"o_orderkey").as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("P0", 1, 20L), ("P0", 2, 18L), ("P0", 3, 16L),
+      ("P1", 1, 19L), ("P1", 2, 17L), ("P1", 3, 15L)))
+  }
+}

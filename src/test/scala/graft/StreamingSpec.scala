@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{EventStream, SessionEvent, SessionState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("EventStream tumbling window over MemoryStream matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (t(5), "click", 1.0), (t(15), "click", 2.0), (t(65), "view", 3.0),
+        // late watermark push so the first windows finalize (wm = max - 2h)
+        (t(300), "view", 0.0))
+      q.processAllAvailable()
+      input.addData((t(500), "view", 0.0)) // advance watermark past 05:00
+      q.processAllAvailable()
+
+      val got = spark.table("tumbling_test")
+        .select($"window_start".cast("string"), $"event_type", $"n_events", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+      assert(got.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
+    } finally q.stop()
+
+    // batch twin over the same rows produces the same finalized windows
+    val batch = EventStream.tumblingCounts(
+      Seq((t(5), "click", 1.0), (t(15), "click", 2.0), (t(65), "view", 3.0))
+        .toDF("ts", "event_type", "value"))
+      .select($"window_start".cast("string"), $"event_type", $"n_events", $"total_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(batch == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 3.0)))
+  }
+
+  test("SessionState closes sessions on gap and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = SessionState.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: 3 events then a >30min gap then 2 events
+      input.addData(
+        SessionEvent(1L, 1L, t(0)), SessionEvent(1L, 2L, t(10)), SessionEvent(1L, 3L, t(20)),
+        SessionEvent(1L, 4L, t(120)), SessionEvent(1L, 5L, t(125)))
+      q.processAllAvailable()
+      // push watermark way forward so the open session times out and closes
+      input.addData(SessionEvent(99L, 6L, t(2000)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99L, 7L, t(4000)))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_test")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+        .filter(_._1 == 1L).sorted
+      assert(got == Seq((1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
+}

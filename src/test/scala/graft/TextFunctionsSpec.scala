@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("fingerprint matches a direct Scala reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * TextFunctions.FpBase + c.toLong) % TextFunctions.FpMod)
+    for (s <- Seq("the fast join", "a", "", "spark group query row data"))
+      assert(one[Long](TextFunctions.fingerprint(col("text")), s) == ref(s), s"text=$s")
+  }
+
+  test("sentiment majority vote is tri-state") {
+    assert(one[String](TextFunctions.overallSentiment(col("text")), "fast fast slow") == "positive")
+    assert(one[String](TextFunctions.overallSentiment(col("text")), "slow big fast") == "negative")
+    assert(one[String](TextFunctions.overallSentiment(col("text")), "fast slow") == "na")
+    assert(one[String](TextFunctions.overallSentiment(col("text")), "nothing here") == "na")
+  }
+
+  test("token counts: whitespace vs regex") {
+    assert(one[Long](TextFunctions.tokenCount(col("text")), "a b c") == 3L)
+    assert(one[Long](TextFunctions.regexTokenCount(col("text")), "ab12cd, x") == 5L)
+  }
+
+  test("langId flags stopword-bearing text as en") {
+    assert(one[String](TextFunctions.langId(col("text")), "the quick fox") == "en")
+    assert(one[String](TextFunctions.langId(col("text")), "quick fox") == "und")
+  }
+
+  test("jaccard of shingle arrays") {
+    val df = Seq(("x y z w", "y z w v")).toDF("a", "b")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingles(col("a"), 2), TextFunctions.shingles(col("b"), 2)).as("j"))
+      .collect()(0).getDouble(0)
+    // a-shingles {x y, y z, z w}, b-shingles {y z, z w, w v}: 2 / 4
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}

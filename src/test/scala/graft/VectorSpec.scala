@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Knn
+import graft.plans.{VectorFunctions, VectorKernels}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class VectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("CosineSimilarity expression matches reference (through the full query path)") {
+    val rnd = new Random(1)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextFloat() - 0.5f), Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val got = rows.toDF("a", "b")
+      .select(VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), c) =>
+      assert(math.abs(c - refCosine(a, b)) < 1e-9)
+    }
+  }
+
+  test("mismatched vector lengths raise, not truncate") {
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.cosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("lshBuckets: deterministic, table-tagged, correct arity") {
+    val v = Seq(Seq.fill(64)(0.25f)).toDF("v")
+    val a = v.select(VectorFunctions.lshBuckets(col("v"), 8, 8).as("b")).as[Seq[Int]].collect()(0)
+    val b = v.select(VectorFunctions.lshBuckets(col("v"), 8, 8).as("b")).as[Seq[Int]].collect()(0)
+    assert(a == b)
+    assert(a.size == 8)
+    // table tag in the high bits: bucket t must lie in [t<<8, (t+1)<<8)
+    a.zipWithIndex.foreach { case (bucket, t) => assert(bucket >> 8 == t) }
+  }
+
+  test("brute-force kNN returns exact top-k (vs driver-side reference)") {
+    val rnd = new Random(5)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Knn.bruteForceTopK(df, df.filter($"vec_id" < 3), "vec_id", "embedding", 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val expected = (0L until 3L).map { q =>
+      val qv = vecs(q.toInt)._2
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, BigDecimal(refCosine(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("LSH ANN candidates are a subset ranked identically to brute force") {
+    val rnd = new Random(9)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Knn.lshTopK(df, df.filter($"vec_id" < 5), "vec_id", "embedding", 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.nonEmpty)
+    // every returned neighbor is a real row and never the query itself
+    out.foreach { case (q, _, n) => assert(n != q && n >= 0 && n < 200) }
+  }
+}
