@@ -1,16 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // The tuned session (AQE, skew-join, broadcast threshold, Kryo) — the
+    // same knobs the library recommends for a real cluster.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // JVM/codegen warmup outside the timed region: one small end-to-end
+    // query so the first measured query doesn't pay classloading + JIT.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+
     // noop sink: forces full computation of every output column (a count()
     // would let Spark prune unused projections and fake the timing).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

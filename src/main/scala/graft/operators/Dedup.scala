@@ -123,24 +123,45 @@ object Dedup {
       .drop("rn")
   }
 
-  /** Brute-force n-gram Jaccard similarity self-join (the correctness
-    * baseline for [[minHashPairs]]). A size-ratio prefilter (|A|/|B| must
-    * be within [t, 1/t] when J ≥ t) prunes the quadratic blowup without
-    * changing the result.
+  /** EXACT n-gram Jaccard similarity self-join via an inverted-index
+    * (PPJoin-style) equi-join — identical output to the all-pairs scan,
+    * but linear-ish in total shingle occurrences instead of quadratic in
+    * corpus size.
+    *
+    * Any pair with J ≥ t > 0 shares ≥1 shingle, so candidates are exactly
+    * the pairs co-occurring under some shingle: explode (id, shingle),
+    * equi-join on the shingle (a shuffle Catalyst can hash-partition),
+    * count shared shingles per pair, and compute J from the counted
+    * intersection + the two set sizes. A size-ratio prefilter
+    * (t·|B| ≤ |A| ≤ |B|/t when J ≥ t) prunes candidates inside the join
+    * without changing the result. Shingle arrays never ride the shuffle —
+    * only (id, size, one shingle) rows do.
+    *
+    * Scale note: a stop-shingle (boilerplate n-gram) with document
+    * frequency f contributes f²/2 candidate rows. That is inherent to any
+    * EXACT algorithm; where approximation is acceptable, [[minHashPairs]]
+    * with its hot-bucket cap is the scale path.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
     val d = shingled(docs, idCol, textCol, n).withColumn("sz", size(col("sh")))
-    val pairs = d.as("a")
-      .join(d.as("b"),
-        col("a.id") < col("b.id")
+    val inv = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s")
+          && col("a.id") < col("b.id")
           && col("b.sz") * threshold <= col("a.sz")
           && col("a.sz") * threshold <= col("b.sz"))
-      .select(
+      .groupBy(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(TextFunctions.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
-    pairs.filter(col("jaccard") >= threshold)
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact-verify candidate pairs against the shingle sets. */

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftColumnShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer: registers graft's native expressions
+  * in the SQL function registry, so `spark.sql(...)` users get the same
+  * codegen'd kernels as the DataFrame API — no UDF detour.
+  *
+  * Wire-up (either):
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)           // programmatic
+  *   // or spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * SQL surface:
+  * {{{
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_signature(shingles), simhash64(tokens), lsh_buckets(v, 8, 8)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionEntry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Install the functions on an already-running session (extensions bind
+    * only at session construction; this covers shells/notebooks).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      GraftColumnShim.registerFunction(spark, ident, inf, builder)
+    }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[FunctionEntry] = Seq(
+    (
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(array<float>, array<float>) - codegen'd cosine similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }),
+    (
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(array<string>) - 128-hash MinHash signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_signature takes 1 argument")
+        MinHashSignature(args(0))
+      }),
+    (
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 60-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 takes 1 argument")
+        SimHash64(args(0))
+      }),
+    (
+      FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(array<float>, bits, tables) - multi-table sign-hash LSH bucket ids"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "lsh_buckets takes (vector, bits, tables)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+        }
+        LshBuckets(args(0), intLit(args(1), "bits"), intLit(args(2), "tables"))
+      }))
+}

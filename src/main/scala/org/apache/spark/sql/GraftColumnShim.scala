@@ -14,4 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a builtin-style function on a LIVE session (the
+    * `SparkSessionExtensions` path only binds at session construction).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      ident: catalyst.FunctionIdentifier,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.expressions.Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }

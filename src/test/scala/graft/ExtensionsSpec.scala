@@ -1,0 +1,35 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The SQL registry surface: graft's native expressions callable from
+  * `spark.sql`, installed on the live shared session via
+  * [[GraftExtensions.register]] (the `withExtensions` path binds the same
+  * entries at session construction).
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("cosine_similarity / simhash64 / minhash_signature / lsh_buckets from SQL") {
+    GraftExtensions.register(spark)
+
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+
+    val sim = spark.sql("SELECT simhash64(array('a','b','a')) AS s").collect()(0).getLong(0)
+    assert(sim != 0L)
+
+    val sig = spark.sql("SELECT minhash_signature(array('x y z')) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == graft.plans.HashKernels.NumHashes)
+
+    val buckets = spark.sql("SELECT lsh_buckets(array(0.5f, -0.25f), 8, 4) AS b")
+      .collect()(0).getSeq[Int](0)
+    assert(buckets.length == 4)
+    buckets.zipWithIndex.foreach { case (b, t) => assert(b >> 8 == t) }
+
+    // arity errors surface as analysis-time failures, not runtime garbage
+    intercept[Exception](spark.sql("SELECT simhash64(array('a'), 2)").collect())
+  }
+}
