@@ -92,13 +92,7 @@ object Dedup {
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
-
-    val candidates = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = cappedBucketPairs(banded, Seq("band", "bh"), bucketCap)
       .distinct()
 
     verifyPairs(candidates, d, threshold)
@@ -114,13 +108,35 @@ object Dedup {
     * degenerate buckets are truncated.
     */
   val DefaultBucketCap = 1000
-  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+
+  /** Candidate pairs per bucket with ONE shuffle: window-cap the bucket
+    * membership (row_number ≤ cap, lowest ids kept), then collect the
+    * surviving ids per bucket — the groupBy reuses the window's hash
+    * partitioning, so no second exchange — and expand the C(n,2) pairs
+    * with array lambdas (no self-join, no double computation of the
+    * upstream pipeline). `extraCols` ride along into the pair structs
+    * (e.g. the simhash fingerprint, so verification needs no re-join).
+    */
+  private def cappedBucketPairs(
+      banded: DataFrame, keys: Seq[String], cap: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-    banded
+    val member = struct((col("id").as("id") +: extraCols.map(col)): _*)
+    val buckets = banded
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
-      .drop("rn")
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.id").as("id_a") +: col("p.b.id").as("id_b") +:
+        extraCols.flatMap(c =>
+          Seq(col(s"p.a.$c").as(s"${c}_a"), col(s"p.b.$c").as(s"${c}_b"))): _*)
   }
 
   /** EXACT n-gram Jaccard similarity self-join via an inverted-index
@@ -186,21 +202,19 @@ object Dedup {
       col(idCol).as("id"),
       HashFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sim"))
 
-    val banded0 = t
+    val banded = t
       .select(col("id"), col("sim"),
         explode(array((0 to 3).map(c =>
           struct(
             lit(c).as("chunk"),
             (shiftrightunsigned(col("sim"), c * 15) % 32768).as("cv"))): _*)).as("x"))
       .select(col("id"), col("sim"), col("x.chunk").as("chunk"), col("x.cv").as("cv"))
-    val banded = capBuckets(banded0, Seq("chunk", "cv"), bucketCap)
 
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
+    // The fingerprints ride into the pair expansion, so hamming needs no
+    // join back to the corpus at all.
+    cappedBucketPairs(banded, Seq("chunk", "cv"), bucketCap, extraCols = Seq("sim"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Skew-mitigation utilities (SURVEY §5). AQE's skew-join splitter handles
+  * moderate skew at runtime, but a pathological hot key (one key holding a
+  * double-digit percentage of a 100 TB fact table) still concentrates work;
+  * explicit salting redistributes a hot key across the whole cluster
+  * deterministically.
+  */
+object Skew {
+
+  /** Salted inner equi-join of a skewed `fact` against a (replicable)
+    * `dim`.
+    *
+    * fact gains a uniform salt in [0, salts); dim is exploded ×salts with
+    * every salt value; the join key becomes (key, salt). Each hot fact key
+    * now spreads over `salts` shuffle partitions instead of one. Output =
+    * fact's columns ++ dim's columns (salt plumbing dropped) — semantically
+    * identical to `fact.join(dim, fact(factKey) === dim(dimKey))`.
+    *
+    * Cost model: the dim side is replicated ×salts, so this targets
+    * small-to-medium dims that are still ABOVE the broadcast threshold —
+    * when the dim fits in memory, `broadcast()` (no shuffle at all) wins.
+    *
+    * The salt is `pmod(hash(monotonically_increasing_id(), key), salts)` —
+    * deterministic within a run, uniform across rows, independent of the
+    * join key's own distribution.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = fact.withColumn(
+      "__salt", pmod(hash(monotonically_increasing_id(), col(factKey)), lit(salts)))
+    val exploded = dim.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted
+      .join(exploded,
+        salted("__salt") === exploded("__salt") && salted(factKey) === exploded(dimKey))
+      .drop("__salt")
+  }
+}

@@ -34,4 +34,25 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
   }
+
+  /** Streaming twin of q03's sentiment summary (the reference's daily
+    * tweets-sentiment batch, `tweets.py:62-77`, as a live windowed stream):
+    * ts + text → per-window tri-state sentiment counts, one wide row per
+    * window. Uses the SAME lexicon expressions as the batch operator and a
+    * pivot-free conditional aggregation (streaming does not support pivot).
+    */
+  def sentimentCounts(docs: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
+    val s = graft.functions.TextFunctions.overallSentiment(col("text"))
+    withWm
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        sum(when(s === "positive", 1L).otherwise(0L)).as("positive_count"),
+        sum(when(s === "negative", 1L).otherwise(0L)).as("negative_count"),
+        sum(when(s === "na", 1L).otherwise(0L)).as("na_count"))
+      .select(
+        col("window.start").as("window_start"),
+        col("positive_count"), col("negative_count"), col("na_count"))
+  }
 }
