@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Knn, Multimodal, Relational}
+import graft.operators.{Dedup, IvfKnn, Knn, Multimodal, Relational}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -57,6 +57,10 @@ object SparkEntry {
     "q26_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "q27_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      IvfKnn.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
     "q30_lang_id" -> ((s, dir) =>

@@ -85,6 +85,39 @@ object VectorKernels {
       splitMix64(p.toLong * LshMaxDim + i).toDouble / Long.MaxValue.toDouble
     }
 
+  /** The `nprobe` cells with highest dot(v, centroid), descending, ties to
+    * the lowest cell id. Small nlist → simple selection loop beats a heap.
+    */
+  def nearestCells(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val nlist = centroids.length
+    val dots = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val ctr = centroids(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * ctr(i); i += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    val out = new Array[Any](nprobe)
+    val taken = new Array[Boolean](nlist)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1; var bestDot = Double.MinValue
+      var j = 0
+      while (j < nlist) {
+        if (!taken(j) && dots(j) > bestDot) { bestDot = dots(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Multi-table random-hyperplane sign hash: returns `tables` bucket ids,
     * one per table, each over `bits` hyperplanes (table t uses planes
     * [t*bits, (t+1)*bits)). Bucket ids are table-tagged (t << bits | hash)
@@ -138,6 +171,34 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroid cell ids of an `array<float>` vector, by
+  * dot product against L2-normalized centroids (== cosine order), ties to
+  * the lowest cell id. Centroid matrix travels as an expression reference
+  * object (broadcast with the serialized plan, referenced from generated
+  * code via `addReferenceObj` — no closure capture, stays codegen'd).
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nprobe >= 1 && nprobe <= centroids.length, "1 <= nprobe <= nlist")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCells(input.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.nearestCells($c, $ref, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -147,4 +208,8 @@ object VectorFunctions {
   /** Column API for [[LshBuckets]]. */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =
     GraftColumnShim.column(LshBuckets(GraftColumnShim.expression(v), bits, tables))
+
+  /** Column API for [[NearestCells]]. */
+  def nearestCells(v: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    GraftColumnShim.column(NearestCells(GraftColumnShim.expression(v), centroids, nprobe))
 }

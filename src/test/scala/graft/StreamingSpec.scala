@@ -48,6 +48,31 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("StreamDedup keeps first-seen per digest within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamDedup.firstSeen(docs, "text")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (t(0), 1L, "Hello World"), (t(1), 2L, "  hello   world "),
+        (t(2), 3L, "different"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+      assert(got.contains(3L))
+      assert(got.intersect(Set(1L, 2L)).size == 1) // one survivor of the dup pair
+    } finally q.stop()
+
+    // batch twin on the same rows
+    val batch = graft.streaming.StreamDedup.firstSeen(
+      Seq((t(0), 1L, "Hello World"), (t(1), 2L, "  hello   world "), (t(2), 3L, "different"))
+        .toDF("ts", "doc_id", "text"), "text")
+    assert(batch.count() == 2)
+  }
+
   test("SessionState closes sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

@@ -61,6 +61,27 @@ class VectorSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("IVF ANN: deterministic training, sane probes, k results per query") {
+    val rnd = new Random(11)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val c1 = graft.operators.IvfKnn.trainCentroids(df, "vec_id", "embedding", nlist = 8)
+    val c2 = graft.operators.IvfKnn.trainCentroids(df, "vec_id", "embedding", nlist = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    val out = graft.operators.IvfKnn.topK(df, df.filter($"vec_id" < 4), "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, r, n) => assert(n != q && r >= 1 && r <= 3) }
+    // with nprobe == nlist the probe covers everything -> exact == brute force
+    val full = graft.operators.IvfKnn.topK(df, df.filter($"vec_id" < 4), "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Knn.bruteForceTopK(df, df.filter($"vec_id" < 4), "vec_id", "embedding", 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == brute)
+  }
+
   test("LSH ANN candidates are a subset ranked identically to brute force") {
     val rnd = new Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
