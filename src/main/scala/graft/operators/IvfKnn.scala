@@ -86,7 +86,7 @@ object IvfKnn {
   def topK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 32, nprobe: Int = 8): DataFrame = {
     val centroids = trainCentroids(corpus, idCol, vecCol, nlist)
     val cells = (v: org.apache.spark.sql.Column, p: Int) =>
       VectorFunctions.nearestCells(v, centroids, p)

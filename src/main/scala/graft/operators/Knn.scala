@@ -99,7 +99,7 @@ object Knn {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 8, tables: Int = 8): DataFrame = {
+      bits: Int = 6, tables: Int = 12): DataFrame = {
     val buckets = (v: org.apache.spark.sql.Column) =>
       graft.plans.VectorFunctions.lshBuckets(v, bits, tables)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
