@@ -49,6 +49,42 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L), (1L, 3L), (2L, 1L)))
   }
 
+  test("date parts + composite id") {
+    val orders = Seq(
+      (Timestamp.valueOf("1997-03-05 00:00:00"), 10.0),
+      (Timestamp.valueOf("1997-03-05 12:00:00"), 20.0),
+      (Timestamp.valueOf("1998-12-31 00:00:00"), 5.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Relational.datePartsDaily(orders)
+      .select($"date_id", $"n_orders", $"total_price")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((19970305, 2L, 30.0), (19981231, 1L, 5.0)))
+  }
+
+  test("pivot fills absent event types with zero") {
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click"),
+      (Timestamp.valueOf("2024-01-02 10:00:00"), "view"))
+      .toDF("ts", "event_type")
+    val out = Relational.pivotDaily(ev)
+      .selectExpr("cast(d as string)", "n_click", "n_view", "n_error")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("2024-01-01", 2L, 0L, 0L), ("2024-01-02", 0L, 1L, 0L)))
+  }
+
+  test("rollup emits leaf, subtotal and grand-total rows") {
+    val cust = Seq((1L, 10), (2L, 10), (3L, 20)).toDF("c_custkey", "c_nationkey")
+      .withColumn("c_acctbal", $"c_custkey".cast("double"))
+    val nat = Seq((10, 100, "DE"), (20, 100, "FR")).toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((100, "EUROPE")).toDF("r_regionkey", "r_name")
+    val out = Relational.rollupAcctbal(cust, nat, reg)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("EUROPE", "DE", 2L, 3.0), ("EUROPE", "FR", 1L, 3.0),
+      ("EUROPE", "ALL", 3L, 6.0), ("ALL", "ALL", 3L, 6.0)))
+  }
+
   test("quality checks flag planted defects") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val orders = Seq(

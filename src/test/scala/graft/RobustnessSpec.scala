@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Relational}
+import org.apache.spark.sql.functions._
+
+/** Null / degenerate-input behavior: a 100 TB corpus WILL contain nulls,
+  * empties, and single-token rows; no operator may crash on them.
+  */
+class RobustnessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val messy = Seq(
+    (1L, Some("normal document with several tokens here")),
+    (2L, None),
+    (3L, Some("")),
+    (4L, Some("x")),
+    (5L, Some("normal document with several tokens here")))
+    .toDF("doc_id", "text")
+
+  test("dedup pipelines tolerate null/empty/short texts") {
+    // exact: null text -> null digest group; still one row out per class
+    val exact = Dedup.exact(messy, "doc_id", "text").collect()
+    assert(exact.length == 4) // {1,5} collapse; null, "", "x" distinct classes
+    assert(Dedup.minHashPairs(messy, "doc_id", "text").count() == 1) // only (1,5)
+    assert(Dedup.simHashPairs(messy, "doc_id", "text")
+      .filter($"id_a" === 1 && $"id_b" === 5).count() == 1)
+    assert(Dedup.ngramJaccardPairs(messy, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet == Set((1L, 5L, 1.0)))
+  }
+
+  test("text functions return null for null input, values otherwise") {
+    val out = messy.select(
+      $"doc_id",
+      TextFunctions.tokenCount($"text").as("tc"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.overallSentiment($"text").as("s"))
+      .orderBy("doc_id").collect()
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(0).getLong(1) == 6L)
+  }
+
+  test("sentiment summary counts null-text docs under 'na' never crashes") {
+    val df = messy.withColumn("source", lit("s1"))
+    val row = Relational.sentimentSummary(df).collect()(0)
+    // null sentiment rows fall outside the pinned pivot values; the three
+    // counted columns must still sum to the non-null docs
+    assert(row.getAs[Long]("na_count") >= 2)
+  }
+}
