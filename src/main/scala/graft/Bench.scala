@@ -9,10 +9,18 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup outside the timed region: one small end-to-end
-    // query so the first measured query doesn't pay classloading + JIT.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // JVM/codegen warmup outside the timed region: small end-to-end runs
+    // at sf0.001 so measured queries don't pay classloading + JIT for the
+    // relational, dedup, and vector kernels.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq(
+      () => SparkEntry.entry(spark),
+      () => SparkEntry.queries("q21_dedup_minhash")(spark, warmDir),
+      () => SparkEntry.queries("q25_knn_brute")(spark, warmDir)
+    ).foreach { f =>
+      try f().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    }
 
     // noop sink: forces full computation of every output column (a count()
     // would let Spark prune unused projections and fake the timing).
