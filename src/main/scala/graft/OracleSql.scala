@@ -240,6 +240,15 @@ object OracleSql {
          |  nid neighbor_id
          |FROM s QUALIFY rank <= 5""".stripMargin,
 
+    "q28_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, epoch_us(ts) us, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT user_id, us, max(event_id) click_event_id FROM c0 GROUP BY user_id, us)
+        |SELECT p.event_id, p.user_id, p.us, c.click_event_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+
     "q30_lang_id" ->
       s"""SELECT doc_id,
          |  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0

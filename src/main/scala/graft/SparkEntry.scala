@@ -63,6 +63,18 @@ object SparkEntry {
       IvfKnn.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
+    "q28_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("click_event_id"))
+      operators.AsofJoin.joinPriorEqual(purchases, clicks, "user_id", "us", "click_event_id")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("asof_click_event_id").as("click_event_id"))
+    }),
+
     "q30_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),

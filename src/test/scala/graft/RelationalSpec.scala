@@ -85,6 +85,20 @@ class RelationalSpec extends SparkTestBase {
       ("EUROPE", "ALL", 3L, 6.0), ("ALL", "ALL", 3L, 6.0)))
   }
 
+  test("as-of join picks the latest prior-or-equal right row per key") {
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 10L, 103L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 900L), (1L, 10L, 901L), (1L, 15L, 902L), (3L, 1L, 903L))
+      .toDF("k", "t", "rid")
+    val out = graft.operators.AsofJoin.joinPriorEqual(l, r, "k", "t", "rid")
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      100L -> Some(901L), // t=10: inclusive match, dup right resolved to max
+      101L -> Some(902L), // t=20: latest prior is t=15
+      102L -> None,       // t=5: nothing at or before
+      103L -> None))      // key 2: no right rows
+  }
+
   test("quality checks flag planted defects") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val orders = Seq(
