@@ -249,6 +249,12 @@ object OracleSql {
         |SELECT p.event_id, p.user_id, p.us, c.click_event_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
 
+    "q29_range_join" ->
+      """WITH bands AS (SELECT r_regionkey, r_regionkey*25.0 lo, r_regionkey*25.0+40.0 hi
+        |  FROM region)
+        |SELECT event_id, r_regionkey, value
+        |FROM events JOIN bands ON value >= lo AND value < hi""".stripMargin,
+
     "q30_lang_id" ->
       s"""SELECT doc_id,
          |  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0

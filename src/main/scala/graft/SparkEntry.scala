@@ -75,6 +75,18 @@ object SparkEntry {
           col("asof_click_event_id").as("click_event_id"))
     }),
 
+    "q29_range_join" -> ((s, dir) => {
+      // overlapping value bands derived from the region dim: [k*25, k*25+40)
+      val points = Tables.events(s, dir)
+        .select(col("event_id"), col("value"))
+      val bands = Tables.region(s, dir).select(
+        col("r_regionkey"),
+        (col("r_regionkey") * lit(25.0)).as("lo"),
+        (col("r_regionkey") * lit(25.0) + lit(40.0)).as("hi"))
+      operators.RangeJoin.binJoin(points, bands, "value", "lo", "hi", binWidth = 25.0)
+        .select(col("event_id"), col("r_regionkey"), col("value"))
+    }),
+
     "q30_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),

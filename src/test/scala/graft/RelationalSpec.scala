@@ -99,6 +99,18 @@ class RelationalSpec extends SparkTestBase {
       103L -> None))      // key 2: no right rows
   }
 
+  test("bin range join equals the naive inequality join") {
+    val pts = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
+    val rng = Seq((1L, 5.0, 30.0), (2L, 25.0, 26.0), (3L, 120.0, 200.0), (4L, -10.0, 0.5))
+      .toDF("rid", "lo", "hi")
+    val naive = pts.join(rng, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    val binned = graft.operators.RangeJoin.binJoin(pts, rng, "v", "lo", "hi", binWidth = 10.0)
+      .select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("quality checks flag planted defects") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val orders = Seq(
