@@ -285,6 +285,11 @@ object OracleSql {
         |    (a,b) -> (a*31+b) % 1000000007) fp
         |FROM documents""".stripMargin,
 
+    "q35_stratified_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) <= 5""".stripMargin,
+
     "q40_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -107,6 +107,11 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    "q35_stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedN(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        "source", "doc_id", n = 5)),
+
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
   )

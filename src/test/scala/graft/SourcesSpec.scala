@@ -76,6 +76,43 @@ class SourcesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SqlSink.createTableSql("t", schema, Some("nope")))
   }
 
+  test("CsvSource: schema read, quarantine, gz round-trip") {
+    val dir = tmpDir()
+    val w = new java.io.PrintWriter(s"$dir/data.csv")
+    w.println("id,name,score")
+    w.println("1,alpha,2.5")
+    w.println("2,beta,7.0")
+    w.println("oops,gamma,not_a_number")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = graft.sources.CsvSource.read(spark, s"$dir/data.csv", schema)
+    val ok = graft.sources.CsvSource.clean(df.cache())
+    assert(ok.count() == 2)
+    assert(graft.sources.CsvSource.corrupt(df).count() == 1)
+    df.unpersist()
+
+    val out = tmpDir() + "/out"
+    graft.sources.CsvSource.write(ok, out)
+    val back = graft.sources.CsvSource.clean(
+      graft.sources.CsvSource.read(spark, out, schema).cache())
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "alpha", 2.5), (2L, "beta", 7.0)))
+  }
+
+  test("deterministic sampling: same rows every run, bounded per stratum") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 7}")).toDF("id", "g")
+    val a = graft.operators.Sampling.stratifiedN(df, "g", "id", 3)
+      .as[(Long, String)].collect().toSet
+    val b = graft.operators.Sampling.stratifiedN(df.repartition(13), "g", "id", 3)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)                       // partitioning-independent
+    assert(a.groupBy(_._2).forall(_._2.size == 3))
+    val f = graft.operators.Sampling.hashFraction(df, "id", 0.2).count()
+    assert(f > 50 && f < 150)            // ~100 expected
+  }
+
   test("Tables.events normalizes nanos-long ts to a usable timestamp") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType.typeName == "timestamp")
