@@ -290,6 +290,15 @@ object OracleSql {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) <= 5""".stripMargin,
 
+    "q36_ngram_topk" ->
+      """WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
+        |s AS (SELECT source, unnest(list_distinct([array_to_string(toks[i:i+1],' ')
+        |       for i in range(1, greatest(len(toks),1))])) ngram FROM t),
+        |f AS (SELECT source, ngram, count(*) df FROM s GROUP BY source, ngram)
+        |SELECT source, ngram, df,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, ngram) AS INT) rk
+        |FROM f QUALIFY rk <= 5""".stripMargin,
+
     "q40_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -112,6 +112,8 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source", "lang"),
         "source", "doc_id", n = 5)),
 
+    "q36_ngram_topk" -> ((s, dir) => Relational.ngramTopK(Tables.documents(s, dir))),
+
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
   )

@@ -263,6 +263,24 @@ object Relational {
         count_distinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows"))
 
+  /** q36: top-k word bigrams per source by document frequency — the
+    * corpus-statistics op a training-data pipeline runs to spot
+    * boilerplate. Shingles are distinct per document, so the count is a
+    * true document frequency; partial aggregation combines map-side
+    * before the (source, ngram) shuffle; the per-source top-k is a
+    * window-filter over the (small) aggregated set.
+    */
+  def ngramTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("df").desc, col("ngram"))
+    docs
+      .select(col("source"),
+        explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
+      .groupBy("source", "ngram")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** q17: HLL++ approximate distinct — the scale path of q16 (one pass, no
     * per-key shuffle of distinct values; rows-only oracle because the
     * sketch estimate is engine-specific).
