@@ -25,6 +25,10 @@ object Bench {
     // noop sink: forces full computation of every output column (a count()
     // would let Spark prune unused projections and fake the timing).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the JVM between queries: collect the previous query's
+      // garbage (broadcasts are GC-released) OUTSIDE the timed region so
+      // one query's allocation debt doesn't bill the next one's wall time
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
