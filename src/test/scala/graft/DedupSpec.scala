@@ -68,6 +68,14 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
   }
 
+  test("simhash default is uncapped: hot buckets still yield all pairs") {
+    // 30 identical docs share every chunk bucket; a capped default would
+    // silently drop pairs (the sf0.1 bug) - all C(30,2) must come back
+    val dup = (0 until 30).map(i => (i.toLong, "same text again and again here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simHashPairs(dup, "doc_id", "text").count() == 435)
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
