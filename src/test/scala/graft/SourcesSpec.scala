@@ -113,6 +113,29 @@ class SourcesSpec extends SparkTestBase {
     assert(f > 50 && f < 150)            // ~100 expected
   }
 
+  test("bucketed join plans with zero Exchange (co-located)") {
+    import graft.sources.BucketedTables
+    val a = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (0L until 1000L).map(i => (i % 50, -i)).toDF("k", "vb")
+    BucketedTables.writeBucketed(a, "graft_bucket_a", "k", 8)
+    BucketedTables.writeBucketed(b, "graft_bucket_b", "k", 8)
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny test tables would broadcast; disable it so the planner must
+      // choose between shuffled SMJ and the bucket-co-located SMJ
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketedTables.coLocatedJoin(spark, "graft_bucket_a", "graft_bucket_b", "k")
+      assert(joined.count() == 1000L * 20) // 20 rows per key each side
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan) // no shuffle: co-located
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("Tables.events normalizes nanos-long ts to a usable timestamp") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType.typeName == "timestamp")
