@@ -30,14 +30,26 @@ object Bench {
       // one query's allocation debt doesn't bill the next one's wall time
       System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // a failed query reports the -1.0 sentinel, never a fake wall time
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout gets sbt [info]-prefixed, which breaks line-oriented parsers;
+    // the bare file is the machine-readable channel.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

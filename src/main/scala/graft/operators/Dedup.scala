@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    (band, bandHash) keys; only same-bucket candidates are joined. The
   *    all-pairs variant [[ngramJaccardPairs]] exists as the correctness
   *    baseline / small-side path.
-  *  - [[simHashPairs]] blocks on 15-bit simhash chunks: hamming ≤ 3 over a
-  *    60-bit fingerprint pigeonholes into ≥1 of the 4 chunks, so chunk
-  *    equality is a lossless blocking key.
+  *  - [[simHashPairs]] blocks on PAIRS of 10-bit simhash chunks: hamming
+  *    ≤ 4 over a 60-bit fingerprint flips bits in ≤ 4 of the 6 chunks, so
+  *    ≥ 2 chunks — hence ≥ 1 chunk PAIR — agree exactly. Pair generation
+  *    streams through a sort-merge self-join (spillable), never
+  *    materializing a bucket in one row.
   */
 object Dedup {
 
@@ -117,29 +119,29 @@ object Dedup {
     * surviving ids per bucket — the groupBy reuses the window's hash
     * partitioning, so no second exchange — and expand the C(n,2) pairs
     * with array lambdas (no self-join, no double computation of the
-    * upstream pipeline). `extraCols` ride along into the pair structs
-    * (e.g. the simhash fingerprint, so verification needs no re-join).
+    * upstream pipeline). Per-row memory is bounded by the cap: the widest
+    * materialized array is C(cap, 2) id pairs.
     */
   private def cappedBucketPairs(
-      banded: DataFrame, keys: Seq[String], cap: Int,
-      extraCols: Seq[String] = Nil): DataFrame = {
+      banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(cap <= 4096,
+      "cappedBucketPairs materializes C(cap,2) pairs per bucket row; " +
+        "for an uncapped/large-cap run use a streaming self-join instead " +
+        "(see simHashPairs)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("id"))
-    val member = struct((col("id").as("id") +: extraCols.map(col)): _*)
     val buckets = banded
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(member)).as("ms"))
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
       .filter(size(col("ms")) > 1)
     buckets
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(
           slice(col("ms"), i + 2, size(col("ms"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a.id").as("id_a") +: col("p.b.id").as("id_b") +:
-        extraCols.flatMap(c =>
-          Seq(col(s"p.a.$c").as(s"${c}_a"), col(s"p.b.$c").as(s"${c}_b"))): _*)
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
   }
 
   /** EXACT n-gram Jaccard similarity self-join via an inverted-index
@@ -194,39 +196,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
 
   /** SimHash near-duplicate pairs: 60-bit simhash fingerprints, blocked on
-    * 4 × 15-bit chunks (lossless for maxHamming ≤ 3), hamming-verified.
-    * Returns (id_a, id_b, hamming).
-    */
-  /** bucketCap here defaults to OFF (Int.MaxValue), unlike minhash: the
-    * 4-chunk blocking is the EXACTNESS argument of this operator — every
-    * hamming≤3 pair shares a chunk — and a cap silently drops true pairs
-    * whenever a 15-bit chunk value runs hot, which structured fingerprints
-    * do (common-word bit patterns concentrate; observed at sf0.1: cap 1000
-    * lost 428 of 4731 pairs). Opt in to a cap only when a degenerate
-    * corpus makes the quadratic bucket blowup worse than missing pairs.
+    * the C(6,2) = 15 PAIRS of 10-bit chunks, hamming-verified inside the
+    * join. Returns (id_a, id_b, hamming).
+    *
+    * Exactness: hamming ≤ h flips bits in at most h of the 6 chunks, so at
+    * least 6 − h chunks are bit-identical; for h ≤ 4 that is ≥ 2 chunks,
+    * hence at least one chunk PAIR agrees and the pair lands in a shared
+    * (pairIdx, cv_i, cv_j) bucket. No cap, no dropped pairs (the sf0.1
+    * cap bug of round 2 cannot recur — there is nothing to cap).
+    *
+    * Key count is a covering design, not all C(6,2) = 15 pairs:
+    *  - h ≤ 2 → ≥ 4 chunks agree; a perfect matching {01, 23, 45} has
+    *    independence number 3, so any 4 agreeing chunks contain a matched
+    *    pair: 3 keys/doc.
+    *  - h = 3 → ≥ 3 chunks agree; two disjoint triangles {012, 345} have
+    *    independence number 2 (one vertex per triangle), so any 3 agreeing
+    *    chunks put 2 in one triangle: 6 keys/doc.
+    *  - h = 4 → ≥ 2 chunks agree, which only the full 15 pairs cover
+    *    (any missing pair is an independent 2-set).
+    * Fewer keys = proportionally less exploded shuffle volume.
+    *
+    * Scale: two wins over the round-2 single-chunk + collect_list version.
+    * (1) Blocking keys live in a 20-bit space per chunk pair instead of
+    * 15 bits per chunk, so hot buckets (common-word bit patterns
+    * concentrate) shrink ~quadratically — two chunks must BOTH collide.
+    * (2) Pairs stream out of a sort-merge self-join whose per-key match
+    * group is spillable (`ExternalAppendOnlyUnsafeRowArray`), instead of
+    * collect_list materializing a whole bucket — and its C(B,2) expansion —
+    * in a single row, which OOMs one executor on a boilerplate corpus.
+    * The shuffle for the two join sides is computed once and reused
+    * (ReusedExchange — both sides are the same subtree).
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming <= 3, "4-chunk blocking is only lossless for hamming <= 3")
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 4, "6-chunk pair blocking is only lossless for hamming <= 4")
     val t = docs.select(
       col(idCol).as("id"),
       HashFunctions.simHash64(TextFunctions.tokens(col(textCol))).as("sim"))
 
-    val banded = t
-      .select(col("id"), col("sim"),
-        explode(array((0 to 3).map(c =>
-          struct(
-            lit(c).as("chunk"),
-            (shiftrightunsigned(col("sim"), c * 15) % 32768).as("cv"))): _*)).as("x"))
-      .select(col("id"), col("sim"), col("x.chunk").as("chunk"), col("x.cv").as("cv"))
+    def chunk(c: Int): Column = shiftrightunsigned(col("sim"), c * 10) % 1024
+    val pairs: Seq[(Int, Int)] =
+      if (maxHamming <= 2) Seq((0, 1), (2, 3), (4, 5))
+      else if (maxHamming == 3) Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
+      else for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+    // One packed 64-bit blocking key per chunk pair: (pairIdx << 20) | cv_i << 10 | cv_j
+    val keys = pairs.map { case (i, j) =>
+      (lit((i * 6 + j).toLong << 20) + chunk(i) * 1024 + chunk(j)).as("bk")
+    }
+    val banded = t.select(col("id"), col("sim"), explode(array(keys: _*)).as("bk"))
 
-    // The fingerprints ride into the pair expansion, so hamming needs no
-    // join back to the corpus at all.
-    cappedBucketPairs(banded, Seq("chunk", "cv"), bucketCap, extraCols = Seq("sim"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val ham = bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk")
+          && col("a.id") < col("b.id")
+          && ham <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
       .distinct()
   }
 

@@ -68,12 +68,61 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
   }
 
-  test("simhash default is uncapped: hot buckets still yield all pairs") {
-    // 30 identical docs share every chunk bucket; a capped default would
-    // silently drop pairs (the sf0.1 bug) - all C(30,2) must come back
-    val dup = (0 until 30).map(i => (i.toLong, "same text again and again here"))
+  test("simhash degenerate corpus: every pair found, pair generation streams") {
+    // 200 identical docs land in ONE bucket per chunk pair - the
+    // boilerplate-corpus worst case. All C(200,2) pairs must come back
+    // (round-2's cap bug dropped pairs here), and the plan must build
+    // them via a streaming join, not a per-bucket collect_list array
+    // (which would materialize C(B,2) structs in a single row).
+    val dup = (0 until 200).map(i => (i.toLong, "same text again and again here"))
       .toDF("doc_id", "text")
-    assert(Dedup.simHashPairs(dup, "doc_id", "text").count() == 435)
+    // disable auto-broadcast: at scale neither side fits in a broadcast,
+    // so the plan we must certify is the sort-merge (spillable) one
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.simHashPairs(dup, "doc_id", "text")
+      assert(pairs.count() == 199 * 200 / 2)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list"), "simhash pair generation must stream")
+      assert(plan.contains("SortMergeJoin"), s"expected a streaming self-join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("simhash hamming<=4 is supported by pair blocking (>=2 of 6 chunks agree)") {
+    // two docs whose fingerprints differ in exactly 4 bits, one per chunk:
+    // single-chunk agreement fails for 4 of 6 chunks but >=1 chunk PAIR
+    // still agrees, so blocking must find the pair at maxHamming=4.
+    val fp = corpus.select($"doc_id",
+      HashFunctions.simHash64(TextFunctions.tokens($"text")).as("sim"))
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("int").as("h"))
+      .filter($"h" <= 4)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 5)
+    }
+  }
+
+  test("simhash covering designs are lossless per hamming tier (3/6/15 keys)") {
+    // each maxHamming tier uses a different (smaller) chunk-pair covering
+    // design; all of them must reproduce brute force exactly
+    val fp = corpus.select($"doc_id",
+      HashFunctions.simHash64(TextFunctions.tokens($"text")).as("sim"))
+    for (h <- Seq(1, 2, 3)) {
+      val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id",
+          bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("int").as("h"))
+        .filter($"h" <= h)
+        .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+      val blocked = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(blocked == brute, s"maxHamming=$h covering design dropped pairs")
+    }
   }
 
   test("hot-bucket cap bounds candidate generation") {

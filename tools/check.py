@@ -26,10 +26,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+# Expected set comes from Verify's _meta.json (all declared queries) —
+# NOT from the directories present: a query that crashed during Verify
+# writes no dump and must count as red, not vanish from the denominator.
+meta_path = os.path.join(out_dir, "_meta.json")
+if os.path.exists(meta_path):
+    meta = json.load(open(meta_path))
+    expected = meta["queries"]
+    crashed = meta.get("failed", {})
+else:  # older dump: fall back to oracle keys + whatever dirs exist
+    expected = sorted(set(oracle) | {n for n in os.listdir(out_dir)
+                                     if os.path.isdir(os.path.join(out_dir, n))})
+    crashed = {}
+
 results = {}
-for name in sorted(os.listdir(out_dir)):
+for name in expected:
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
+        results[name] = "NO DUMP: " + crashed.get(name, "query produced no output dir")
         continue
     spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
     if name not in oracle:
