@@ -205,6 +205,16 @@ object OracleSql {
         |  count(*) n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // HLL gate: exact counts are recomputed here; the Spark side's
+    // in-bound booleans must come back TRUE (|HLL - exact|/exact <= 5%).
+    "q17_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) exact_parts,
+        |  count(DISTINCT l_orderkey) exact_orders,
+        |  count(*) n_rows,
+        |  TRUE parts_ok, TRUE orders_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT min(doc_id) doc_id, count(*) n_copies FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
@@ -228,6 +238,20 @@ object OracleSql {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
 
+    // The LSH near-dup gate: n_true is genuinely recomputed by the oracle
+    // (exact brute-force pair count over the id < 500 subset); recall_ok /
+    // fp_count are the bounds the Spark side must meet (see
+    // Dedup.embeddingNearDupGate).
+    "q24b_embed_neardup_lsh" ->
+      s"""$cosineCte,
+         |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+         |  round(list_dot_product(a.v,b.v)
+         |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4) cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 500 AND b.vec_id < 500)
+         |SELECT count(*) n_true, TRUE recall_ok, 0::BIGINT fp_count
+         |FROM p WHERE cos >= 0.4""".stripMargin,
+
     "q25_knn_brute" ->
       s"""$cosineCte,
          |s AS (SELECT q.vec_id qid, c.vec_id nid,
@@ -239,6 +263,16 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INT) rank,
          |  nid neighbor_id
          |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    // ANN recall gates: n_queries is recomputed; recall_ok must be TRUE
+    // (recall@5 vs the exact reference over the same queries clears the
+    // measured floor — see Knn.recallGate).
+    "q26_knn_lsh" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q27_knn_ivf" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events

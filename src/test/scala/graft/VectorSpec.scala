@@ -92,4 +92,39 @@ class VectorSpec extends SparkTestBase {
     // every returned neighbor is a real row and never the query itself
     out.foreach { case (q, _, n) => assert(n != q && n >= 0 && n < 200) }
   }
+
+  /** Clustered corpus: 30 clusters × 8 members around unit base vectors —
+    * the regime ANN is used in (near-uniform vectors are its worst case and
+    * gate nothing). Both ANN paths must clear a high recall floor here.
+    */
+  private lazy val clustered = {
+    val rnd = new Random(23)
+    val dim = 32
+    def unit(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    (0 until 30).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 8).map { m =>
+        ((c * 8 + m).toLong, unit(base.map(_ + 0.2f * rnd.nextGaussian().toFloat)))
+      }
+    }.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  test("ANN recall gates hold on a clustered corpus (LSH >= 0.8, IVF >= 0.8)") {
+    val q = clustered.filter($"vec_id" % 8 === 0) // one query per cluster
+    val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
+    def recallOk(ann: org.apache.spark.sql.DataFrame, floor: Double): Boolean =
+      Knn.recallGate(ann, brute, 5, floor)
+        .as[(Long, Boolean)].collect().head == ((30L, true))
+    assert(recallOk(Knn.lshTopK(clustered, q, "vec_id", "embedding", 5), 0.8))
+    assert(recallOk(
+      graft.operators.IvfKnn.topK(clustered, q, "vec_id", "embedding", 5), 0.8))
+    // and the gate itself is honest: an ANN that returns garbage fails it
+    val garbage = brute.withColumn("neighbor_id", lit(-1L))
+    assert(!Knn.recallGate(garbage, brute, 5, 0.3)
+      .as[(Long, Boolean)].collect().head._2)
+  }
 }
