@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   */
 object SqlSink {
 
-  /** Spark type → ANSI-ish warehouse column type. */
-  def sqlType(dt: DataType): String = dt match {
+  /** Spark type → ANSI-ish warehouse column type. `varcharWidth` is a
+    * dialect knob: 65535 is the Redshift max; Derby caps at 32672.
+    */
+  def sqlType(dt: DataType, varcharWidth: Int = 65535): String = dt match {
     case ByteType | ShortType => "smallint"
     case IntegerType          => "int"
     case LongType             => "bigint"
@@ -31,33 +33,48 @@ object SqlSink {
     case DateType             => "date"
     case _: TimestampType     => "timestamp"
     case d: DecimalType       => s"decimal(${d.precision},${d.scale})"
-    case StringType           => "varchar(65535)"
+    case StringType           => s"varchar($varcharWidth)"
     case other =>
       throw new IllegalArgumentException(s"no relational mapping for $other")
   }
 
-  /** CREATE TABLE IF NOT EXISTS from a Spark schema; optional primary key
-    * (must be one of the schema's fields).
+  /** CREATE TABLE from a Spark schema; optional primary key (must be one
+    * of the schema's fields). `ifNotExists = false` for dialects without
+    * the clause (e.g. Derby).
     */
-  def createTableSql(table: String, schema: StructType, primaryKey: Option[String] = None): String = {
+  def createTableSql(
+      table: String, schema: StructType, primaryKey: Option[String] = None,
+      ifNotExists: Boolean = true, varcharWidth: Int = 65535): String = {
     primaryKey.foreach { pk =>
       require(schema.fieldNames.contains(pk), s"primary key $pk not in schema")
     }
     val cols = schema.fields.map { f =>
       val pk = if (primaryKey.contains(f.name)) " PRIMARY KEY" else ""
       val nn = if (!f.nullable && !primaryKey.contains(f.name)) " NOT NULL" else ""
-      s"    ${f.name} ${sqlType(f.dataType)}$pk$nn"
+      s"    ${quoted(f.name)} ${sqlType(f.dataType, varcharWidth)}$pk$nn"
     }
-    s"CREATE TABLE IF NOT EXISTS $table\n(\n${cols.mkString(",\n")}\n);"
+    val ine = if (ifNotExists) " IF NOT EXISTS" else ""
+    s"CREATE TABLE$ine $table\n(\n${cols.mkString(",\n")}\n);"
   }
 
   def dropTableSql(table: String): String = s"DROP TABLE IF EXISTS $table;"
+
+  /** Column identifiers are always double-quoted: reference schemas use
+    * reserved words as column names (`date`, `year`, `month`, `day` —
+    * `sql/create_tables.sql`), and a quoted lowercase identifier means the
+    * same thing as unquoted on Redshift/Postgres while keeping strict
+    * dialects (Derby) parsing.
+    */
+  private def quoted(name: String): String = {
+    require(!name.contains("\""), s"unquotable identifier: $name")
+    s""""$name""""
+  }
 
   /** Parameterized INSERT (the reference's `insert_*.sql` shape) — one
     * placeholder per column, driver-agnostic `?` markers.
     */
   def insertSql(table: String, schema: StructType): String = {
-    val names = schema.fieldNames
+    val names = schema.fieldNames.map(quoted)
     s"INSERT INTO $table (${names.mkString(", ")})\nVALUES (${names.map(_ => "?").mkString(", ")})"
   }
 
@@ -82,7 +99,7 @@ object SqlSink {
     * `count(*) > 0 WHERE date = %s` after each daily load).
     */
   def rowCountCheckSql(table: String, keyCol: String): String =
-    s"SELECT count(*) AS n FROM $table WHERE $keyCol = ?"
+    s"""SELECT count(*) AS n FROM $table WHERE ${quoted(keyCol)} = ?"""
 
   /** Stage a DataFrame for COPY: write gzipped JSONL at `stagingPath` and
     * return the COPY statement to load it — the reference's

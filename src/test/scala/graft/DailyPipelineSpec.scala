@@ -36,8 +36,9 @@ class DailyPipelineSpec extends SparkTestBase {
     assert(staged.count() == 1)
 
     assert(run.ddl.contains("CREATE TABLE IF NOT EXISTS tweets_sentiment"))
-    assert(run.ddl.contains("tweets_sentiment_id varchar(65535) PRIMARY KEY"))
+    assert(run.ddl.contains("\"tweets_sentiment_id\" varchar(65535) PRIMARY KEY"))
     assert(run.copySql.startsWith("COPY tweets_sentiment"))
-    assert(run.qualityCheckSql == "SELECT count(*) AS n FROM tweets_sentiment WHERE date = ?")
+    assert(run.qualityCheckSql ==
+      "SELECT count(*) AS n FROM tweets_sentiment WHERE \"date\" = ?")
   }
 }

@@ -61,17 +61,20 @@ class SourcesSpec extends SparkTestBase {
       StructField("positive_count", IntegerType, nullable = false)))
     val ddl = SqlSink.createTableSql("tweets_sentiment", schema, primaryKey = Some("tweets_sentiment_id"))
     assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS tweets_sentiment"))
-    assert(ddl.contains("tweets_sentiment_id varchar(65535) PRIMARY KEY"))
-    assert(ddl.contains("date timestamp NOT NULL"))
-    assert(ddl.contains("positive_count int NOT NULL"))
+    // columns are always quoted: reference schemas use reserved words
+    // (date/year/month/day) and quoted-lowercase is dialect-portable
+    assert(ddl.contains("\"tweets_sentiment_id\" varchar(65535) PRIMARY KEY"))
+    assert(ddl.contains("\"date\" timestamp NOT NULL"))
+    assert(ddl.contains("\"positive_count\" int NOT NULL"))
 
     assert(SqlSink.dropTableSql("t") == "DROP TABLE IF EXISTS t;")
     assert(SqlSink.insertSql("t", schema) ==
-      "INSERT INTO t (tweets_sentiment_id, date, positive_count)\nVALUES (?, ?, ?)")
+      "INSERT INTO t (\"tweets_sentiment_id\", \"date\", \"positive_count\")\nVALUES (?, ?, ?)")
     val copy = SqlSink.copySql("t", "s3://bucket/day.jsonl", "JSON", "IAM_ROLE 'arn:aws:iam::1:role/x'")
     assert(copy ==
       "COPY t\nFROM 's3://bucket/day.jsonl'\nIAM_ROLE 'arn:aws:iam::1:role/x'\nFORMAT AS JSON 'auto'")
-    assert(SqlSink.rowCountCheckSql("t", "date") == "SELECT count(*) AS n FROM t WHERE date = ?")
+    assert(SqlSink.rowCountCheckSql("t", "date") ==
+      "SELECT count(*) AS n FROM t WHERE \"date\" = ?")
     intercept[IllegalArgumentException](SqlSink.copySql("t", "u", "XML", ""))
     intercept[IllegalArgumentException](SqlSink.createTableSql("t", schema, Some("nope")))
   }
