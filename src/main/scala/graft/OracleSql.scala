@@ -322,7 +322,8 @@ object OracleSql {
     "q35_stratified_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
-        |  ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) <= 5""".stripMargin,
+        |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |    doc_id) <= 5""".stripMargin,
 
     "q36_ngram_topk" ->
       """WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
@@ -333,13 +334,15 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, ngram) AS INT) rk
         |FROM f QUALIFY rk <= 5""".stripMargin,
 
+    // octet_length(encode(..)), not length(..): the Spark side measures
+    // UTF-8 payload BYTES; character count would diverge on non-ASCII text
     "q40_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
         |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END fmt,
-        |  length(text)::BIGINT n_bytes,
-        |  CAST(length(text) % 640 AS INT) width,
-        |  CAST((length(text) * 31) % 480 AS INT) height
+        |  octet_length(encode(text))::BIGINT n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 AS INT) height
         |FROM documents""".stripMargin,
   )
 }

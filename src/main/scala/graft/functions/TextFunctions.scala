@@ -45,11 +45,46 @@ object TextFunctions {
   /** Majority vote over token sentiments: the Spark-first twin of the
     * reference's `Counter(col).most_common(1)[0][0]` UDF (`tweets.py:56`).
     * Tri-state like the reference: positive / negative / na.
+    *
+    * The no-arg form scores against the pinned [[Lexicon.Toy]] (what the
+    * oracle is generated from); pass a loaded AFINN/VADER-format
+    * [[Lexicon]] for real text. Column-level scoring is O(|lexicon|) per
+    * token — fine to a few hundred words; for full-size lexicons use
+    * [[sentimentJoined]], which broadcasts the lexicon as a table.
     */
-  def overallSentiment(text: Column): Column = {
-    val p = positiveCount(text)
-    val n = negativeCount(text)
+  def overallSentiment(text: Column): Column = overallSentiment(text, Lexicon.Toy)
+
+  def overallSentiment(text: Column, lex: Lexicon): Column = {
+    val p = lexiconCount(text, lex.positive)
+    val n = lexiconCount(text, lex.negative)
     when(p > n, "positive").when(n > p, "negative").otherwise("na")
+  }
+
+  /** Sentiment against an arbitrary-size lexicon: explode tokens,
+    * broadcast-hash-join the lexicon table, re-aggregate per document —
+    * O(1) lexicon lookups per token instead of a literal-array scan, the
+    * shape that holds for a 7k-word VADER list at 100 TB. Returns `docs`'
+    * id column + `sentiment`. Majority vote counts OCCURRENCES weighted by
+    * sign, same tri-state semantics as [[overallSentiment]].
+    */
+  def sentimentJoined(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lex: Lexicon): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexDf = broadcast(lex.scores.toSeq.toDF("word", "valence"))
+    docs
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("word"))
+      .join(lexDf, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("valence") > 0, 1)).as("p"),
+        count(when(col("valence") < 0, 1)).as("n"))
+      .select(
+        col(idCol),
+        when(col("p") > col("n"), "positive")
+          .when(col("n") > col("p"), "negative")
+          .otherwise("na").as("sentiment"))
   }
 
   /** Distinct word n-gram shingles, space-joined, for MinHash / Jaccard.

@@ -165,14 +165,23 @@ object Relational {
 
   /** q10: top-k per group via window + filter. */
   def topKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
-    val w = Window
-      .partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // bounded top-k aggregation, not a window: at most k rows leave each
+    // input partition per priority and nothing gets sorted (the window
+    // twin shuffles + sorts the whole table). Ranks come back from the
+    // buffer's insertion order via posexplode.
+    val topk = udaf(
+      new BoundedTopK[(Double, Long)](k)((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
     orders
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("w"))
+      .select(col("o_orderpriority"), posexplode(col("w")).as(Seq("pos", "x")))
       .select(
-        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).cast("int").as("rk"))
-      .filter(col("rk") <= k)
+        col("o_orderpriority"),
+        col("x._2").as("o_orderkey"),
+        col("x._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** q11: pivot — event_type × day count matrix (`tweets.py:64-77`'s wide
@@ -271,14 +280,26 @@ object Relational {
     * window-filter over the (small) aggregated set.
     */
   def ngramTopK(docs: DataFrame, k: Int = 5): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("df").desc, col("ngram"))
+    // df per (source, ngram) partial-aggregates map-side as usual; the
+    // per-source top-k is then a bounded aggregator — no per-source sort,
+    // at most k ngrams per source per partition on the second shuffle
+    val topk = udaf(
+      new BoundedTopK[(Long, String)](k)((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)),
+      org.apache.spark.sql.Encoders.product[(Long, String)])
     docs
       .select(col("source"),
         explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
       .groupBy("source", "ngram")
       .agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(w).cast("int"))
-      .filter(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(topk(col("df"), col("ngram")).as("w"))
+      .select(col("source"), posexplode(col("w")).as(Seq("pos", "x")))
+      .select(
+        col("source"),
+        col("x._2").as("ngram"),
+        col("x._1").as("df"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** q17: HLL++ approximate distinct — the scale path of q16 (one pass, no

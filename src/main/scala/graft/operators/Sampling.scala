@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -22,21 +21,43 @@ object Sampling {
   /** 64-bit multiplicative mix kept within Long range via modular
     * arithmetic that DuckDB reproduces exactly: (id * PRIME_A + PRIME_B)
     * mod 2^31-1. Positive, uniform enough for sampling.
+    *
+    * The id is reduced mod 2^31-1 BEFORE the multiply: (id mod M)·A ≡
+    * id·A (mod M), so the value is unchanged where the raw product fits,
+    * and for |id| > ~8.4e9 (xxhash-derived ids, high-partition
+    * monotonically_increasing_id) the raw product would overflow Long —
+    * ANSI Spark throws, DuckDB errors on BIGINT overflow — while the
+    * reduced form stays ≤ ~2^61 for the full 64-bit id space.
     */
   val HashMod: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
   val HashMulA: Long = 1103515245L
   val HashAddB: Long = 12345L
   def idHash(id: Column): Column =
-    pmod(id.cast("long") * HashMulA + HashAddB, lit(HashMod))
+    pmod(pmod(id.cast("long"), lit(HashMod)) * HashMulA + HashAddB, lit(HashMod))
 
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
-    * chosen by hash order with id tie-break.
+    * chosen by hash order with id tie-break. `idCol` must be unique.
+    *
+    * Scale shape: a bounded top-k aggregator picks the n winning
+    * (hash, id) keys per stratum — at most n keys leave each input
+    * partition per stratum, nothing is sorted — and a broadcast semi-join
+    * pulls the winners' full rows on a second scan. The windowed
+    * formulation (shuffle EVERY row wide, sort every stratum) is what this
+    * replaces; the sampled ids total strata × n, safely broadcastable.
     */
   def stratifiedN(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(idHash(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val topk = udaf(
+      new BoundedTopK[(Long, Long)](n)((a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+    val winners = df
+      .groupBy(col(strataCol))
+      .agg(topk(idHash(col(idCol)), col(idCol).cast("long")).as("w"))
+      .select(explode(col("w")).as("w"))
+      .select(col("w._2").as("__sample_id"))
+    df.join(
+      broadcast(winners),
+      col(idCol).cast("long") === col("__sample_id"), "left_semi")
   }
 
   /** Shuffle-free approximate fraction: keeps rows whose id-hash falls

@@ -132,5 +132,26 @@ class RelationalSpec extends SparkTestBase {
     assert(out == Set(
       ("P0", 1, 20L), ("P0", 2, 18L), ("P0", 3, 16L),
       ("P1", 1, 19L), ("P1", 2, 17L), ("P1", 3, 15L)))
+    // bounded aggregation, not a window: no per-group sort anywhere
+    val plan = Relational.topKPerGroup(orders, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-k must not window-sort:\n$plan")
+    assert(plan.contains("partial_boundedtopk"),
+      s"top-k must partial-aggregate map-side:\n$plan")
+  }
+
+  test("ngram top-k ranks by doc frequency with ngram tie-break, no window sort") {
+    val docs = Seq(
+      (1L, "srcA", "x y x y z q"), (2L, "srcA", "x y q r"),
+      (3L, "srcB", "a b a b")).toDF("doc_id", "source", "text")
+    val out = Relational.ngramTopK(docs, k = 2)
+      .select($"source", $"rk", $"ngram", $"df")
+      .as[(String, Int, String, Long)].collect().toSet
+    // srcA: "x y" df=2; ties at df=1 break alphabetically -> "q r"
+    assert(out == Set(
+      ("srcA", 1, "x y", 2L), ("srcA", 2, "q r", 1L),
+      ("srcB", 1, "a b", 1L), ("srcB", 2, "b a", 1L)))
+    val plan = Relational.ngramTopK(docs, k = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("partial_boundedtopk"))
   }
 }

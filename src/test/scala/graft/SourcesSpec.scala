@@ -114,6 +114,17 @@ class SourcesSpec extends SparkTestBase {
     assert(a.groupBy(_._2).forall(_._2.size == 3))
     val f = graft.operators.Sampling.hashFraction(df, "id", 0.2).count()
     assert(f > 50 && f < 150)            // ~100 expected
+    // winners come from a bounded aggregation + broadcast semi-join —
+    // never a full-width shuffle + per-stratum sort
+    val plan = graft.operators.Sampling.stratifiedN(df, "g", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sampling must not window-sort:\n$plan")
+    assert(plan.contains("partial_boundedtopk") && plan.contains("BroadcastHashJoin"),
+      s"expected bounded agg + broadcast semi-join:\n$plan")
+    // 64-bit id space: the hash must not overflow (ANSI would throw here)
+    val big = Seq((9007199254740993L, "s"), (8446744073709551615L % Long.MaxValue, "s"))
+      .toDF("id", "g")
+    assert(graft.operators.Sampling.stratifiedN(big, "g", "id", 1).count() == 1)
   }
 
   test("bucketed join plans with zero Exchange (co-located)") {

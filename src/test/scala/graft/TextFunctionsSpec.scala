@@ -23,6 +23,40 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[String](TextFunctions.overallSentiment(col("text")), "nothing here") == "na")
   }
 
+  test("lexicons are pluggable: AFINN-format load, both scoring paths agree") {
+    import graft.functions.Lexicon
+    // loader: tab format, comments, phrases, negative valences
+    val lex = Lexicon.fromResource("afinn-sample.txt")
+    assert(lex.size == 6)
+    assert(lex.scores("outstanding") == 5 && lex.scores("can't stand") == -3)
+    assert(lex.positive == Seq("breathtaking", "fast", "outstanding"))
+    assert(lex.negative == Seq("abandon", "can't stand", "slow"))
+    intercept[IllegalArgumentException](Lexicon.fromLines(Iterator("no tabs here")))
+
+    // a loaded lexicon changes scoring: "breathtaking" is unknown to Toy
+    assert(one[String](
+      TextFunctions.overallSentiment(col("text"), lex), "breathtaking stuff") == "positive")
+    assert(one[String](
+      TextFunctions.overallSentiment(col("text")), "breathtaking stuff") == "na")
+
+    // broadcast-join path (the big-lexicon shape) == column path, per doc
+    val docs = Seq(
+      (1L, "fast fast slow"), (2L, "slow big join"), (3L, "nothing here"),
+      (4L, ""), (5L, "abandon outstanding outstanding")).toDF("doc_id", "text")
+    for (l <- Seq(Lexicon.Toy, lex)) {
+      val colPath = docs.select($"doc_id",
+        TextFunctions.overallSentiment($"text", l).as("sentiment"))
+        .as[(Long, String)].collect().toMap
+      val joinPath = TextFunctions.sentimentJoined(docs, "doc_id", "text", l)
+        .as[(Long, String)].collect().toMap
+      assert(joinPath == colPath, s"paths diverge for lexicon of size ${l.size}")
+    }
+    // and the join path's plan actually broadcasts the lexicon
+    val plan = TextFunctions.sentimentJoined(docs, "doc_id", "text", lex)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("token counts: whitespace vs regex") {
     assert(one[Long](TextFunctions.tokenCount(col("text")), "a b c") == 3L)
     assert(one[Long](TextFunctions.regexTokenCount(col("text")), "ab12cd, x") == 5L)
