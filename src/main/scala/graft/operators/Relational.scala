@@ -323,17 +323,27 @@ object Relational {
     * here is the gate's reference, not the operator — the operator's
     * whole point at 100 TB is NOT computing it.
     */
-  def approxDistinctGate(lineitem: DataFrame, relErr: Double = 0.05): DataFrame =
-    lineitem
+  def approxDistinctGate(lineitem: DataFrame, relErr: Double = 0.05): DataFrame = {
+    // The sketch and the exact reference aggregate SEPARATELY and join on
+    // the (tiny) group key: mixing multi-column count_distinct (Expand ×2)
+    // with an HLL ImperativeAggregate in ONE aggregation forces every
+    // expanded row through a sort-based fallback — measured 24 s where the
+    // two-job formulation runs in ~2.5 s at sf0.1.
+    val exact = lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         count_distinct(col("l_partkey")).as("exact_parts"),
         count_distinct(col("l_orderkey")).as("exact_orders"),
-        count(lit(1)).as("n_rows"),
+        count(lit(1)).as("n_rows"))
+    val approx = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+    exact.join(approx, Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n_rows"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * relErr).as("parts_ok"),
         (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * relErr).as("orders_ok"))
+  }
 }
