@@ -48,6 +48,36 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("StreamLoad: finalized windows land in a JDBC warehouse exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{JdbcSink, SqlSink}
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:graft_stream;create=true")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.tumblingCounts(input.toDF().toDF("ts", "event_type", "value"))
+    JdbcSink.run(conn, Seq(SqlSink.createTableSql(
+      "windowed_counts", agg.schema, ifNotExists = false, varcharWidth = 64)))
+
+    var batches = Vector.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = graft.streaming.StreamLoad.toJdbc(
+      agg, "windowed_counts",
+      () => java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_stream"),
+      ckpt, onBatch = (id, n) => batches :+= (id, n))
+    try {
+      input.addData((t(5), "click", 1.0), (t(15), "click", 2.0), (t(65), "view", 3.0))
+      q.processAllAvailable()
+      input.addData((t(500), "view", 0.0)) // watermark passes the first windows
+      q.processAllAvailable()
+
+      val loaded = JdbcSink.queryLong(conn, "SELECT count(*) FROM windowed_counts")
+      assert(loaded == 2L, s"exactly the two finalized windows load, got $loaded")
+      assert(JdbcSink.queryLong(conn,
+        """SELECT "n_events" FROM windowed_counts WHERE "event_type" = 'click'""") == 2L)
+      assert(batches.map(_._2).sum == 2L) // observer saw the same rows
+    } finally { q.stop(); conn.close() }
+  }
+
   test("StreamDedup keeps first-seen per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
