@@ -264,7 +264,12 @@ object Dedup {
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+    // A small corpus parquet scan often lands in 1-2 partitions, which
+    // serializes the nested-loop join (the broadcast side streams through
+    // ONE task per streamed partition). Spread the streamed side over the
+    // available slots so the O(n²) scoring parallelizes.
+    val streamed = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    streamed.as("a").join(broadcast(e.as("b")), col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(graft.plans.VectorFunctions.cosineSimilarity(col("a.v"), col("b.v")), 4).as("cos"))
