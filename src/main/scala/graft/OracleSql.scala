@@ -319,6 +319,23 @@ object OracleSql {
         |    (a,b) -> (a*31+b) % 1000000007) fp
         |FROM documents""".stripMargin,
 
+    // Connected components of the near-dup pair graph: the same min-label
+    // fixpoint the Spark loop computes, as a recursive CTE. Propagating
+    // only labels below the receiving id is safe: every node's final label
+    // is its component minimum, which is below every other member's id and
+    // is seeded at its own node by the anchor term.
+    "q34_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |  pr AS (SELECT * FROM ($jaccardPairs) q),
+         |  edges AS (SELECT id_a a, id_b b FROM pr
+         |            UNION ALL SELECT id_b, id_a FROM pr),
+         |  cc(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b
+         |  )
+         |SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
+
     "q35_stratified_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source

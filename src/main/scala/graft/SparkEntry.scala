@@ -119,6 +119,14 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    // pairs -> droppable clusters: components of the minhash near-dup graph
+    "q34_neardup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponents(
+        Dedup.minHashPairs(docs, "doc_id", "text"), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     "q35_stratified_sample" -> ((s, dir) =>
       operators.Sampling.stratifiedN(
         Tables.documents(s, dir).select("doc_id", "source", "lang"),

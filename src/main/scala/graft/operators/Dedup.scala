@@ -314,6 +314,74 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS (q21/q22/q23/q24b) into droppable CLUSTERS: a
+    * training-data pipeline keeps one canonical document per component,
+    * not one per pair (pairs (a,b),(b,c) must drop b AND c, which no
+    * per-pair rule gets right).
+    *
+    * Iterative min-label propagation, all DataFrame ops: every node starts
+    * labeled with its own id; each round pulls the min label across edges;
+    * fixpoint = every node labeled with its component's min id (the same
+    * fixpoint the oracle's recursive SQL CTE computes). `localCheckpoint`
+    * cuts the growing lineage each round; convergence is label-change
+    * count == 0 (labels only decrease, so one filtered join detects it).
+    *
+    * Scale: O(|E|) shuffle per round for `diameter` rounds. Near-dup
+    * graphs are dense clumps with tiny diameter (2–3 rounds); for
+    * adversarial long-chain graphs the alternating large-star/small-star
+    * algorithm (O(log n) rounds) is the documented upgrade path. Throws
+    * if `maxIter` rounds don't converge rather than returning wrong labels.
+    * Returns (id, component).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val pulled = edges
+        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").as("id"), col("lbl"))
+      val next = labels.union(pulled)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") < col("prev"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds " +
+      "(graph diameter exceeds the budget - raise maxIter or use " +
+      "alternating-star for chain-like graphs)")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** The corpus with near-duplicate clusters collapsed to their canonical
+    * (min-id) member: docs in no pair survive untouched; of each
+    * component only the min id survives. The companion of
+    * [[exactSurvivors]] for the approximate pipelines.
+    */
+  def nearDupSurvivors(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Driver-checkable gate for [[embeddingNearDupLshPairs]]: a one-row
     * result an exact-SQL oracle can reproduce. The full-corpus LSH pairs
     * are measured against an EXACT brute-force reference restricted to the

@@ -163,6 +163,46 @@ class DedupSpec extends SparkTestBase {
     assert(gate == ((brute.size.toLong, true, 0L)))
   }
 
+  test("connected components match a union-find reference on a random graph") {
+    val rnd = new Random(31)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+      .map { case (id, root) => // canonical = min member id of the component
+        id -> parent.keys.filter(find(_) == find(id)).min
+      }
+    val got = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("components converge on a chain (diameter-bound) and survivors keep one per cluster") {
+    // a 30-long chain: the worst case for label propagation (min travels
+    // one hop per round) - must still converge within the default budget
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 31 && comp.values.forall(_ == 0L))
+
+    // survivors: two clusters {1,2,3} and {10,11}, plus untouched 50
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 50L))
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
