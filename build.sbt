@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through VERBATIM instead of routing it
+// via sbt's logger: the logger prefixes every line with [info], which
+// breaks line-oriented parsers of Bench's JSON output (BENCH_r02 was
+// unparseable for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
