@@ -326,8 +326,8 @@ object OracleSql {
     // is seeded at its own node by the anchor term.
     "q34_neardup_clusters" ->
       s"""WITH RECURSIVE
-         |  pr AS (SELECT * FROM ($jaccardPairs) q),
-         |  edges AS (SELECT id_a a, id_b b FROM pr
+         |  pr AS MATERIALIZED (SELECT * FROM ($jaccardPairs) q),
+         |  edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
          |            UNION ALL SELECT id_b, id_a FROM pr),
          |  cc(id, lbl) AS (
          |    SELECT a, a FROM edges
