@@ -320,19 +320,22 @@ object Dedup {
     * not one per pair (pairs (a,b),(b,c) must drop b AND c, which no
     * per-pair rule gets right).
     *
-    * Iterative min-label propagation, all DataFrame ops: every node starts
-    * labeled with its own id; each round pulls the min label across edges;
-    * fixpoint = every node labeled with its component's min id (the same
-    * fixpoint the oracle's recursive SQL CTE computes). `localCheckpoint`
-    * cuts the growing lineage each round; convergence is label-change
-    * count == 0 (labels only decrease, so one filtered join detects it).
+    * Iterative min-label propagation WITH pointer jumping, all DataFrame
+    * ops: every node starts labeled with its own id; each round (1) pulls
+    * the min label across edges, then (2) follows its label's own label
+    * (`lbl ← lbl(lbl)`, path doubling — a label is always a node id, so
+    * the lookup is a self-join on the label table). Fixpoint = every node
+    * labeled with its component's min id (the same fixpoint the oracle's
+    * recursive SQL CTE computes). `localCheckpoint` cuts the growing
+    * lineage each round; convergence is label-change count == 0 (labels
+    * only decrease, so one filtered join detects it).
     *
-    * Scale: O(|E|) shuffle per round for `diameter` rounds. Near-dup
-    * graphs are dense clumps with tiny diameter (2–3 rounds); for
-    * adversarial long-chain graphs the alternating large-star/small-star
-    * algorithm (O(log n) rounds) is the documented upgrade path. Throws
-    * if `maxIter` rounds don't converge rather than returning wrong labels.
-    * Returns (id, component).
+    * Scale: O(|E| + |V|) shuffle per round for O(log diameter) rounds —
+    * the edge step moves information one hop, the jump step doubles the
+    * distance already covered, so a 100-long chain converges in ~8 rounds
+    * where plain propagation needs 100. Near-dup graphs (dense clumps)
+    * converge in 2–3 either way. Throws if `maxIter` rounds don't
+    * converge rather than returning wrong labels. Returns (id, component).
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
@@ -351,8 +354,17 @@ object Dedup {
       val pulled = edges
         .join(labels.withColumnRenamed("id", "a"), Seq("a"))
         .select(col("b").as("id"), col("lbl"))
-      val next = labels.union(pulled)
+      val relaxed = labels.union(pulled)
         .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // pointer jump: lbl ← min(lbl, lbl(lbl)) — path doubling. toDF gives
+      // the lookup side fresh attribute ids (self-join disambiguation).
+      val parents = relaxed.toDF("p_id", "p_lbl")
+      val next = relaxed
+        .join(parents, col("lbl") === col("p_id"), "left")
+        .select(
+          col("id"),
+          least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val changed = next
         .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
@@ -363,8 +375,8 @@ object Dedup {
       i += 1
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds " +
-      "(graph diameter exceeds the budget - raise maxIter or use " +
-      "alternating-star for chain-like graphs)")
+      "(raise maxIter - with pointer jumping this needs a graph of " +
+      "diameter ~2^" + maxIter + ")")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -187,13 +187,14 @@ class DedupSpec extends SparkTestBase {
     assert(got == expected)
   }
 
-  test("components converge on a chain (diameter-bound) and survivors keep one per cluster") {
-    // a 30-long chain: the worst case for label propagation (min travels
-    // one hop per round) - must still converge within the default budget
-    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("components converge on a long chain (pointer jumping) and survivors keep one per cluster") {
+    // a 200-long chain: plain one-hop propagation needs 200 rounds, far
+    // over the 50-round budget - converging at all proves the pointer
+    // jump's path doubling works (log2(200) ~ 8 rounds)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(comp.size == 31 && comp.values.forall(_ == 0L))
+    assert(comp.size == 201 && comp.values.forall(_ == 0L))
 
     // survivors: two clusters {1,2,3} and {10,11}, plus untouched 50
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
