@@ -35,6 +35,18 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Stream–static enrichment: join live events against a static (slowly
+    * changing) dimension, broadcast so each micro-batch is a map-side
+    * hash join — no shuffle, no stream state. The streaming twin of the
+    * reference's date-keyed analysis join (R14: markets ⋈ sentiment);
+    * at scale the dimension is the small side by construction, and a
+    * dimension refresh is a restart with a new snapshot (the standard
+    * stream–static contract: the static side is read per micro-batch
+    * plan, not checkpointed).
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming twin of q03's sentiment summary (the reference's daily
     * tweets-sentiment batch, `tweets.py:62-77`, as a live windowed stream):
     * ts + text → per-window tri-state sentiment counts, one wide row per

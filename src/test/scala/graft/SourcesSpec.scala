@@ -104,6 +104,39 @@ class SourcesSpec extends SparkTestBase {
       Set((1L, "alpha", 2.5), (2L, "beta", 7.0)))
   }
 
+  test("OrcSource: round-trip, pushdown reaches the ORC scan, daily layout prunes") {
+    import graft.sources.OrcSource
+    val dir = tmpDir()
+    val df = (1L to 100L).map(i =>
+      (i, s"name$i", java.sql.Timestamp.valueOf(f"2021-03-${i % 3 + 1}%02d 10:00:00")))
+      .toDF("id", "name", "ts")
+    OrcSource.write(df, s"$dir/flat")
+    val back = OrcSource.read(spark, s"$dir/flat")
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.toSet == Set("id", "name", "ts"))
+
+    // predicate pushdown + column pruning reach the ORC scan like parquet
+    val q = back.filter($"id" === 7L).select("name")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id,7)"))
+    assert(scan.requiredSchema.fieldNames.toSet == Set("id", "name"))
+
+    // same y/m/d layout contract as PartitionedParquet: day filter prunes
+    OrcSource.writeDaily(df, "ts", s"$dir/daily")
+    val day = OrcSource.read(spark, s"$dir/daily").filter($"day" === 2)
+    assert(day.count() == df.filter(dayofmonth($"ts") === 2).count())
+    assert(day.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // executed-scan metric: only day=2's files were read, not the table's
+    val dayScan = day.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val total = OrcSource.read(spark, s"$dir/daily").inputFiles.length
+    assert(dayScan.metrics("numFiles").value < total,
+      s"pruned scan read ${dayScan.metrics("numFiles").value} of $total files")
+  }
+
   test("deterministic sampling: same rows every run, bounded per stratum") {
     val df = (0L until 500L).map(i => (i, s"s${i % 7}")).toDF("id", "g")
     val a = graft.operators.Sampling.stratifiedN(df, "g", "id", 3)

@@ -78,6 +78,28 @@ class StreamingSpec extends SparkTestBase {
     } finally { q.stop(); conn.close() }
   }
 
+  test("stream-static enrichment broadcasts the dimension, no stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStream.enriched(
+      input.toDF().toDF("ts", "event_type"), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((t(1), "click"), (t(2), "view"), (t(3), "error"))
+      q.processAllAvailable()
+      val got = spark.table("enriched_test")
+        .select($"event_type", $"weight").as[(String, Option[Double])]
+        .collect().toSet
+      assert(got == Set(
+        ("click", Some(1.5)), ("view", Some(0.5)), ("error", None)))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "a stream-static join must hold NO streaming state")
+    } finally q.stop()
+  }
+
   test("StreamDedup keeps first-seen per digest within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
