@@ -204,6 +204,13 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 50L))
   }
 
+  test("components of an empty pair set: empty result, survivors keep everything") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.nearDupSurvivors(docs, "doc_id", empty).count() == 2)
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
