@@ -3,7 +3,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default to the machine: local[4] on a 32-thread box leaves 8x
+    // parallelism unused (the driver contract says local[32])
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString).toInt
     // The tuned session (AQE, skew-join, broadcast threshold, Kryo) — the
     // same knobs the library recommends for a real cluster.
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
