@@ -25,12 +25,38 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash+LSH pairs equal brute-force jaccard pairs on the seeded corpus") {
-    val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text")
+    val brute = Dedup.ngramJaccardPairsNaive(corpus, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minHashPairs(corpus, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty, "corpus must contain near-dup pairs for this test to bite")
     assert(lsh == brute)
+  }
+
+  test("prefix-filtered jaccard equals all-pairs, including on boilerplate-heavy text") {
+    // the adversarial input for an inverted index: a stop-shingle in every
+    // doc. Prefix filtering must still find exactly the true pairs while
+    // (by construction) mostly not indexing the hot shingle.
+    val rnd = new Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val boiler = "click here to subscribe now" // shared by every doc
+    val base = (0 until 30).map { i =>
+      (i.toLong, boiler + " " + Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = base.collect { case (i, t) if i % 4 == 0 =>
+      (200L + i, t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val noisy = (base ++ dups).toDF("doc_id", "text")
+    for (c <- Seq(corpus, noisy); t <- Seq(0.5, 0.7, 0.9)) {
+      val naive = Dedup.ngramJaccardPairsNaive(c, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(c, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == naive, s"prefix filter diverged at t=$t")
+      val fullIndex = Dedup.ngramJaccardPairs(c, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fullIndex == naive, s"full index diverged at t=$t")
+    }
   }
 
   test("simhash chunk blocking finds exactly the brute-force hamming<=3 pairs") {

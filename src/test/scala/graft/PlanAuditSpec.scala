@@ -87,6 +87,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered jaccard: index shuffles are scalar-only") {
+    audited {
+      val df = graft.operators.Dedup.ngramJaccardPairsPrefix(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text")
+      // shuffles carrying an exploded shingle (df count, prefix window,
+      // index equi-join) must be scalar-only; the id-keyed VERIFY join
+      // legitimately ships each candidate's shingle set once
+      val indexShuffles = shuffles(df).filter(_.child.output.exists(_.name == "s"))
+      assert(indexShuffles.nonEmpty)
+      indexShuffles.foreach { s =>
+        val arrays = s.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"shingle arrays must explode BEFORE the index shuffles, found: $arrays")
+      }
+    }
+  }
+
   test("q22 simhash: blocking-key shuffles carry (id, sim, bk) fixed-width rows") {
     audited {
       val df = SparkEntry.queries("q22_dedup_simhash")(spark, dir)
