@@ -47,4 +47,29 @@ class RobustnessSpec extends SparkTestBase {
     // counted columns must still sum to the non-null docs
     assert(row.getAs[Long]("na_count") >= 2)
   }
+
+  test("round-3 additions tolerate null/empty/degenerate inputs") {
+    // broadcast-join sentiment: null text explodes to a null token row,
+    // which matches no lexicon word -> "na", never a crash or a lost doc
+    val joined = TextFunctions.sentimentJoined(
+      messy, "doc_id", "text", graft.functions.Lexicon.Toy)
+      .as[(Long, String)].collect().toMap
+    assert(joined.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(joined(2L) == "na" && joined(3L) == "na")
+
+    // prefix-filtered jaccard: same messy tolerance as the full index
+    assert(Dedup.ngramJaccardPairsPrefix(messy, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet == Set((1L, 5L, 1.0)))
+
+    // components over pairs with self-loops and duplicates: ignored cleanly
+    val weird = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(weird, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L))
+
+    // LSH embedding near-dup on an empty table: empty, no crash
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    assert(Dedup.embeddingNearDupLshPairs(noVecs, "vec_id", "embedding", 0.5).count() == 0)
+  }
 }
