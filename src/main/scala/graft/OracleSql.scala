@@ -351,6 +351,16 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, ngram) AS INT) rk
         |FROM f QUALIFY rk <= 5""".stripMargin,
 
+    // Exact percentiles recomputed (quantile_cont = Spark's percentile:
+    // linear interpolation at p*(n-1)); the sketch bools must be TRUE.
+    "q37_quality_percentiles" ->
+      """SELECT source, count(*) n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 4) p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) p90_chars,
+        |  round(quantile_cont(n_chars, 0.99), 4) p99_chars,
+        |  TRUE sk50_ok, TRUE sk90_ok, TRUE sk99_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
     // octet_length(encode(..)), not length(..): the Spark side measures
     // UTF-8 payload BYTES; character count would diverge on non-ASCII text
     "q40_multimodal_meta" ->

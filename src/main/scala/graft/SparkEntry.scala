@@ -134,6 +134,10 @@ object SparkEntry {
 
     "q36_ngram_topk" -> ((s, dir) => Relational.ngramTopK(Tables.documents(s, dir))),
 
+    // self-gating: exact percentiles (oracle-recomputed) + sketch-in-window bools
+    "q37_quality_percentiles" -> ((s, dir) =>
+      Relational.qualityPercentilesGate(Tables.documents(s, dir))),
+
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
   )

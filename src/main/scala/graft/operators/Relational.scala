@@ -314,6 +314,39 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         count(lit(1)).as("n_rows"))
 
+  /** q37: per-source corpus quality profile — exact percentiles of the
+    * document-length distribution (the stats a training-data pipeline
+    * tracks to spot source drift), PLUS the sketch twin gated in-query:
+    * `approx_percentile` (the one-pass mergeable scale path — exact
+    * `percentile` buffers each group's values) must land inside the
+    * exact [p−0.08, min(p+0.08, 1)] quantile window. The window is
+    * quantile-based because the sketch's error contract is on RANK, not
+    * value, and the sketch returns an element where exact interpolates —
+    * ±0.08 is ≥ 2 ranks at the driver's smallest per-source group (25
+    * docs), covering both effects, while a sketch off by more than 8
+    * percentile ranks fails. Gate needs ≥ ~15 rows per group to be
+    * meaningful (below that the window rounds to < 1 element).
+    */
+  def qualityPercentilesGate(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        round(expr("percentile(n_chars, 0.99)"), 4).as("p99_chars"),
+        expr("percentile(n_chars, array(0.42, 0.58, 0.82, 0.98, 0.91, 1.0))").as("bounds"),
+        expr("approx_percentile(n_chars, array(0.5, 0.9, 0.99), 1000)").as("sk"))
+      .select(
+        col("source"), col("n_docs"),
+        col("p50_chars"), col("p90_chars"), col("p99_chars"),
+        col("sk").getItem(0).between(col("bounds").getItem(0), col("bounds").getItem(1))
+          .as("sk50_ok"),
+        col("sk").getItem(1).between(col("bounds").getItem(2), col("bounds").getItem(3))
+          .as("sk90_ok"),
+        col("sk").getItem(2).between(col("bounds").getItem(4), col("bounds").getItem(5))
+          .as("sk99_ok"))
+
   /** Driver-checkable gate for [[approxDistinct]]: the HLL++ estimate is
     * engine-specific, but |estimate − exact| / exact ≤ `relErr` is not —
     * an exact-SQL oracle recomputes the exact counts and asserts the
