@@ -78,6 +78,39 @@ class StreamingSpec extends SparkTestBase {
     } finally { q.stop(); conn.close() }
   }
 
+  test("StreamLoad restart from checkpoint: committed windows are not re-loaded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{JdbcSink, SqlSink}
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:graft_restart;create=true")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    def agg = EventStream.tumblingCounts(input.toDF().toDF("ts", "event_type", "value"))
+    JdbcSink.run(conn, Seq(SqlSink.createTableSql(
+      "restart_counts", agg.schema, ifNotExists = false, varcharWidth = 64)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    def connect() = java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_restart")
+
+    val q1 = graft.streaming.StreamLoad.toJdbc(agg, "restart_counts", connect _, ckpt)
+    try {
+      input.addData((t(5), "click", 1.0), (t(300), "view", 0.0))
+      q1.processAllAvailable() // finalizes + loads the 00:00 click window
+      assert(JdbcSink.queryLong(conn, "SELECT count(*) FROM restart_counts") == 1L)
+    } finally q1.stop()
+
+    // restart against the SAME checkpoint: the committed batch must not
+    // replay; only windows finalized by new data load
+    val q2 = graft.streaming.StreamLoad.toJdbc(agg, "restart_counts", connect _, ckpt)
+    try {
+      input.addData((t(700), "view", 0.0)) // watermark passes 05:00's window
+      q2.processAllAvailable()
+      val n = JdbcSink.queryLong(conn, "SELECT count(*) FROM restart_counts")
+      assert(n == 2L, s"expected the click window once + the 05:00 view window, got $n rows")
+      assert(JdbcSink.queryLong(conn,
+        """SELECT count(*) FROM restart_counts WHERE "event_type" = 'click'""") == 1L,
+        "restart must not re-load the already-committed window")
+    } finally { q2.stop(); conn.close() }
+  }
+
   test("stream-static enrichment broadcasts the dimension, no stream state") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
