@@ -215,6 +215,29 @@ object OracleSql {
         |  TRUE parts_ok, TRUE orders_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // GROUPING(a, b)'s bitmask (first arg = MSB) matches Spark's
+    // grouping_id() bit order, so the gid column compares directly.
+    "q18_cube_grouping" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') pri,
+        |  CAST(coalesce(year(o_orderdate), -1) AS INT) y,
+        |  CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS INT) gid,
+        |  count(*) n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, year(o_orderdate))""".stripMargin,
+
+    "q19_set_ops" ->
+      """WITH early AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) < 1998),
+        |late AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1998)
+        |SELECT 'both_eras' kind, o_custkey
+        |  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+        |UNION ALL
+        |SELECT 'early_only' kind, o_custkey
+        |  FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+        |UNION ALL
+        |SELECT 'late_only' kind, o_custkey
+        |  FROM (SELECT * FROM late EXCEPT SELECT * FROM early)""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT min(doc_id) doc_id, count(*) n_copies FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
@@ -350,6 +373,50 @@ object OracleSql {
         |SELECT source, ngram, df,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY df DESC, ngram) AS INT) rk
         |FROM f QUALIFY rk <= 5""".stripMargin,
+
+    // Gopher repetition signals: same token/bigram counting as
+    // Repetition.signals (bigrams keep duplicates — repetition IS the
+    // signal). Single-token docs have no bigrams → LEFT JOIN + 0.
+    "q38_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) tok FROM t),
+        |wc AS (SELECT doc_id, tok, count(*) c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, count(*) d, max(c) topc
+        |  FROM wc GROUP BY 1),
+        |b AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |  for i in range(1, len(toks))]) g FROM t),
+        |bc AS (SELECT doc_id, g, count(*) c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) nb, max(c) topb FROM bc GROUP BY 1)
+        |SELECT wa.doc_id, n n_tokens,
+        |  round(1.0 - d / n::DOUBLE, 6) dup_word_frac,
+        |  round(topc / n::DOUBLE, 6) top_word_frac,
+        |  round(coalesce(topb / nb::DOUBLE, 0.0), 6) top_bigram_frac
+        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin,
+
+    // Same injected spans, same Java/RE2-common patterns (interpolated
+    // from TextFunctions so the engines can't drift).
+    "q39_pii_scrub" ->
+      s"""WITH i AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 2 = 0
+         |    THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 3 > 0
+         |    THEN ' see https://ex' || (doc_id % 5) || '.example.org/a_b-c' ELSE '' END t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${TextFunctions.EmailRe}'))::BIGINT n_emails,
+         |  len(regexp_extract_all(t, '${TextFunctions.UrlRe}'))::BIGINT n_urls,
+         |  regexp_replace(regexp_replace(t, '${TextFunctions.UrlRe}', '<URL>', 'g'),
+         |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') scrubbed
+         |FROM i""".stripMargin,
+
+    // The salted join must be value-identical to the plain equi-join.
+    "q41_skew_salted_join" ->
+      """SELECT s_nationkey,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) revenue,
+        |  count(*) n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     // Exact percentiles recomputed (quantile_cont = Spark's percentile:
     // linear interpolation at p*(n-1)); the sketch bools must be TRUE.

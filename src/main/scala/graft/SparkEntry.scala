@@ -40,6 +40,8 @@ object SparkEntry {
     "q16_distinct_agg" -> ((s, dir) => Relational.distinctAgg(Tables.lineitem(s, dir))),
     // self-gating: emits exact counts (oracle-recomputed) + in-bound bools
     "q17_approx_distinct" -> ((s, dir) => Relational.approxDistinctGate(Tables.lineitem(s, dir))),
+    "q18_cube_grouping" -> ((s, dir) => Relational.cubeOrders(Tables.orders(s, dir))),
+    "q19_set_ops" -> ((s, dir) => Relational.setOps(Tables.orders(s, dir))),
 
     "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
     "q21_dedup_minhash" -> ((s, dir) =>
@@ -133,6 +135,44 @@ object SparkEntry {
         "source", "doc_id", n = 5)),
 
     "q36_ngram_topk" -> ((s, dir) => Relational.ngramTopK(Tables.documents(s, dir))),
+
+    // Gopher-style repetition quality signals over the document corpus
+    "q38_repetition_signals" -> ((s, dir) =>
+      operators.Repetition.signals(Tables.documents(s, dir), "doc_id", "text")),
+
+    // C4-style PII scrub. The synthetic corpus contains no PII, so the
+    // query injects deterministic email/URL spans (keyed on doc_id, same
+    // expression in the oracle) — the operator under test is the regex
+    // count + redact pass, which must find exactly the injected spans.
+    "q39_pii_scrub" -> ((s, dir) => {
+      val injected = concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) > 0,
+          concat(lit(" see https://ex"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".example.org/a_b-c"))).otherwise(lit("")))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.emailCount(injected).as("n_emails"),
+        TextFunctions.urlCount(injected).as("n_urls"),
+        TextFunctions.scrubPii(injected).as("scrubbed"))
+    }),
+
+    // salted join: result must be identical to the plain equi-join
+    "q41_skew_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount").cast("decimal(12,2)"))
+      operators.Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          round(sum(revenue).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
 
     // self-gating: exact percentiles (oracle-recomputed) + sketch-in-window bools
     "q37_quality_percentiles" -> ((s, dir) =>

@@ -156,6 +156,31 @@ object TextFunctions {
   def langId(text: Column): Column =
     when(lexiconCount(text, stopWords) > 0, "en").otherwise("und")
 
+  /** PII scrubbing patterns. Kept to syntax valid in BOTH Java regex and
+    * RE2 (no backrefs, no lookaround) so the DuckDB oracle runs the exact
+    * same pattern — and so the operator stays inside whole-stage codegen
+    * (`regexp_replace` is a native codegen'd expression; a UDF would not
+    * be).
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe: String = "https?://[A-Za-z0-9._/-]+"
+
+  /** Count of email-shaped / URL-shaped spans in `text`. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)).cast("long")
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(UrlRe)).cast("long")
+
+  /** Replace every email / URL span with a redaction token — the C4-style
+    * cleanup pass a training-data pipeline runs before tokenization. URL
+    * first: neither pattern can match inside the other's replacement
+    * token, and emails never contain `://`, so the order is total.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>")
+
   /** Polynomial rolling-hash fingerprint over characters:
     * h = (h * 31 + codepoint) mod 1e9+7. Codegen-friendly (aggregate over
     * a char array) and exactly reproducible in ANSI SQL.

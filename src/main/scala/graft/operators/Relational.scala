@@ -262,6 +262,50 @@ object Relational {
     withOrders.unionAll(noOrders)
   }
 
+  /** q18: multi-dimensional cube aggregate with grouping_id — the
+    * generalization of q14's rollup to every (priority × year) subtotal
+    * combination in ONE pass. Catalyst expands each input row ×4 before
+    * the partial aggregate, so the shuffle still carries only
+    * (group, partial agg) rows — no per-grouping-set rescan, which is the
+    * property that matters at 100 TB (a UNION ALL of 4 separate GROUP BYs
+    * reads the fact table 4 times).
+    *
+    * `grouping_id()`'s bit order (first cube column = most significant
+    * bit) matches ANSI `GROUPING(a, b)`, so the oracle compares it
+    * directly.
+    */
+  def cubeOrders(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        col("o_totalprice"))
+      .cube(col("o_orderpriority"), col("y"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(decSum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        coalesce(col("y"), lit(-1)).as("y"),
+        col("gid"), col("n_orders"), col("total_price"))
+
+  /** q19: set operators with ANSI bag/set semantics — INTERSECT,
+    * EXCEPT (both directions) over the customer sets of two order eras,
+    * tagged and unioned into one result. Spark plans these as left-semi /
+    * left-anti joins over distinct keys: only the (custkey) column ever
+    * shuffles, never order payloads.
+    */
+  def setOps(orders: DataFrame, splitYear: Int = 1998): DataFrame = {
+    val early = orders
+      .filter(year(col("o_orderdate")) < splitYear).select(col("o_custkey"))
+    val late = orders
+      .filter(year(col("o_orderdate")) >= splitYear).select(col("o_custkey"))
+    early.intersect(late).select(lit("both_eras").as("kind"), col("o_custkey"))
+      .unionAll(early.except(late).select(lit("early_only").as("kind"), col("o_custkey")))
+      .unionAll(late.except(early).select(lit("late_only").as("kind"), col("o_custkey")))
+  }
+
   /** q16: exact distinct aggregates. */
   def distinctAgg(lineitem: DataFrame): DataFrame =
     lineitem

@@ -154,4 +154,35 @@ class RelationalSpec extends SparkTestBase {
     val plan = Relational.ngramTopK(docs, k = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && plan.contains("partial_boundedtopk"))
   }
+
+  test("cube emits leaf/subtotal/total rows with the ANSI grouping_id bitmask") {
+    val orders = Seq(
+      ("HIGH", "1997-03-01", 10.0), ("HIGH", "1998-05-01", 20.0),
+      ("LOW", "1997-07-01", 5.0))
+      .toDF("o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", $"d".cast("timestamp"))
+    val out = Relational.cubeOrders(orders)
+      .select($"pri", $"y", $"gid", $"n_orders", $"total_price")
+      .as[(String, Int, Int, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("HIGH", 1997, 0, 1L, 10.0), ("HIGH", 1998, 0, 1L, 20.0),
+      ("LOW", 1997, 0, 1L, 5.0),
+      ("HIGH", -1, 1, 2L, 30.0), ("LOW", -1, 1, 1L, 5.0), // year rolled up
+      ("ALL", 1997, 2, 2L, 15.0), ("ALL", 1998, 2, 1L, 20.0), // pri rolled up
+      ("ALL", -1, 3, 3L, 35.0))) // grand total
+  }
+
+  test("set ops: intersect/except tags partition the distinct key space") {
+    val orders = Seq(
+      (1L, "1997-01-01"), (1L, "1998-01-01"), // both eras
+      (2L, "1996-06-01"), (2L, "1997-06-01"), // early only (dup within era)
+      (3L, "1999-01-01")) // late only
+      .toDF("o_custkey", "d")
+      .withColumn("o_orderdate", $"d".cast("timestamp"))
+    val out = Relational.setOps(orders)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("both_eras", 1L), ("early_only", 2L), ("late_only", 3L)))
+    // set semantics: the era-internal duplicate of custkey 2 collapsed
+    assert(Relational.setOps(orders).count() == 3)
+  }
 }

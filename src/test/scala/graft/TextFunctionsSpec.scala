@@ -16,6 +16,20 @@ class TextFunctionsSpec extends SparkTestBase {
       assert(one[Long](TextFunctions.fingerprint(col("text")), s) == ref(s), s"text=$s")
   }
 
+  test("PII scrub redacts emails and URLs and counts each span") {
+    val cases = Seq(
+      ("mail bob.smith+x@sub.example.co.uk end", "mail <EMAIL> end", 1L, 0L),
+      ("go to https://a.example.org/p_q-r/x.html now", "go to <URL> now", 0L, 1L),
+      ("u@a.io and http://b.io/z", "<EMAIL> and <URL>", 1L, 1L),
+      ("no pii at all", "no pii at all", 0L, 0L),
+      ("two u@a.io v@b.io", "two <EMAIL> <EMAIL>", 2L, 0L))
+    for ((in, want, ne, nu) <- cases) {
+      assert(one[String](TextFunctions.scrubPii(col("text")), in) == want, s"in=$in")
+      assert(one[Long](TextFunctions.emailCount(col("text")), in) == ne, s"in=$in")
+      assert(one[Long](TextFunctions.urlCount(col("text")), in) == nu, s"in=$in")
+    }
+  }
+
   test("sentiment majority vote is tri-state") {
     assert(one[String](TextFunctions.overallSentiment(col("text")), "fast fast slow") == "positive")
     assert(one[String](TextFunctions.overallSentiment(col("text")), "slow big fast") == "negative")
