@@ -47,6 +47,37 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream–stream interval join: each purchase matched to the same
+    * user's clicks in the `lookback` window before it (the attribution
+    * join; q28's as-of shape made continuous). Expected schemas:
+    * purchases(p_user, p_id, p_ts), clicks(c_user, c_id, c_ts).
+    *
+    * Both sides carry a watermark and the join predicate bounds c_ts to
+    * [p_ts − lookback, p_ts], so each side's join state is dropped once
+    * the other side's watermark passes the interval — state is
+    * O(rate × (delay + lookback)) regardless of stream length. Without
+    * the time bound Spark would (correctly) keep both streams' state
+    * forever; the interval is what makes the operator runnable at scale.
+    */
+  def intervalJoin(
+      purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val p =
+      if (purchases.isStreaming) purchases.withWatermark("p_ts", watermarkDelay)
+      else purchases
+    val c =
+      if (clicks.isStreaming) clicks.withWatermark("c_ts", watermarkDelay) else clicks
+    p.join(
+        c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"interval $lookback") &&
+          col("c_ts") <= col("p_ts"))
+      .select(
+        col("p_user").as("user_id"),
+        col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Streaming twin of q03's sentiment summary (the reference's daily
     * tweets-sentiment batch, `tweets.py:62-77`, as a live windowed stream):
     * ts + text → per-window tri-state sentiment counts, one wide row per

@@ -111,6 +111,40 @@ class StreamingSpec extends SparkTestBase {
     } finally { q2.stop(); conn.close() }
   }
 
+  test("stream-stream interval join attributes purchases to lookback clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+
+    val q = EventStream.intervalJoin(
+        purchases.toDF().toDF("p_user", "p_id", "p_ts"),
+        clicks.toDF().toDF("c_user", "c_id", "c_ts"))
+      .writeStream.format("memory").queryName("attrib_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicks.addData(
+        (1L, 100L, t(20)), // outside the 30 min lookback of the t(60) purchase
+        (1L, 101L, t(40)), (1L, 102L, t(55)), // inside
+        (2L, 200L, t(50))) // wrong user
+      purchases.addData((1L, 900L, t(60)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_test")
+        .select($"user_id", $"p_id", $"c_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 900L, 101L), (1L, 900L, 102L)))
+    } finally q.stop()
+
+    // batch twin over the same rows: identical matches
+    val batch = EventStream.intervalJoin(
+        Seq((1L, 900L, t(60))).toDF("p_user", "p_id", "p_ts"),
+        Seq((1L, 100L, t(20)), (1L, 101L, t(40)), (1L, 102L, t(55)),
+          (2L, 200L, t(50))).toDF("c_user", "c_id", "c_ts"))
+      .select($"user_id", $"p_id", $"c_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 900L, 101L), (1L, 900L, 102L)))
+  }
+
   test("stream-static enrichment broadcasts the dimension, no stream state") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
