@@ -409,6 +409,32 @@ object OracleSql {
          |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') scrubbed
          |FROM i""".stripMargin,
 
+    // Same smoothed idf and the same 6-dp rounding BEFORE ranking, so the
+    // (tfidf DESC, term) order is computed over identical values.
+    "q42_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |  round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) rk
+        |FROM s QUALIFY rk <= 3""".stripMargin,
+
+    // float -> double -> decimal in both engines; the decimal sum is
+    // order-independent, so the centroid compares exactly.
+    "q43_class_centroids" ->
+      """WITH f AS (SELECT label, generate_subscripts(embedding, 1) dim,
+        |  unnest(embedding) v FROM embeddings)
+        |SELECT label, CAST(dim AS INT) dim,
+        |  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+        |    / count(*), 6) centroid,
+        |  count(*) n_vectors
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
     // The salted join must be value-identical to the plain equi-join.
     "q41_skew_salted_join" ->
       """SELECT s_nationkey,

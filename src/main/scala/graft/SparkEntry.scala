@@ -160,6 +160,13 @@ object SparkEntry {
         TextFunctions.scrubPii(injected).as("scrubbed"))
     }),
 
+    // top-k TF-IDF terms per document (bounded aggregator, no vocab sort)
+    "q42_tfidf_topk" -> ((s, dir) => Relational.tfidfTopK(Tables.documents(s, dir))),
+
+    // per-class embedding centroids, decimal-accumulated (order-stable)
+    "q43_class_centroids" -> ((s, dir) =>
+      operators.Embeddings.classCentroids(Tables.embeddings(s, dir))),
+
     // salted join: result must be identical to the plain equi-join
     "q41_skew_salted_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)

@@ -346,6 +346,43 @@ object Relational {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** q42: top-k TF-IDF terms per document — the keyword-extraction pass of
+    * a corpus pipeline. Smoothed idf: ln((N+1)/(df+1)) + 1.
+    *
+    * Three aggregations, all linear: (doc, term) term frequencies; df per
+    * term over those (already-distinct) rows; then per-doc top-k through
+    * the bounded aggregator — at most k terms leave each partition per
+    * doc, nothing sorts a whole vocabulary. N arrives as a broadcast
+    * one-row cross join, not a collected scalar.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val topk = udaf(
+      new BoundedTopK[(Double, String)](k)((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)),
+      org.apache.spark.sql.Encoders.product[(Double, String)])
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("term"),
+        round(
+          col("tf") * (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))
+            + lit(1)), 6).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(topk(col("tfidf"), col("term")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "x")))
+      .select(
+        col("doc_id"),
+        col("x._2").as("term"),
+        col("x._1").as("tfidf"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** q17: HLL++ approximate distinct — the scale path of q16 (one pass, no
     * per-key shuffle of distinct values; the sketch estimate is
     * engine-specific, so the driver gate is [[approxDistinctGate]]).

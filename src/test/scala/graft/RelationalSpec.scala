@@ -172,6 +172,19 @@ class RelationalSpec extends SparkTestBase {
       ("ALL", -1, 3, 3L, 35.0))) // grand total
   }
 
+  test("tfidf: smoothed idf, rank by rounded score then term, bounded agg") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Relational.tfidfTopK(docs, k = 2)
+      .as[(Long, String, Double, Int)].collect().toSet
+    val idfRare = math.rint((math.log(3.0 / 2) + 1) * 2 * 1e6) / 1e6 // tf=2, df=1
+    val idfRare1 = math.rint((math.log(3.0 / 2) + 1) * 1e6) / 1e6 // tf=1, df=1
+    assert(out == Set(
+      (1L, "a", idfRare, 1), (1L, "b", 1.0, 2), // b: df=2 -> idf=1
+      (2L, "c", idfRare1, 1), (2L, "b", 1.0, 2)))
+    val plan = Relational.tfidfTopK(docs, k = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("partial_boundedtopk"))
+  }
+
   test("set ops: intersect/except tags partition the distinct key space") {
     val orders = Seq(
       (1L, "1997-01-01"), (1L, "1998-01-01"), // both eras
