@@ -409,6 +409,16 @@ object OracleSql {
          |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') scrubbed
          |FROM i""".stripMargin,
 
+    // Heavy-hitters gate: the exact top-k tokens + counts are recomputed
+    // here; the SpaceSaving sketch's containment and estimate-bound
+    // booleans must come back TRUE (q17 pattern).
+    "q44_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        |c AS (SELECT term, count(*) occurrences FROM w GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term) AS INT) rk,
+        |  term, occurrences, TRUE sk_contains, TRUE sk_est_ok
+        |FROM c ORDER BY occurrences DESC, term LIMIT 3""".stripMargin,
+
     // Same smoothed idf and the same 6-dp rounding BEFORE ranking, so the
     // (tfidf DESC, term) order is computed over identical values.
     "q42_tfidf_topk" ->

@@ -160,6 +160,10 @@ object SparkEntry {
         TextFunctions.scrubPii(injected).as("scrubbed"))
     }),
 
+    // heavy hitters: exact top-k spine + SpaceSaving sketch gate bools
+    "q44_heavy_hitters" -> ((s, dir) =>
+      operators.HeavyHitters.topTokensGate(Tables.documents(s, dir), "text")),
+
     // top-k TF-IDF terms per document (bounded aggregator, no vocab sort)
     "q42_tfidf_topk" -> ((s, dir) => Relational.tfidfTopK(Tables.documents(s, dir))),
 
