@@ -104,6 +104,46 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q18 cube: ONE scan + Expand before partial aggregation") {
+    audited {
+      val df = SparkEntry.queries("q18_cube_grouping")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size == 1, "cube must not rescan per grouping set")
+      assert(plan.toString.contains("Expand"), "cube should plan as Expand")
+      // partial aggregation reduces before the single shuffle
+      assert(shuffles(df).size == 1, s"cube should shuffle once:\n$plan")
+    }
+  }
+
+  test("q19 set ops plan as semi/anti joins; only keys shuffle") {
+    audited {
+      val df = SparkEntry.queries("q19_set_ops")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        s"INTERSECT/EXCEPT should plan as semi/anti joins:\n$plan")
+      shuffles(df).foreach { s =>
+        assert(s.child.output.size <= 1,
+          s"set-op shuffles must carry the key only: ${s.child.output}")
+      }
+    }
+  }
+
+  test("q44 heavy hitters: the sketch path shuffles ONE summary per partition") {
+    audited {
+      val df = SparkEntry.queries("q44_heavy_hitters")(spark, dir)
+      // global-agg (non-keyed) exchanges: the sketch and spine partials.
+      // SinglePartition shuffles carry partial buffers, not token rows.
+      val global = shuffles(df).filter(_.outputPartitioning.numPartitions == 1)
+      assert(global.nonEmpty)
+      global.foreach { s =>
+        assert(!s.child.output.exists(a =>
+            a.dataType.isInstanceOf[StringType] && a.name == "term"),
+          s"raw tokens must not ride a global shuffle: ${s.child.output}")
+      }
+    }
+  }
+
   test("q22 simhash: blocking-key shuffles carry (id, sim, bk) fixed-width rows") {
     audited {
       val df = SparkEntry.queries("q22_dedup_simhash")(spark, dir)
