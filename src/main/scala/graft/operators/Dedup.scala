@@ -416,9 +416,12 @@ object Dedup {
       val pulled = edges
         .join(labels.withColumnRenamed("id", "a"), Seq("a"))
         .select(col("b").as("id"), col("lbl"))
+      // relaxed is consumed twice (base + parents lookup) but NOT
+      // checkpointed: both sides are the same subtree, so the planner
+      // reuses one exchange (one materialization per round, in `next`'s
+      // checkpoint, instead of two)
       val relaxed = labels.union(pulled)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
       // pointer jump: lbl ← min(lbl, lbl(lbl)) — path doubling. toDF gives
       // the lookup side fresh attribute ids (self-join disambiguation).
       val parents = relaxed.toDF("p_id", "p_lbl")
