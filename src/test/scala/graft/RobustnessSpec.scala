@@ -72,4 +72,39 @@ class RobustnessSpec extends SparkTestBase {
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     assert(Dedup.embeddingNearDupLshPairs(noVecs, "vec_id", "embedding", 0.5).count() == 0)
   }
+
+  test("round-4 additions tolerate null/empty/degenerate inputs") {
+    // repetition: null text drops from the explode (no row, like the SQL
+    // twin's unnest(NULL)); "" tokenizes to one empty token; "x" has no
+    // bigrams -> fraction 0
+    val rep = graft.operators.Repetition.signals(messy, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!rep.contains(2L))
+    assert(rep(3L) == ((3L, 1L, 0.0, 1.0, 0.0)))
+    assert(rep(4L) == ((4L, 1L, 0.0, 1.0, 0.0)))
+
+    // PII scrub: null in -> null out, counts null (not 0 - unknown, not none)
+    val pii = messy.select($"doc_id",
+      TextFunctions.scrubPii($"text").as("s"), TextFunctions.emailCount($"text").as("n"))
+      .as[(Long, Option[String], Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(pii(2L)._2.isEmpty && pii(2L)._3.isEmpty)
+    assert(pii(3L)._2.contains("") && pii(3L)._3.contains(0L))
+
+    // tfidf on a null-text doc: doc vanishes (no terms), others unaffected
+    val tf = Relational.tfidfTopK(messy, k = 2)
+    assert(tf.filter($"doc_id" === 2L).count() == 0 && tf.count() > 0)
+
+    // heavy hitters on an empty corpus: empty result, no crash
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.HeavyHitters.topTokensGate(noDocs, "text").count() == 0)
+
+    // set ops on empty orders: all three branches empty
+    val noOrders = Seq.empty[(Long, java.sql.Timestamp)].toDF("o_custkey", "o_orderdate")
+    assert(Relational.setOps(noOrders).count() == 0)
+
+    // centroids on empty embeddings: empty
+    val noVecs2 = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Embeddings.classCentroids(noVecs2).count() == 0)
+  }
 }
