@@ -181,6 +181,20 @@ object OracleSql {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // session_window split semantics equal q12's (diff > gap, spec-pinned
+    // at the exact-boundary case); end = last event + gap (the expiry).
+    "q45_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) prev_us FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END new_sess FROM l),
+        |s AS (SELECT user_id, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_seq FROM f)
+        |SELECT user_id, min(us) start_us, max(us) + 1800000000 end_us, count(*) n_events
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
     "q14_rollup" ->
       """SELECT coalesce(r_name, 'ALL') region_name, coalesce(n_name, 'ALL') nation_name,
         |  count(*) n_customers,

@@ -32,6 +32,8 @@ object SparkEntry {
     "q11_pivot" -> ((s, dir) => Relational.pivotDaily(Tables.events(s, dir))),
     "q12_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
     "q13_tumbling_window" -> ((s, dir) => Relational.tumblingWindow(Tables.events(s, dir))),
+    // native session_window formulation of q12 (streaming-shareable)
+    "q45_session_window" -> ((s, dir) => Relational.sessionWindowAgg(Tables.events(s, dir))),
     "q14_rollup" -> ((s, dir) =>
       Relational.rollupAcctbal(
         Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),

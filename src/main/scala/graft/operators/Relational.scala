@@ -220,6 +220,25 @@ object Relational {
         max(col("us")).as("end_us"))
   }
 
+  /** q45: gap sessionization via Spark's NATIVE `session_window` — the
+    * second formulation of q12, and the one whose exact expression also
+    * runs under Structured Streaming (state-store-backed session merge).
+    *
+    * Split semantics match q12's lag formulation (spec-pinned): sessions
+    * merge when the next event is within OR AT exactly prev + gap, i.e.
+    * split on diff > gap. The only output difference is the window end:
+    * last-event + gap (the session's expiry), not the last event itself.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   /** q13: tumbling time-window aggregation (batch twin of
     * [[graft.streaming.EventStream]]). Uses Spark's `window()` so the
     * exact same expression runs under Structured Streaming.

@@ -155,6 +155,24 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("Window") && plan.contains("partial_boundedtopk"))
   }
 
+  test("session_window: split at EXACTLY gap, end = last + gap") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val us = (min: Int) => ts(min).getTime * 1000L
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), // one session
+      (1L, ts(40)), // exactly gap (30 min) after t10 -> MERGES (split is diff > gap)
+      (1L, ts(71)), // 31 min after t40 -> new session
+      (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val out = Relational.sessionWindowAgg(events)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gapUs = 30L * 60 * 1000000
+    assert(out == Set(
+      (1L, us(0), us(40) + gapUs, 3L),
+      (1L, us(71), us(71) + gapUs, 1L),
+      (2L, us(0), us(0) + gapUs, 1L)))
+  }
+
   test("cube emits leaf/subtotal/total rows with the ANSI grouping_id bitmask") {
     val orders = Seq(
       ("HIGH", "1997-03-01", 10.0), ("HIGH", "1998-05-01", 20.0),
