@@ -47,6 +47,29 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Native `session_window` sessionization under a watermark — the
+    * streaming run of the EXACT expression behind the batch operator
+    * (`Relational.sessionWindowAgg`, q45). Complements
+    * [[SessionState]] (the flatMapGroupsWithState formulation): this one
+    * is declarative — the state store merges overlapping session windows
+    * and emits a session once the watermark passes its end (last event +
+    * gap), so state per user is bounded by the watermark delay.
+    */
+  def sessionCounts(
+      events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Stream–stream interval join: each purchase matched to the same
     * user's clicks in the `lookback` window before it (the attribution
     * join; q28's as-of shape made continuous). Expected schemas:

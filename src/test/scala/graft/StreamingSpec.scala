@@ -111,6 +111,34 @@ class StreamingSpec extends SparkTestBase {
     } finally { q2.stop(); conn.close() }
   }
 
+  test("session_window streaming: finalized sessions match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.sessionCounts(input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sesswin_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = Seq((1L, t(0)), (1L, t(10)), (1L, t(40)), (1L, t(100)), (2L, t(5)))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((9L, t(600))) // watermark (600 - 120) passes every session end
+      q.processAllAvailable()
+
+      val got = spark.table("sesswin_test")
+        .select($"user_id", $"session_start".cast("string"), $"n_events")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = EventStream.sessionCounts(rows.toDF("user_id", "ts"))
+        .select($"user_id", $"session_start".cast("string"), $"n_events")
+        .as[(Long, String, Long)].collect().toSet
+      assert(batch == Set(
+        (1L, "2024-01-01 00:00:00", 3L), // t0,t10,t40 merge (exact-gap joins)
+        (1L, "2024-01-01 01:40:00", 1L),
+        (2L, "2024-01-01 00:05:00", 1L)))
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to lookback clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
