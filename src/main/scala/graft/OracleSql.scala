@@ -423,6 +423,15 @@ object OracleSql {
          |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') scrubbed
          |FROM i""".stripMargin,
 
+    // Bloom gate: the true semi-join count is recomputed; the filter's
+    // no-false-negative guarantee and bounded fp rate must hold.
+    "q46_bloom_prefilter" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT (SELECT count(*) FROM customer
+        |        WHERE EXISTS (SELECT 1 FROM u WHERE o_custkey = c_custkey)) n_exact,
+        |  TRUE no_false_negatives, TRUE fp_ok""".stripMargin,
+
     // Heavy-hitters gate: the exact top-k tokens + counts are recomputed
     // here; the SpaceSaving sketch's containment and estimate-bound
     // booleans must come back TRUE (q17 pattern).

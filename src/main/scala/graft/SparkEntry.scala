@@ -162,6 +162,15 @@ object SparkEntry {
         TextFunctions.scrubPii(injected).as("scrubbed"))
     }),
 
+    // bloom-filter semi-join reduction (runtime-filter pattern), gated:
+    // exact semi-join count + no-false-negatives + bounded-fp booleans
+    "q46_bloom_prefilter" -> ((s, dir) => {
+      val urgentKeys = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      operators.Bloom.semiJoinGate(
+        Tables.customer(s, dir), "c_custkey", urgentKeys, "o_custkey")
+    }),
+
     // heavy hitters: exact top-k spine + SpaceSaving sketch gate bools
     "q44_heavy_hitters" -> ((s, dir) =>
       operators.HeavyHitters.topTokensGate(Tables.documents(s, dir), "text")),
