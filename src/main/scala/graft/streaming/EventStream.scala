@@ -47,6 +47,22 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Windowed approximate distinct users — q17's HLL sketch running live:
+    * per tumbling window, `approx_count_distinct` keeps one mergeable HLL
+    * per (window) in the state store instead of the exact formulation's
+    * per-user state (unbounded key space). rsd 0.02 matches the batch
+    * operator, so the streaming and batch estimates are identical on the
+    * same finalized window.
+    */
+  def distinctUsers(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+  }
+
   /** Native `session_window` sessionization under a watermark — the
     * streaming run of the EXACT expression behind the batch operator
     * (`Relational.sessionWindowAgg`, q45). Complements

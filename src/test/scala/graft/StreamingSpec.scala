@@ -111,6 +111,31 @@ class StreamingSpec extends SparkTestBase {
     } finally { q2.stop(); conn.close() }
   }
 
+  test("windowed approx distinct users: streaming equals batch on finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.distinctUsers(input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = (1L to 40L).map(u => (u, t((u % 50).toInt))) ++ Seq((7L, t(20)), (7L, t(30)))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((999L, t(600))) // advance watermark past 00:xx windows
+      q.processAllAvailable()
+      val got = spark.table("hll_test")
+        .select($"window_start".cast("string"), $"approx_users")
+        .as[(String, Long)].collect().toMap
+      val batch = EventStream.distinctUsers(rows.toDF("user_id", "ts"))
+        .select($"window_start".cast("string"), $"approx_users")
+        .as[(String, Long)].collect().toMap
+      // identical sketch, identical estimate, and near-exact at 40 users
+      assert(got("2024-01-01 00:00:00") == batch("2024-01-01 00:00:00"))
+      assert(math.abs(batch("2024-01-01 00:00:00") - 40L) <= 2)
+    } finally q.stop()
+  }
+
   test("session_window streaming: finalized sessions match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
