@@ -27,18 +27,26 @@ object OracleSql {
        |     > len(list_filter(string_split(text,' '), t -> t IN $pos)) THEN 'negative'
        |  ELSE 'na' END""".stripMargin
 
-  /** Distinct word-3-gram shingles per doc (twin of TextFunctions.shingles). */
-  private val shingleCte =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
-      |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t)""".stripMargin
+  /** Distinct word-3-gram shingles per doc (twin of TextFunctions.shingles)
+    * over an arbitrary source relation — CTE body only, so callers can
+    * chain it after their own CTEs.
+    */
+  private def shingleCtesOver(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM $src),
+       |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+       |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t)""".stripMargin
 
-  private val jaccardPairs =
-    s"""$shingleCte,
+  private val shingleCte = "WITH " + shingleCtesOver("documents")
+
+  private def jaccardPairCteOver(src: String): String =
+    s"""${shingleCtesOver(src)},
        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
        |  round(len(list_intersect(a.sh,b.sh))::DOUBLE
        |    /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),4) jaccard
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardPairs =
+    s"""WITH ${jaccardPairCteOver("documents")}
        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7""".stripMargin
 
   /** 60-bit simhash per doc, exact twin of HashKernels.tokenHash60/simHash64:
@@ -422,6 +430,50 @@ object OracleSql {
          |  regexp_replace(regexp_replace(t, '${TextFunctions.UrlRe}', '<URL>', 'g'),
          |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') scrubbed
          |FROM i""".stripMargin,
+
+    // The whole cleaning pipeline, stage by stage, as one chained query:
+    // lang -> token floor -> repetition cut (round-6 like the Spark side)
+    // -> exact-dedup survivors -> minhash-pair components -> min-id
+    // survivors -> stratified cap. Constants interpolated from
+    // CorpusPipeline.Config so the engines cannot drift.
+    "q47_corpus_pipeline" -> {
+      val c = graft.pipelines.CorpusPipeline.Config()
+      s"""WITH RECURSIVE
+         |s1 AS (SELECT * FROM documents
+         |  WHERE len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0),
+         |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= ${c.minTokens}),
+         |rw AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM s2),
+         |rc AS (SELECT doc_id, tok, count(*) cnt FROM rw GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, round(max(cnt) / sum(cnt)::DOUBLE, 6) topf
+         |  FROM rc GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 JOIN ra USING (doc_id)
+         |  WHERE topf <= ${c.maxTopWordFrac}),
+         |s4 AS (SELECT * FROM s3 QUALIFY row_number() OVER (
+         |  PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |  ORDER BY doc_id) = 1),
+         |${jaccardPairCteOver("s4")},
+         |pr AS MATERIALIZED (SELECT id_a, id_b FROM p
+         |  WHERE jaccard >= ${c.jaccardThreshold}),
+         |edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |cc(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b),
+         |losers AS (SELECT id FROM (SELECT id, min(lbl) component FROM cc GROUP BY id)
+         |  WHERE id <> component),
+         |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |s6 AS (SELECT * FROM s5 QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+         |    doc_id) <= ${c.samplePerSource})
+         |SELECT CAST(0 AS INT) stage_idx, 'input' stage, (SELECT count(*) FROM documents) n_docs
+         |UNION ALL SELECT 1, 'lang', (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 3, 'repetition', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4)
+         |UNION ALL SELECT 5, 'near_dedup', (SELECT count(*) FROM s5)
+         |UNION ALL SELECT 6, 'sample', (SELECT count(*) FROM s6)""".stripMargin
+    },
 
     // Bloom gate: the true semi-join count is recomputed; the filter's
     // no-false-negative guarantee and bounded fp rate must hold.

@@ -162,6 +162,11 @@ object SparkEntry {
         TextFunctions.scrubPii(injected).as("scrubbed"))
     }),
 
+    // the whole cleaning pipeline's per-stage audit (lang -> quality ->
+    // repetition -> exact dedup -> near-dup clusters -> stratified cap)
+    "q47_corpus_pipeline" -> ((s, dir) =>
+      pipelines.CorpusPipeline.auditCounts(Tables.documents(s, dir))),
+
     // bloom-filter semi-join reduction (runtime-filter pattern), gated:
     // exact semi-join count + no-false-negatives + bounded-fp booleans
     "q46_bloom_prefilter" -> ((s, dir) => {

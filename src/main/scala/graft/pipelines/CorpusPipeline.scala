@@ -1,0 +1,77 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Repetition, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data cleaning pipeline, composed from the
+  * library's own operators — what a user actually runs over a raw 100 TB
+  * crawl before tokenization:
+  *
+  *   1. language filter (langId == keep)
+  *   2. quality floor (token count ≥ minTokens)
+  *   3. repetition cut (top_word_frac ≤ maxTopWordFrac — Gopher rule)
+  *   4. exact dedup (normalized-text survivors, min-id canonical)
+  *   5. near-dup collapse (MinHash pairs → connected components →
+  *      min-id survivor per cluster)
+  *   6. deterministic stratified cap per source
+  *
+  * Order matters and is deliberate: cheap per-row filters (1–3) shrink
+  * the corpus before the shuffling stages (4–5); the sample cap (6) runs
+  * last so it caps CLEAN documents, not duplicates.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      keepLang: String = "en",
+      minTokens: Long = 25,
+      maxTopWordFrac: Double = 0.125,
+      jaccardThreshold: Double = 0.7,
+      samplePerSource: Int = 15)
+
+  /** Stage DataFrames, each the survivors of the previous stage. `docs`
+    * must carry (doc_id, text, source). Heavier stages are
+    * localCheckpoint'd so [[auditCounts]]' six aggregations don't re-run
+    * the minhash pipeline once per count (an audit-path tradeoff: the
+    * checkpoint materializes survivor rows; [[clean]] at production scale
+    * computes one chain with no extra materialization).
+    */
+  private def stages(docs: DataFrame, cfg: Config, checkpoint: Boolean): Seq[(String, DataFrame)] = {
+    val s1 = docs.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
+    val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
+    val passRep = Repetition.signals(s2, "doc_id", "text")
+      .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
+      .select("doc_id")
+    val s3 = s2.join(passRep, Seq("doc_id"), "left_semi")
+    val s4raw = Dedup.exactSurvivors(s3, "doc_id", "text")
+    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val pairs = Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
+    val s5raw = Dedup.nearDupSurvivors(s4, "doc_id", pairs)
+    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
+    val keep = Sampling.stratifiedN(
+      s5.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
+      .select("doc_id")
+    val s6 = s5.join(keep, Seq("doc_id"), "left_semi")
+    Seq("lang" -> s1, "quality" -> s2, "repetition" -> s3,
+      "exact_dedup" -> s4, "near_dedup" -> s5, "sample" -> s6)
+  }
+
+  /** The cleaned corpus: full rows of every surviving document. */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    stages(docs, cfg, checkpoint = false).last._2
+
+  /** Per-stage survivor counts — the audit a pipeline operator watches
+    * for stage-level drift. Returns (stage_idx, stage, n_docs).
+    */
+  def auditCounts(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val all = ("input" -> docs) +: stages(docs, cfg, checkpoint = true)
+    all.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(
+          lit(i).cast("int").as("stage_idx"),
+          lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_ unionAll _)
+  }
+}

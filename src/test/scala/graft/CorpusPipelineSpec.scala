@@ -1,0 +1,36 @@
+package graft
+
+import graft.pipelines.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("every stage drops exactly the planted offenders") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the", "s1"), // clean survivor
+      (2L, "beta gamma delta epsilon", "s1"), // no stopword -> lang drop
+      (3L, "the a", "s1"), // too short -> quality drop
+      (4L, "the x x x x x", "s1"), // top word 5/6 -> repetition drop
+      (5L, "alpha beta gamma delta the", "s1"), // exact dup of 1
+      (6L, "alpha beta gamma delta the zeta", "s1"), // near dup of 1 (J=0.75)
+      (7L, "one two three four the", "s2"),
+      (8L, "five six seven eight the", "s2"),
+      (9L, "nine ten eleven twelve the", "s2")) // s2 capped 3 -> 2
+      .toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 4, maxTopWordFrac = 0.5, jaccardThreshold = 0.6, samplePerSource = 2)
+
+    val audit = CorpusPipeline.auditCounts(docs, cfg)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(audit == Seq(
+      (0, "input", 9L), (1, "lang", 8L), (2, "quality", 7L),
+      (3, "repetition", 6L), (4, "exact_dedup", 5L),
+      (5, "near_dedup", 4L), (6, "sample", 3L)))
+
+    val cleaned = CorpusPipeline.clean(docs, cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(cleaned.size == 3)
+    assert(cleaned.contains(1L)) // the canonical copy of the 1/5/6 cluster
+    assert(cleaned.intersect(Set(7L, 8L, 9L)).size == 2) // s2 capped
+  }
+}
