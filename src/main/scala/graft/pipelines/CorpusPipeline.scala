@@ -43,7 +43,10 @@ object CorpusPipeline {
     val passRep = Repetition.signals(s2, "doc_id", "text")
       .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
       .select("doc_id")
-    val s3 = s2.join(passRep, Seq("doc_id"), "left_semi")
+    val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
+    // checkpoint the last cheap-filter stage too: without it the audit's
+    // stage-4..6 counts each recompute the repetition aggregation
+    val s3 = if (checkpoint) s3raw.localCheckpoint() else s3raw
     val s4raw = Dedup.exactSurvivors(s3, "doc_id", "text")
     val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
     val pairs = Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
