@@ -494,6 +494,15 @@ object OracleSql {
         |  term, occurrences, TRUE sk_contains, TRUE sk_est_ok
         |FROM c ORDER BY occurrences DESC, term LIMIT 3""".stripMargin,
 
+    // Count-min gate: same exact spine as q44; the sketch's one-sided
+    // lower bound and overestimate budget must come back TRUE.
+    "q48_countmin" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) term FROM documents),
+        |c AS (SELECT term, count(*) occurrences FROM w GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term) AS INT) rk,
+        |  term, occurrences, TRUE cm_lower_ok, TRUE cm_err_ok
+        |FROM c ORDER BY occurrences DESC, term LIMIT 3""".stripMargin,
+
     // Same smoothed idf and the same 6-dp rounding BEFORE ranking, so the
     // (tfidf DESC, term) order is computed over identical values.
     "q42_tfidf_topk" ->

@@ -180,6 +180,10 @@ object SparkEntry {
     "q44_heavy_hitters" -> ((s, dir) =>
       operators.HeavyHitters.topTokensGate(Tables.documents(s, dir), "text")),
 
+    // count-min point-frequency sketch: exact spine + lower/err bound bools
+    "q48_countmin" -> ((s, dir) =>
+      operators.CountMin.topTokensGate(Tables.documents(s, dir), "text")),
+
     // top-k TF-IDF terms per document (bounded aggregator, no vocab sort)
     "q42_tfidf_topk" -> ((s, dir) => Relational.tfidfTopK(Tables.documents(s, dir))),
 
