@@ -494,6 +494,31 @@ object OracleSql {
         |  term, occurrences, TRUE sk_contains, TRUE sk_est_ok
         |FROM c ORDER BY occurrences DESC, term LIMIT 3""".stripMargin,
 
+    // Exact two-sample KS per source vs rest: integer cumulative counts,
+    // one division at the end, rounded — engine-reproducible.
+    "q49_ks_drift" ->
+      """WITH g AS (SELECT source, count(*) n_grp FROM documents GROUP BY 1),
+        |v AS (SELECT DISTINCT n_chars v FROM documents),
+        |c AS (SELECT source, n_chars v, count(*) c FROM documents GROUP BY 1, 2),
+        |gc AS (SELECT n_chars v, count(*) cg FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) n_total FROM documents),
+        |grid AS (SELECT g.source, g.n_grp, v.v, coalesce(c.c, 0) c, gc.cg, t.n_total
+        |  FROM g CROSS JOIN v
+        |  JOIN gc USING (v)
+        |  LEFT JOIN c ON c.source = g.source AND c.v = v.v
+        |  CROSS JOIN t),
+        |cum AS (SELECT source, n_grp, n_total,
+        |  sum(c) OVER (PARTITION BY source ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumS,
+        |  sum(cg) OVER (PARTITION BY source ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumG
+        |  FROM grid)
+        |SELECT source, n_grp,
+        |  round(max(CASE WHEN n_total = n_grp THEN 0.0
+        |    ELSE abs(cumS / n_grp::DOUBLE
+        |      - (cumG - cumS) / (n_total - n_grp)::DOUBLE) END), 6) ks
+        |FROM cum GROUP BY source, n_grp""".stripMargin,
+
     // Count-min gate: same exact spine as q44; the sketch's one-sided
     // lower bound and overestimate budget must come back TRUE.
     "q48_countmin" ->
@@ -547,6 +572,32 @@ object OracleSql {
         |  round(quantile_cont(n_chars, 0.99), 4) p99_chars,
         |  TRUE sk50_ok, TRUE sk90_ok, TRUE sk99_ok
         |FROM documents GROUP BY source""".stripMargin,
+
+    // Latest-wins upsert: update rows (version 1) replace base rows for
+    // their key; src breaks the tie exactly like upsert's _src column.
+    "q50_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(0 AS BIGINT) ver, 0 src FROM orders),
+        |upd AS (SELECT o_orderkey, 'U' o_orderstatus,
+        |    o_totalprice + 1000.0 o_totalprice, CAST(1 AS BIGINT) ver, 1 src
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM u
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY o_orderkey ORDER BY ver DESC, src DESC) = 1""".stripMargin,
+
+    // SCD2 change intervals: keep rows where event_type changed vs the
+    // previous row per user, validity ends at the NEXT change (NULL = open).
+    "q51_scd_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us, event_type
+        |  FROM events),
+        |c AS (SELECT *, lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id) prev FROM e),
+        |ch AS (SELECT user_id, event_id, us, event_type FROM c
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type, us valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) valid_to_us
+        |FROM ch""".stripMargin,
 
     // octet_length(encode(..)), not length(..): the Spark side measures
     // UTF-8 payload BYTES; character count would diverge on non-ASCII text

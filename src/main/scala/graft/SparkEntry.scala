@@ -180,6 +180,30 @@ object SparkEntry {
     "q44_heavy_hitters" -> ((s, dir) =>
       operators.HeavyHitters.topTokensGate(Tables.documents(s, dir), "text")),
 
+    // exact per-source KS drift vs the rest of the corpus
+    "q49_ks_drift" -> ((s, dir) => operators.Drift.ksDrift(Tables.documents(s, dir))),
+
+    // latest-wins CDC upsert: synthetic v1 updates replace their base rows
+    "q50_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = o.withColumn("ver", lit(0L))
+      val updates = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("ver", lit(1L))
+      operators.Merge.upsert(base, updates, Seq("o_orderkey"), "ver")
+    }),
+
+    // SCD2: per-user event_type change log collapsed to validity intervals
+    "q51_scd_intervals" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      operators.Merge.scdIntervals(ev, "user_id", "us", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"))
+    }),
+
     // count-min point-frequency sketch: exact spine + lower/err bound bools
     "q48_countmin" -> ((s, dir) =>
       operators.CountMin.topTokensGate(Tables.documents(s, dir), "text")),

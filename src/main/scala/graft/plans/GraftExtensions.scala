@@ -22,8 +22,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // point-in-interval joins -> bin-bucketed equi-joins (off until
+    // spark.graft.rangeJoin.binWidth is set; see RangeJoinRule)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -33,10 +37,14 @@ object GraftExtensions {
   /** Install the functions on an already-running session (extensions bind
     * only at session construction; this covers shells/notebooks).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       GraftColumnShim.registerFunction(spark, ident, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRule
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
