@@ -264,6 +264,16 @@ object OracleSql {
       """SELECT min(doc_id) doc_id, count(*) n_copies FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
 
+    // Incremental dedup: delta (odd ids) deduped within itself, then
+    // anti-joined against the base (even ids) corpus's normalized texts.
+    "q52_incremental_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t FROM documents),
+        |b AS (SELECT DISTINCT t FROM n WHERE doc_id % 2 = 0),
+        |d AS (SELECT min(doc_id) doc_id, count(*) n_copies, t FROM n
+        |  WHERE doc_id % 2 = 1 GROUP BY t)
+        |SELECT doc_id, n_copies FROM d ANTI JOIN b USING (t)""".stripMargin,
+
     "q21_dedup_minhash" -> jaccardPairs,
 
     "q22_dedup_simhash" ->

@@ -46,6 +46,14 @@ object SparkEntry {
     "q19_set_ops" -> ((s, dir) => Relational.setOps(Tables.orders(s, dir))),
 
     "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    // incremental ingest: delta (odd ids) deduped against the base's
+    // (even ids) persisted 8-byte digest index — base text never re-read
+    "q52_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        Dedup.digests(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
+    }),
     "q21_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q22_dedup_simhash" -> ((s, dir) =>

@@ -53,6 +53,32 @@ object Dedup {
   def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(exact(docs, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
 
+  /** The distinct normalized-text digests of a corpus — the 8-byte/doc
+    * index an INCREMENTAL pipeline keeps between runs (at 100 TB you
+    * persist this once, not the text).
+    */
+  def digests(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(xxhash64(normalized(col(textCol))).as("digest")).distinct()
+
+  /** Incremental exact dedup: the canonical NEW rows of a `delta` against
+    * an already-ingested base, given only the base's [[digests]]. Dedups
+    * within the delta (min id per digest, like [[exact]]), then anti-joins
+    * the base digest index — the base corpus is never re-read or
+    * re-shuffled, and the delta's text never shuffles either (digest+id
+    * only). With a typical delta ≪ base, this is the everyday ingest path:
+    * cost is O(|delta|) plus one semi-join against an 8-byte-keyed index.
+    * Returns (id, n_copies) of delta docs unseen in the base.
+    */
+  def incrementalExact(
+      delta: DataFrame, idCol: String, textCol: String,
+      baseDigests: DataFrame): DataFrame =
+    delta
+      .select(col(idCol), xxhash64(normalized(col(textCol))).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .join(baseDigests, Seq("digest"), "left_anti")
+      .select(col(idCol), col("n_copies"))
+
   /** Shingled docs — the shared prefix of the shingle-based pipelines.
     * Shingle-less docs (shorter than n tokens) are dropped here: they have
     * no Jaccard evidence, and an empty set's MinHash signature is the

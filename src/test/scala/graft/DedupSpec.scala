@@ -237,6 +237,23 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearDupSurvivors(docs, "doc_id", empty).count() == 2)
   }
 
+  test("incremental exact dedup: delta vs a base digest index") {
+    import spark.implicits._
+    val base = Seq((1L, "The cat"), (2L, "a  DOG ")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the cat"),   // dup of base 1 (normalization) -> dropped
+      (11L, "new text"),  // genuinely new
+      (12L, "New  TEXT"), // dup WITHIN delta of 11 -> collapsed
+      (13L, "a dog"),     // dup of base 2 -> dropped
+      (14L, "another"))   // new
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .incrementalExact(delta, "doc_id", "text",
+        graft.operators.Dedup.digests(base, "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 2L), (14L, 1L)))
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
