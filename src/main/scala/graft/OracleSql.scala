@@ -397,6 +397,27 @@ object OracleSql {
         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
         |    doc_id) <= 5""".stripMargin,
 
+    // Same arithmetic-hash priority, scaled by 1/weight: one IEEE double
+    // division — bit-identical across engines, so the same rows win.
+    "q54_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY CAST(((doc_id % 2147483647) * 1103515245 + 12345)
+        |      % 2147483647 AS DOUBLE) / n_chars,
+        |    doc_id) <= 5""".stripMargin,
+
+    // Plain overlap join — the oracle can afford the nested loop the
+    // operator exists to avoid.
+    "q53_interval_overlap" ->
+      """WITH a AS (SELECT event_id a_id, "value" a_lo, "value" + 5.0 a_hi
+        |  FROM events WHERE event_type = 'click' AND event_id % 200 = 0),
+        |b AS (SELECT event_id b_id, "value" b_lo, "value" + 3.0 b_hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a_id, b_id,
+        |  round(least(a_hi, b_hi) - greatest(a_lo, b_lo), 4) overlap_len
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin,
+
     "q36_ngram_topk" ->
       """WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
         |s AS (SELECT source, unnest(list_distinct([array_to_string(toks[i:i+1],' ')
@@ -528,6 +549,13 @@ object OracleSql {
         |    ELSE abs(cumS / n_grp::DOUBLE
         |      - (cumG - cumS) / (n_total - n_grp)::DOUBLE) END), 6) ks
         |FROM cum GROUP BY source, n_grp""".stripMargin,
+
+    // Sketch-rollup gate: the oracle recomputes the exact distinct spine;
+    // the estimate and merge-consistency booleans must come back TRUE.
+    "q55_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) n_exact,
+        |  TRUE est_ok, TRUE merge_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // Count-min gate: same exact spine as q44; the sketch's one-sided
     // lower bound and overestimate budget must come back TRUE.

@@ -144,6 +144,28 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source", "lang"),
         "source", "doc_id", n = 5)),
 
+    // deterministic weighted sample: longer docs proportionally likelier
+    "q54_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedN(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", n = 5)),
+
+    // interval × interval overlap join via shared-bin equi-join
+    "q53_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev
+        .filter(col("event_type") === "click" && pmod(col("event_id"), lit(200)) === 0)
+        .select(col("event_id").as("a_id"), col("value").as("a_lo"),
+          (col("value") + lit(5.0)).as("a_hi"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("value").as("b_lo"),
+          (col("value") + lit(3.0)).as("b_hi"))
+      operators.RangeJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 5.0)
+        .select(col("a_id"), col("b_id"),
+          round(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")), 4)
+            .as("overlap_len"))
+    }),
+
     "q36_ngram_topk" -> ((s, dir) => Relational.ngramTopK(Tables.documents(s, dir))),
 
     // Gopher-style repetition quality signals over the document corpus
@@ -215,6 +237,13 @@ object SparkEntry {
     // count-min point-frequency sketch: exact spine + lower/err bound bools
     "q48_countmin" -> ((s, dir) =>
       operators.CountMin.topTokensGate(Tables.documents(s, dir), "text")),
+
+    // pre-aggregated HLL sketch table rolled up per group: exact spine +
+    // estimate-within-5% + rollup==direct-within-2% bools
+    "q55_sketch_rollup" -> ((s, dir) =>
+      operators.SketchRollup.rollupGate(
+        Tables.events(s, dir), "event_type",
+        date_trunc("day", col("ts")), "user_id")),
 
     // top-k TF-IDF terms per document (bounded aggregator, no vocab sort)
     "q42_tfidf_topk" -> ((s, dir) => Relational.tfidfTopK(Tables.documents(s, dir))),

@@ -36,4 +36,37 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join (`a.lo < b.hi AND b.lo < a.hi`,
+    * half-open intervals) — binJoin's general case, same idea: both sides
+    * explode to the bins they span, equi-join on the bin, exact overlap
+    * filter. Two overlapping intervals share every bin their INTERSECTION
+    * spans, so to emit each pair exactly once (no dedup shuffle) the pair
+    * is kept only in the intersection's FIRST bin:
+    * `bin == max(floor(a.lo/w), floor(b.lo/w))` — both sides provably
+    * contain that bin, and it is unique per pair.
+    *
+    * Shuffle: O(span/w) replicas per interval, hash-partitioned by bin —
+    * never the all-pairs nested loop. Pick `binWidth` near the median
+    * interval length (same trade as [[binJoin]]).
+    */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn(
+        "__bin",
+        explode(sequence(
+          floor(col(lo) / binWidth).cast("long"),
+          floor(col(hi) / binWidth).cast("long"))))
+    binned(left, loA, hiA).join(binned(right, loB, hiB), Seq("__bin"))
+      .filter(
+        col(loA) < col(hiB) && col(loB) < col(hiA) &&
+          col("__bin") === greatest(
+            floor(col(loA) / binWidth).cast("long"),
+            floor(col(loB) / binWidth).cast("long")))
+      .drop("__bin")
+  }
 }

@@ -68,4 +68,36 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
     df.filter(idHash(col(idCol)) < lit((fraction * HashMod).toLong))
   }
+
+  /** Weighted sample of `n` rows per stratum, deterministic AND
+    * engine-reproducible: each row gets priority `idHash(id) / weight`
+    * (scaled-uniform priority — one IEEE double division, bit-identical
+    * on any engine; selection chance grows with weight, the
+    * small-fraction regime of Efraimidis–Spirakis priority sampling,
+    * whose exact `u^(1/w)` key would hinge on cross-engine `pow`), and
+    * the n SMALLEST priorities win. Same bounded-aggregator shape as
+    * [[stratifiedN]]: at most n (priority, id) pairs leave each partition
+    * per stratum, winners pull full rows by broadcast semi-join — full
+    * rows never shuffle, nothing sorts. Rows with weight <= 0 or NULL are
+    * never sampled.
+    */
+  def weightedN(
+      df: DataFrame, strataCol: String, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val topk = udaf(
+      new BoundedTopK[(Double, Long)](n)((a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val winners = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(strataCol))
+      .agg(topk(
+        idHash(col(idCol)).cast("double") / col(weightCol).cast("double"),
+        col(idCol).cast("long")).as("w"))
+      .select(explode(col("w")).as("w"))
+      .select(col("w._2").as("__sample_id"))
+    df.join(
+      broadcast(winners),
+      col(idCol).cast("long") === col("__sample_id"), "left_semi")
+  }
 }

@@ -111,6 +111,59 @@ class RelationalSpec extends SparkTestBase {
     assert(naive.nonEmpty)
   }
 
+  test("overlap join equals the naive join, once per pair, half-open edges") {
+    val rnd = new scala.util.Random(11)
+    val a = (1 to 120).map { i =>
+      val lo = rnd.nextDouble() * 100; (i.toLong, lo, lo + rnd.nextDouble() * 15)
+    }.toDF("a_id", "a_lo", "a_hi")
+    val b = (1 to 150).map { i =>
+      val lo = rnd.nextDouble() * 100; (i.toLong, lo, lo + rnd.nextDouble() * 8)
+    }.toDF("b_id", "b_lo", "b_hi")
+    val naive = a.join(b, $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val binned = graft.operators.RangeJoin
+      .overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 7.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(binned.length == binned.toSet.size, "pair emitted more than once")
+    assert(binned.toSet == naive.toSet && naive.nonEmpty)
+
+    // half-open: touching intervals [0,5) and [5,8) do NOT overlap;
+    // nested and identical intervals do
+    val ha = Seq((1L, 0.0, 5.0), (2L, 10.0, 20.0)).toDF("a_id", "a_lo", "a_hi")
+    val hb = Seq((1L, 5.0, 8.0), (2L, 12.0, 13.0), (3L, 10.0, 20.0))
+      .toDF("b_id", "b_lo", "b_hi")
+    val h = graft.operators.RangeJoin
+      .overlapJoin(ha, hb, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 5.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(h == Set((2L, 2L), (2L, 3L)))
+  }
+
+  test("weighted sample: deterministic, respects weights, skips w<=0") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 97 == 0) 0L else (i % 10) * 100L + 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val s1 = graft.operators.Sampling
+      .weightedN(docs, "source", "doc_id", "n_chars", 5)
+      .as[(Long, String, Long)].collect().toSet
+    val s2 = graft.operators.Sampling
+      .weightedN(docs.repartition(13), "source", "doc_id", "n_chars", 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(s1.count(_._2 == "a") == 5 && s1.count(_._2 == "b") == 5)
+    assert(s1.forall(_._3 > 0), "zero-weight rows must never be sampled")
+    // reference: smallest hash/weight priority per stratum, computed in Scala
+    def hash(id: Long) = ((id % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+    val expect = (1 to 400)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 97 == 0) 0L else (i % 10) * 100L + 1L))
+      .filter(_._3 > 0)
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (hash(r._1).toDouble / r._3, r._1)).take(5)
+      }.toSet
+    assert(s1 == expect)
+  }
+
   test("quality checks flag planted defects") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val orders = Seq(
