@@ -17,6 +17,37 @@ object OracleSql {
 
   private val pos = sqlList(TextFunctions.positiveWords)
   private val neg = sqlList(TextFunctions.negativeWords)
+
+  /** q56's twin, generated per (column, kind) exactly like Profile builds
+    * its aggregates: every "val" a DOUBLE, fractional means through
+    * DECIMAL(28,6), integral/length sums exact.
+    */
+  private def profileSql(table: String, cols: Seq[(String, String)]): String =
+    cols.flatMap { case (c, kind) =>
+      val base = Seq(
+        s"""SELECT '$c' col_name, 'n_nulls' metric,
+           |  CAST(count(*) - count($c) AS DOUBLE) "val" FROM $table""",
+        s"""SELECT '$c', 'n_distinct', CAST(count(DISTINCT $c) AS DOUBLE) FROM $table""")
+      val typed = kind match {
+        case "int" => Seq(
+          s"SELECT '$c', 'min', CAST(min($c) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'max', CAST(max($c) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'mean', round(CAST(sum($c) AS DOUBLE) / count($c), 6) FROM $table")
+        case "frac" => Seq(
+          s"SELECT '$c', 'min', CAST(min($c) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'max', CAST(max($c) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'mean', round(CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE)" +
+            s" / count($c), 6) FROM $table")
+        case "str" => Seq(
+          s"SELECT '$c', 'min_len', CAST(min(len($c)) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'max_len', CAST(max(len($c)) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'mean_len', round(CAST(sum(len($c)) AS DOUBLE) / count($c), 6) FROM $table")
+        case "ts" => Seq(
+          s"SELECT '$c', 'min_us', CAST(epoch_us(min($c)) AS DOUBLE) FROM $table",
+          s"SELECT '$c', 'max_us', CAST(epoch_us(max($c)) AS DOUBLE) FROM $table")
+      }
+      base ++ typed
+    }.mkString("\nUNION ALL\n").stripMargin
   private val stop = sqlList(TextFunctions.stopWords)
 
   private val sentimentCase =
@@ -549,6 +580,12 @@ object OracleSql {
         |    ELSE abs(cumS / n_grp::DOUBLE
         |      - (cumG - cumS) / (n_total - n_grp)::DOUBLE) END), 6) ks
         |FROM cum GROUP BY source, n_grp""".stripMargin,
+
+    // Column profile: same metric set per column kind as Profile.profile.
+    "q56_profile" -> profileSql("orders", Seq(
+      ("o_orderkey", "int"), ("o_custkey", "int"), ("o_totalprice", "frac"),
+      ("o_orderstatus", "str"), ("o_orderpriority", "str"),
+      ("o_orderdate", "ts"))),
 
     // Sketch-rollup gate: the oracle recomputes the exact distinct spine;
     // the estimate and merge-consistency booleans must come back TRUE.

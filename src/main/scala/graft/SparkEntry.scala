@@ -245,6 +245,13 @@ object SparkEntry {
         Tables.events(s, dir), "event_type",
         date_trunc("day", col("ts")), "user_id")),
 
+    // one-pass column profile of the orders table (ANALYZE TABLE surface)
+    "q56_profile" -> ((s, dir) =>
+      operators.Profile.profile(
+        Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus", "o_orderpriority", "o_orderdate"))),
+
     // top-k TF-IDF terms per document (bounded aggregator, no vocab sort)
     "q42_tfidf_topk" -> ((s, dir) => Relational.tfidfTopK(Tables.documents(s, dir))),
 
