@@ -643,6 +643,30 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
 
+    // Hot-key profile: DuckDB's / on BIGINTs is float division like Spark.
+    "q58_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey "key", count(*) n FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) n_total FROM lineitem)
+        |SELECT "key", n, round(n / n_total, 6) AS "share",
+        |  CAST(row_number() OVER (ORDER BY n DESC, "key") AS INT) AS "rank"
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, "key" LIMIT 10""".stripMargin,
+
+    // Winsorized stats: bounds rounded to 6 dp in BOTH engines before the
+    // clamp, so sums and clamp counts are exactly reproducible.
+    "q59_winsorize" ->
+      """WITH b AS (SELECT source,
+        |    round(quantile_cont(n_chars, 0.05), 6) lo,
+        |    round(quantile_cont(n_chars, 0.95), 6) hi
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT d.source, n_chars,
+        |    least(greatest(CAST(n_chars AS DOUBLE), lo), hi) v
+        |  FROM documents d JOIN b USING (source))
+        |SELECT source, count(*) n_docs,
+        |  CAST(count(*) FILTER (v <> CAST(n_chars AS DOUBLE)) AS BIGINT) n_clamped,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) mean_w
+        |FROM w GROUP BY source""".stripMargin,
+
     // Exact percentiles recomputed (quantile_cont = Spark's percentile:
     // linear interpolation at p*(n-1)); the sketch bools must be TRUE.
     "q37_quality_percentiles" ->

@@ -293,6 +293,24 @@ object SparkEntry {
     "q37_quality_percentiles" -> ((s, dir) =>
       Relational.qualityPercentilesGate(Tables.documents(s, dir))),
 
+    // hot-key diagnostic: top-10 keys by share of the fact table
+    "q58_skew_profile" -> ((s, dir) =>
+      operators.Skew.keyProfile(
+        Tables.lineitem(s, dir).select("l_suppkey"), "l_suppkey", topN = 10)),
+
+    // per-source winsorized length stats (clamp at in-group p05/p95)
+    "q59_winsorize" -> ((s, dir) => {
+      val w = operators.Outliers.winsorize(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+      w.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars_w") =!= col("n_chars").cast("double"), 1)
+          .otherwise(0)).cast("long").as("n_clamped"),
+        round(sum(col("n_chars_w").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 4).as("mean_w"))
+    }),
+
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
   )

@@ -42,4 +42,25 @@ object Skew {
         salted("__salt") === exploded("__salt") && salted(factKey) === exploded(dimKey))
       .drop("__salt")
   }
+
+  /** The diagnostic that DECIDES between plain join / AQE / [[saltedJoin]]:
+    * the top-N hottest keys with their share of the table. One aggregation
+    * (count per key, bounded top-N) + one total — a key above ~1/partitions
+    * share concentrates a whole shuffle partition; double-digit shares are
+    * the saltedJoin regime. Returns (key, n, share, rank) ordered by rank.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"), col("n"),
+        round(col("n") / col("n_total"), 6).as("share"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key"))).cast("int"))
+  }
 }

@@ -18,4 +18,27 @@ class SkewSpec extends SparkTestBase {
     assert(salted == plain)
     assert(plain.size == 1001) // hot key matched + k=2; k=3/dk=4 unmatched
   }
+
+  test("keyProfile ranks hot keys with exact shares") {
+    // key 1: 6 rows, key 2: 3 rows, key 3: 1 row
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val out = Skew.keyProfile(df, "k", topN = 2)
+      .select($"key", $"n", $"share", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    assert(out == List((1L, 6L, 0.6, 1), (2L, 3L, 0.3, 2)))
+  }
+
+  test("winsorize clamps into the in-group percentile window, keeps rows") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 99).map(i => ("a", i.toLong)) :+ (("a", 10000L)))
+      .toDF("g", "v")
+    val w = graft.operators.Outliers.winsorize(df, "g", "v", 0.05, 0.95)
+    assert(w.count() == 100, "winsorize must not drop rows")
+    val clamped = w.select(max($"v_w"), min($"v_w")).head()
+    // p95 of 1..99,10000 at index .95*99 = 94.05 -> 95 + .05*(96-95) = 95.05
+    // p05 at index 4.95 -> 5 + .95*(6-5) = 5.95
+    assert(clamped.getDouble(0) == 95.05 && clamped.getDouble(1) == 5.95)
+    // interior values untouched
+    assert(w.filter($"v" === 50L).head().getAs[Double]("v_w") == 50.0)
+  }
 }
