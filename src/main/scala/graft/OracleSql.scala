@@ -361,6 +361,10 @@ object OracleSql {
     "q57_knn_quantized" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // Same gate for the pure-integer scoring path (symmetric codes).
+    "q60_knn_int8" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q27_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -103,6 +103,22 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.8)
     }),
 
+    // kNN scored ENTIRELY in the int8 domain (native integer-kernel
+    // cosine over symmetric codes — no dequantize): recall@5 vs float
+    "q60_knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val am = operators.Embeddings.absMax(emb, "embedding")
+      val q8 = emb.select(
+        col("vec_id"),
+        operators.Embeddings.quantizeSym(col("embedding"), am).as("qv"))
+      val queries8 = q8.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        Knn.bruteForceTopK(q8, queries8, "vec_id", "qv", 5,
+          score = plans.VectorFunctions.cosineSimilarityInt8),
+        Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5), 5, floor = 0.8)
+    }),
+
     "q28_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

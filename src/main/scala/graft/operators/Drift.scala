@@ -27,15 +27,23 @@ object Drift {
     */
   def ksDrift(
       docs: DataFrame, grpCol: String = "source",
-      valueCol: String = "n_chars"): DataFrame = {
-    val grps = docs.groupBy(col(grpCol)).agg(count(lit(1)).as("n_grp"))
-    val vals = docs.select(col(valueCol).as("v")).distinct()
-    val counts = docs
-      .groupBy(col(grpCol), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("c"))
-    val globalCounts = docs
-      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cg"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
+      valueCol: String = "n_chars"): DataFrame =
+    ksDriftFromCounts(
+      docs
+        .groupBy(col(grpCol), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")),
+      grpCol)
+
+  /** [[ksDrift]] from pre-aggregated (group, v, c) counts — the entry
+    * point streaming shares: a windowed streaming aggregation emits
+    * exactly this shape per finalized window (`streaming.DriftMonitor`),
+    * and sketched/pre-bucketed pipelines can feed it directly.
+    */
+  def ksDriftFromCounts(counts: DataFrame, grpCol: String): DataFrame = {
+    val grps = counts.groupBy(col(grpCol)).agg(sum(col("c")).as("n_grp"))
+    val vals = counts.select(col("v")).distinct()
+    val globalCounts = counts.groupBy(col("v")).agg(sum(col("c")).as("cg"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
 
     val grid = grps
       .crossJoin(vals)

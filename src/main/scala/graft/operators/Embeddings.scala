@@ -84,4 +84,26 @@ object Embeddings {
       ((x.cast("double") + 128.0) * element_at(stepA, i + 1)
         + element_at(minsA, i + 1)).cast("float"))
   }
+
+  /** Global |max| of the corpus — the SYMMETRIC quantization scale. One
+    * aggregation, one driver double.
+    */
+  def absMax(emb: DataFrame, vecCol: String = "embedding"): Double = {
+    val m = emb
+      .select(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head().getDouble(0)
+    if (m > 0) m else 1.0
+  }
+
+  /** Symmetric int8 quantization: q = round(v/absMax·127) ∈ [−127,127].
+    * ONE global scale (vs [[quantize]]'s per-dim affine), which cancels
+    * out of cosine algebraically — so
+    * `Int8CosineSimilarity(quantizeSym(a), quantizeSym(b))` scores the
+    * integer codes directly: no dequantize pass, pure int arithmetic
+    * (graft.plans.VectorKernels.cosineInt8).
+    */
+  def quantizeSym(v: Column, absMax: Double): Column =
+    transform(v, x =>
+      least(greatest(round(x.cast("double") * lit(127.0 / absMax)).cast("int"),
+        lit(-127)), lit(127)).cast("byte"))
 }

@@ -4,7 +4,7 @@ import graft.plans.VectorFunctions
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 
 /** Scored candidate for top-k aggregation. */
 case class Scored(id: Long, score: Double)
@@ -62,7 +62,8 @@ object Knn {
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      score: (Column, Column) => Column = VectorFunctions.cosineSimilarity): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
@@ -73,7 +74,7 @@ object Knn {
     val scored = c.join(broadcast(q), col("id") =!= col("qid"))
       .select(
         col("qid"), col("id"),
-        round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6).as("score"))
+        round(score(col("v"), col("qv")), 6).as("score"))
 
     scored
       .groupBy("qid")

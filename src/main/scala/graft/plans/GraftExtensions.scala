@@ -59,6 +59,14 @@ object GraftExtensions {
         CosineSimilarity(args(0), args(1))
       }),
     (
+      FunctionIdentifier("cosine_similarity_int8"),
+      info("cosine_similarity_int8",
+        "cosine_similarity_int8(array<tinyint>, array<tinyint>) - integer-kernel cosine over symmetrically-quantized vectors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity_int8 takes 2 arguments")
+        Int8CosineSimilarity(args(0), args(1))
+      }),
+    (
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(array<string>) - 128-hash MinHash signature"),

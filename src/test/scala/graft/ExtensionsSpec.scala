@@ -31,5 +31,11 @@ class ExtensionsSpec extends SparkTestBase {
 
     // arity errors surface as analysis-time failures, not runtime garbage
     intercept[Exception](spark.sql("SELECT simhash64(array('a'), 2)").collect())
+
+    val c8 = spark.sql(
+      "SELECT cosine_similarity_int8(" +
+        "array(CAST(3 AS TINYINT), CAST(4 AS TINYINT)), " +
+        "array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS c").collect()(0).getDouble(0)
+    assert(math.abs(c8 - 1.0) < 1e-12)
   }
 }

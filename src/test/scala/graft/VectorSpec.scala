@@ -148,6 +148,46 @@ class VectorSpec extends SparkTestBase {
       s"quantized kNN recall ${hits.toDouble / brute.count()}")
   }
 
+  test("int8 cosine kernel: identical to the float kernel on the same codes") {
+    import graft.operators.Embeddings
+    import graft.plans.VectorFunctions
+    val rnd = new Random(7)
+    val codes = (1 to 50).map { i =>
+      (i.toLong,
+        Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(16)((rnd.nextInt(255) - 127).toByte))
+    }.toDF("id", "a8", "b8")
+      .withColumn("af", $"a8".cast("array<float>"))
+      .withColumn("bf", $"b8".cast("array<float>"))
+    // integer codes are exactly representable as floats/doubles, and both
+    // kernels accumulate left-to-right in the same order -> bit equality
+    val rows = codes.select(
+      VectorFunctions.cosineSimilarityInt8($"a8", $"b8").as("ci"),
+      VectorFunctions.cosineSimilarity($"af", $"bf").as("cf"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (ci, cf) => assert(ci == cf, s"$ci != $cf") }
+
+    // mismatched lengths throw rather than silently truncating
+    val bad = Seq((Seq[Byte](1, 2), Seq[Byte](1, 2, 3))).toDF("a8", "b8")
+    intercept[Exception](
+      bad.select(VectorFunctions.cosineSimilarityInt8($"a8", $"b8")).collect())
+
+    // symmetric quantize -> int8 scoring reproduces float kNN on clusters
+    val am = Embeddings.absMax(clustered, "embedding")
+    val q8 = clustered.select(
+      $"vec_id", Embeddings.quantizeSym($"embedding", am).as("qv"))
+    val queries = clustered.filter($"vec_id" % 8 === 0)
+    val brute = Knn.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+    val int8 = Knn.bruteForceTopK(
+      q8, q8.filter($"vec_id" % 8 === 0), "vec_id", "qv", 5,
+      score = VectorFunctions.cosineSimilarityInt8)
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(int8.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 0.95 * brute.count(),
+      s"int8 kNN recall ${hits.toDouble / brute.count()}")
+  }
+
   test("ANN recall gates hold on a clustered corpus (LSH >= 0.8, IVF >= 0.8)") {
     val q = clustered.filter($"vec_id" % 8 === 0) // one query per cluster
     val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
