@@ -458,6 +458,21 @@ object OracleSql {
         |  round(least(a_hi, b_hi) - greatest(a_lo, b_lo), 4) overlap_len
         |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin,
 
+    // Entropy via H = (ln n - sum(c ln c)/n) / ln 2 — single agg over the
+    // unit counts, same formula both engines, rounded 4 dp.
+    "q61_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest([text[i] for i in range(1, len(text) + 1)]) u FROM documents),
+        |cc AS (SELECT doc_id, u, count(*) c FROM ch GROUP BY 1, 2),
+        |hc AS (SELECT doc_id, round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+        |    / ln(2), 4) char_entropy FROM cc GROUP BY doc_id),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) u FROM documents),
+        |tc AS (SELECT doc_id, u, count(*) c FROM tk GROUP BY 1, 2),
+        |ht AS (SELECT doc_id, round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+        |    / ln(2), 4) token_entropy FROM tc GROUP BY doc_id)
+        |SELECT hc.doc_id, char_entropy, token_entropy
+        |FROM hc JOIN ht USING (doc_id)""".stripMargin,
+
     "q36_ngram_topk" ->
       """WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
         |s AS (SELECT source, unnest(list_distinct([array_to_string(toks[i:i+1],' ')

@@ -204,6 +204,10 @@ object SparkEntry {
     "q38_repetition_signals" -> ((s, dir) =>
       operators.Repetition.signals(Tables.documents(s, dir), "doc_id", "text")),
 
+    // char/token Shannon entropy per doc (bits) — the band quality filters cut on
+    "q61_entropy" -> ((s, dir) =>
+      Relational.entropySignals(Tables.documents(s, dir).select("doc_id", "text"))),
+
     // C4-style PII scrub. The synthetic corpus contains no PII, so the
     // query injects deterministic email/URL spans (keyed on doc_id, same
     // expression in the oracle) — the operator under test is the regex

@@ -365,6 +365,34 @@ object Relational {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** Per-document Shannon entropy of the character and token
+    * distributions (bits) — the repetition/garbage signal Gopher-class
+    * quality filters cut on: natural text sits in a band, keyboard-mash
+    * and boilerplate fall outside it.
+    *
+    * Shape: explode → (doc, unit) counts → one aggregation per doc using
+    * H = (ln n − Σ c·ln c / n) / ln 2, so the per-doc pass never builds a
+    * distribution map in memory and the shuffle carries count partials
+    * only (the q38 explode-first discipline). Rounded 4 dp (`ln` agrees
+    * cross-engine at this precision, proven by q42). ASCII corpus note:
+    * Spark splits UTF-16 code units, DuckDB characters — identical on
+    * ASCII, bucket first for emoji-laden text.
+    */
+  def entropySignals(docs: DataFrame): DataFrame = {
+    def entropyOf(unit: Column): DataFrame = docs
+      .select(col("doc_id"), explode(unit).as("u"))
+      .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        (log(sum(col("c")).cast("double"))
+          - sum(col("c").cast("double") * log(col("c").cast("double")))
+          / sum(col("c")).cast("double")) / lit(math.log(2.0)), 4).as("h"))
+    entropyOf(split(col("text"), ""))
+      .withColumnRenamed("h", "char_entropy")
+      .join(entropyOf(split(col("text"), " "))
+        .withColumnRenamed("h", "token_entropy"), Seq("doc_id"))
+  }
+
   /** q42: top-k TF-IDF terms per document — the keyword-extraction pass of
     * a corpus pipeline. Smoothed idf: ln((N+1)/(df+1)) + 1.
     *

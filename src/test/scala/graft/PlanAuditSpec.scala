@@ -154,4 +154,36 @@ class PlanAuditSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q52 incremental dedup: delta text never shuffles, only digest + id") {
+    audited {
+      val df = SparkEntry.queries("q52_incremental_dedup")(spark, dir)
+      val ex = shuffles(df)
+      assert(ex.nonEmpty)
+      ex.foreach { s =>
+        val tys = s.child.output.map(_.dataType)
+        assert(!tys.exists(_.isInstanceOf[StringType]),
+          s"text must not ride the incremental-dedup shuffle: ${s.child.output}")
+      }
+    }
+  }
+
+  test("q54 weighted sample: bounded aggregator, no Window sort") {
+    audited {
+      val df = SparkEntry.queries("q54_weighted_sample")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "weighted sample must not window-sort")
+      assert(plan.contains("partial_boundedtopk"),
+        "winners must come from the map-side bounded aggregator")
+    }
+  }
+
+  test("q59 winsorize: the corpus-side clamp is broadcast-fed (no corpus re-shuffle)") {
+    audited {
+      val df = SparkEntry.queries("q59_winsorize")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"percentile bounds should broadcast to the clamp:\n$plan")
+    }
+  }
 }

@@ -164,6 +164,18 @@ class RelationalSpec extends SparkTestBase {
     assert(s1 == expect)
   }
 
+  test("entropy signals: hand-computed char/token entropy in bits") {
+    val docs = Seq((1L, "aab b"), (2L, "aaaa")).toDF("doc_id", "text")
+    // doc 1 chars {a:2, b:2, ' ':1}, n=5:
+    // H = (ln 5 - (2ln2 + 2ln2 + 0)/5)/ln 2 = 1.5219 bits
+    val h1 = (math.log(5) - 4 * math.log(2) / 5) / math.log(2)
+    val got = graft.operators.Relational.entropySignals(docs)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0)._2 == math.rint(h1 * 10000) / 10000)
+    assert(got(0)._3 == 1.0) // two distinct tokens, one each -> exactly 1 bit
+    assert(got(1)._2 == 0.0 && got(1)._3 == 0.0) // single symbol -> zero
+  }
+
   test("quality checks flag planted defects") {
     val ts = Timestamp.valueOf("2000-01-01 00:00:00")
     val orders = Seq(

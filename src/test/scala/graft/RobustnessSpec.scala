@@ -107,4 +107,54 @@ class RobustnessSpec extends SparkTestBase {
     val noVecs2 = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
     assert(graft.operators.Embeddings.classCentroids(noVecs2).count() == 0)
   }
+
+  test("second-sitting additions tolerate null/empty/degenerate inputs") {
+    import graft.operators.{Drift, Merge, Outliers, Profile, Skew}
+
+    // KS drift: one-group corpus -> ks 0; empty corpus -> empty result
+    val oneGroup = Seq((1L, "a", 5L), (2L, "a", 7L)).toDF("doc_id", "source", "n_chars")
+    assert(Drift.ksDrift(oneGroup).as[(String, Long, Double)].collect().toSeq ==
+      Seq(("a", 2L, 0.0)))
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Drift.ksDrift(noDocs).count() == 0)
+
+    // upsert of an empty base against updates = just the updates
+    val emptyBase = Seq.empty[(Long, String, Long)].toDF("k", "attr", "ver")
+    val ups = Seq((1L, "a", 1L)).toDF("k", "attr", "ver")
+    assert(Merge.upsert(emptyBase, ups, Seq("k"), "ver")
+      .as[(Long, String, Long)].collect().toSeq == Seq((1L, "a", 1L)))
+
+    // scdIntervals on empty input: empty, no crash
+    val noEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "us", "event_id", "event_type")
+    assert(Merge.scdIntervals(noEv, "user_id", "us", "event_id", "event_type")
+      .count() == 0)
+
+    // winsorize: all-equal group (p05 == p95) degenerates to the constant
+    val flat = Seq(("a", 7L), ("a", 7L), ("a", 7L)).toDF("g", "v")
+    assert(Outliers.winsorize(flat, "g", "v").select("v_w")
+      .as[Double].collect().toSeq == Seq(7.0, 7.0, 7.0))
+
+    // keyProfile on empty input: empty, no crash; nulls count as a key
+    assert(Skew.keyProfile(Seq.empty[Long].toDF("k"), "k").count() == 0)
+
+    // profile with an all-null column: n_nulls = rows, extremes null-safe
+    val nulls = Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"))
+      .toDF("n", "s")
+    val prof = Profile.profile(nulls).as[(String, String, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(prof(("n", "n_nulls")).contains(2.0))
+    assert(prof(("n", "n_distinct")).contains(0.0))
+    assert(prof(("n", "min")).isEmpty && prof(("n", "mean")).isEmpty)
+
+    // entropy of empty corpus: empty out
+    assert(Relational.entropySignals(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+
+    // incremental dedup with an EMPTY base index: everything is new
+    assert(Dedup.incrementalExact(
+      Seq((1L, "t")).toDF("doc_id", "text"), "doc_id", "text",
+      Dedup.digests(Seq.empty[(Long, String)].toDF("doc_id", "text"), "text"))
+      .count() == 1)
+  }
 }
