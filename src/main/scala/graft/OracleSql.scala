@@ -295,6 +295,24 @@ object OracleSql {
       """SELECT min(doc_id) doc_id, count(*) n_copies FROM documents
         |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
 
+    // Contamination: 5-gram twin of the shingle CTE (range end = len-3 so
+    // the count is len-5+1, empty below 5 tokens), threshold on the raw
+    // ratio, reported fraction rounded.
+    "q62_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |s5 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+4],' ')
+        |       for i in range(1, greatest(len(toks)-3,1))]) sh FROM t),
+        |tr AS (SELECT doc_id train_id, unnest(sh) g FROM s5 WHERE doc_id % 50 <> 0),
+        |te AS (SELECT doc_id test_id, unnest(sh) g FROM s5 WHERE doc_id % 50 = 0),
+        |sz AS (SELECT doc_id test_id, len(sh) n_grams FROM s5
+        |  WHERE doc_id % 50 = 0 AND len(sh) > 0),
+        |h AS (SELECT test_id, train_id, count(*) n_hits
+        |  FROM te JOIN tr USING (g) GROUP BY 1, 2)
+        |SELECT test_id, train_id, n_hits,
+        |  round(n_hits::DOUBLE / n_grams, 4) frac
+        |FROM h JOIN sz USING (test_id)
+        |WHERE n_hits::DOUBLE / n_grams >= 0.8""".stripMargin,
+
     // Incremental dedup: delta (odd ids) deduped within itself, then
     // anti-joined against the base (even ids) corpus's normalized texts.
     "q52_incremental_dedup" ->
@@ -306,6 +324,24 @@ object OracleSql {
         |SELECT doc_id, n_copies FROM d ANTI JOIN b USING (t)""".stripMargin,
 
     "q21_dedup_minhash" -> jaccardPairs,
+
+    // TF-IDF cosine pairs: both order-sensitive sums (norm, dot) ride
+    // DECIMAL in both engines, so the 4-dp cosine and the >= cut agree.
+    "q63_tfidf_cosine_pairs" ->
+      """WITH tf AS (SELECT doc_id doc, u term, count(*)::DOUBLE tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) u FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE n_docs FROM documents),
+        |w AS (SELECT doc, term, tf * (ln((n_docs + 1) / (df + 1)) + 1) w
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc, sqrt(CAST(sum(CAST(w*w AS DECIMAL(30,12))) AS DOUBLE)) nrm
+        |  FROM w GROUP BY doc),
+        |wn AS (SELECT doc, term, w / nrm wn FROM w JOIN nrm USING (doc)),
+        |p AS (SELECT a.doc doc_a, b.doc doc_b,
+        |    round(CAST(sum(CAST(a.wn * b.wn AS DECIMAL(30,12))) AS DOUBLE), 4) cosine
+        |  FROM wn a JOIN wn b ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a id_a, doc_b id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin,
 
     "q22_dedup_simhash" ->
       s"""$simhashCte

@@ -46,6 +46,16 @@ object SparkEntry {
     "q19_set_ops" -> ((s, dir) => Relational.setOps(Tables.orders(s, dir))),
 
     "q20_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+    // benchmark decontamination: test docs (ids % 50 == 0) whose 5-grams
+    // are covered >= 80% by some train doc's grams
+    "q62_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Contamination.pairs(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 5, minFrac = 0.8)
+    }),
+
     // incremental ingest: delta (odd ids) deduped against the base's
     // (even ids) persisted 8-byte digest index — base text never re-read
     "q52_incremental_dedup" -> ((s, dir) => {
@@ -60,6 +70,11 @@ object SparkEntry {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
+    // lexical near-dup by sparse TF-IDF cosine (rare shared terms weigh more)
+    "q63_tfidf_cosine_pairs" -> ((s, dir) =>
+      operators.TfidfSim.cosinePairs(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.9)),
+
     "q24_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
     "q24b_embed_neardup_lsh" -> ((s, dir) =>

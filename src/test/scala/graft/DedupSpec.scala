@@ -254,6 +254,45 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((11L, 2L), (14L, 1L)))
   }
 
+  test("contamination: full copy flagged, partial overlap below threshold not") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // superset of test 100
+      (2L, "one two three four five six"),             // disjoint
+      (3L, "p q r s t u v w"))                         // partial vs test 102
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // all 2 of its 5-grams in train 1
+      (101L, "totally different words here now folks"),
+      (102L, "p q r s t xx yy zz aa bb"),            // 1/6 grams hit -> below 0.8
+      (103L, "too short"))                           // <5 tokens: no grams, excluded
+      .toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .pairs(train, test, "doc_id", "text", n = 5, minFrac = 0.8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((100L, 1L, 2L, 1.0)))
+  }
+
+  test("tfidf cosine pairs: identical docs hit 1.0, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),  // exact copy -> cosine 1.0
+      (3L, "one two three four"),      // disjoint from 1/2
+      (4L, "alpha beta xx yy"))        // partial overlap, below 0.9
+      .toDF("doc_id", "text")
+    val out = graft.operators.TfidfSim
+      .cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 1.0)))
+    // lower threshold picks up the partial pair, still never the disjoint one
+    val loose = graft.operators.TfidfSim
+      .cosinePairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(loose.exists(p => p._1 == 1L && p._2 == 4L))
+    assert(!loose.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
