@@ -325,22 +325,28 @@ object OracleSql {
 
     "q21_dedup_minhash" -> jaccardPairs,
 
-    // TF-IDF cosine pairs: both order-sensitive sums (norm, dot) ride
-    // DECIMAL in both engines, so the 4-dp cosine and the >= cut agree.
+    // TF-IDF cosine pairs (blocked by source): both order-sensitive sums
+    // (norm, dot) ride DECIMAL in both engines, so the 4-dp cosine and
+    // the >= cut agree.
     "q63_tfidf_cosine_pairs" ->
-      """WITH tf AS (SELECT doc_id doc, u term, count(*)::DOUBLE tf
-        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) u FROM documents)
-        |  GROUP BY 1, 2),
+      """WITH tf AS (SELECT doc_id doc, any_value(src) src, u term, count(*)::DOUBLE tf
+        |  FROM (SELECT doc_id, source src, unnest(string_split(text,' ')) u
+        |        FROM documents)
+        |  GROUP BY doc_id, u),
         |df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
         |n AS (SELECT count(DISTINCT doc_id)::DOUBLE n_docs FROM documents),
-        |w AS (SELECT doc, term, tf * (ln((n_docs + 1) / (df + 1)) + 1) w
+        |w AS (SELECT doc, src, term, tf * (ln((n_docs + 1) / (df + 1)) + 1) w
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |nrm AS (SELECT doc, sqrt(CAST(sum(CAST(w*w AS DECIMAL(30,12))) AS DOUBLE)) nrm
         |  FROM w GROUP BY doc),
-        |wn AS (SELECT doc, term, w / nrm wn FROM w JOIN nrm USING (doc)),
+        |wn AS (SELECT doc, src, term,
+        |    CAST(round(w / nrm * 1000000) AS BIGINT) wn
+        |  FROM w JOIN nrm USING (doc)),
         |p AS (SELECT a.doc doc_a, b.doc doc_b,
-        |    round(CAST(sum(CAST(a.wn * b.wn AS DECIMAL(30,12))) AS DOUBLE), 4) cosine
-        |  FROM wn a JOIN wn b ON a.term = b.term AND a.doc < b.doc GROUP BY 1, 2)
+        |    round(sum(a.wn * b.wn)::DOUBLE / 1000000000000, 4) cosine
+        |  FROM wn a JOIN wn b
+        |    ON a.term = b.term AND a.src = b.src AND a.doc < b.doc
+        |  GROUP BY 1, 2)
         |SELECT doc_a id_a, doc_b id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin,
 
     "q22_dedup_simhash" ->

@@ -70,10 +70,12 @@ object SparkEntry {
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
-    // lexical near-dup by sparse TF-IDF cosine (rare shared terms weigh more)
+    // lexical near-dup by sparse TF-IDF cosine, blocked by source (the
+    // synthetic 31-word vocabulary makes UNblocked df^2 degenerate)
     "q63_tfidf_cosine_pairs" -> ((s, dir) =>
       operators.TfidfSim.cosinePairs(
-        Tables.documents(s, dir), "doc_id", "text", threshold = 0.9)),
+        Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.9, blockCol = Some("source"))),
 
     "q24_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),

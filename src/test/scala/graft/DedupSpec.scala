@@ -291,6 +291,17 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(loose.exists(p => p._1 == 1L && p._2 == 4L))
     assert(!loose.exists(p => p._2 == 3L || p._1 == 3L))
+
+    // blocking: the same corpus with docs 1/2 in different blocks never
+    // pairs them; within-block pairs and scores are unchanged
+    val blocked = docs.withColumn("src",
+      when($"doc_id" === 2L, "other").otherwise("main"))
+    val bp = graft.operators.TfidfSim
+      .cosinePairs(blocked, "doc_id", "text", threshold = 0.1,
+        blockCol = Some("src"))
+      .as[(Long, Long, Double)].collect()
+    assert(!bp.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(bp.exists(p => p._1 == 1L && p._2 == 4L)) // same block, still found
   }
 
   test("hot-bucket cap bounds candidate generation") {
