@@ -500,6 +500,21 @@ object OracleSql {
         |  round(least(a_hi, b_hi) - greatest(a_lo, b_lo), 4) overlap_len
         |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin,
 
+    // Sequence packing: DuckDB can afford the single global window the
+    // Spark side's distributed prefix sum avoids; // is integer division.
+    "q64_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    ((sum(n_tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_tokens))::BIGINT "offset" FROM d)
+        |SELECT doc_id, n_tokens, "offset",
+        |  ("offset" // 2048)::BIGINT start_seq,
+        |  (("offset" + greatest(n_tokens, 1) - 1) // 2048)::BIGINT end_seq,
+        |  ("offset" % 2048)::BIGINT pos_in_seq
+        |FROM c""".stripMargin,
+
     // Entropy via H = (ln n - sum(c ln c)/n) / ln 2 — single agg over the
     // unit counts, same formula both engines, rounded 4 dp.
     "q61_entropy" ->

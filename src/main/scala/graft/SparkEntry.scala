@@ -225,6 +225,15 @@ object SparkEntry {
     "q61_entropy" -> ((s, dir) =>
       Relational.entropySignals(Tables.documents(s, dir).select("doc_id", "text"))),
 
+    // LLM sequence packing: global token offsets + spanned sequences via
+    // a distributed prefix sum (never a single-partition window)
+    "q64_sequence_packing" -> ((s, dir) =>
+      operators.Packing.tokenOffsets(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 2048)),
+
     // C4-style PII scrub. The synthetic corpus contains no PII, so the
     // query injects deterministic email/URL spans (keyed on doc_id, same
     // expression in the oracle) — the operator under test is the regex

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenOffsets: hand-computed offsets, cuts and straddles") {
+    // docs 10,20,30,40 with 5,3,4,6 tokens, seqLen 8:
+    // offsets 0,5,8,12; doc 10 spans seq 0 only (0..4), doc 20 straddles
+    // 0->0 (5..7)? 5+3-1=7 -> seq 0; doc 30 at 8..11 -> seq 1;
+    // doc 40 at 12..17 -> seqs 1-2
+    val docs = Seq((10L, 5L), (20L, 3L), (30L, 4L), (40L, 6L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.tokenOffsets(docs, "doc_id", "n_tokens", seqLen = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 5L, 0L, 0L, 0L, 0L),
+      (20L, 3L, 5L, 0L, 0L, 5L),
+      (30L, 4L, 8L, 1L, 1L, 0L),
+      (40L, 6L, 12L, 1L, 2L, 4L)))
+  }
+
+  test("distributed prefix sum equals the single-window reference") {
+    val rnd = new scala.util.Random(99)
+    // sparse, shuffled ids — buckets will be uneven, some empty
+    val docs = rnd.shuffle((0 until 3000).toVector)
+      .map(i => (i * 17L + (i % 7), (rnd.nextInt(300) + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val fast = Packing.tokenOffsets(docs, "doc_id", "n_tokens", 2048, buckets = 13)
+      .select("doc_id", "offset").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs
+      .withColumn("offset", sum($"n_tokens").over(w) - $"n_tokens")
+      .select("doc_id", "offset").as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    // and it is partitioning-independent
+    val fast2 = Packing.tokenOffsets(
+      docs.repartition(11), "doc_id", "n_tokens", 2048, buckets = 13)
+      .select("doc_id", "offset").as[(Long, Long)].collect().toMap
+    assert(fast2 == ref)
+  }
+
+  test("empty and zero-token inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Packing.tokenOffsets(empty, "doc_id", "n_tokens", 8).count() == 0)
+    // a zero-token doc occupies no room but still gets a position
+    val z = Seq((1L, 0L), (2L, 4L)).toDF("doc_id", "n_tokens")
+    val out = Packing.tokenOffsets(z, "doc_id", "n_tokens", 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(1) == ((2L, 4L, 0L, 0L, 0L, 0L)))
+  }
+}
