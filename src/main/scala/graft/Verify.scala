@@ -5,13 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional third arg (local debugging only): run just the named queries
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val failures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>

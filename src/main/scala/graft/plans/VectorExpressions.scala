@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression: cosine similarity over two `array<float>`
   * embedding columns.
@@ -95,6 +95,24 @@ object VectorKernels {
     if (nx == 0L || ny == 0L) 0.0
     // sqrt each norm separately: nx*ny overflows Long past ~1M dims
     else dot / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  /** Merge-walk of two term-sorted sparse vectors; exact LONG sum. The
+    * arrays MUST be sorted ascending by binary UTF8 order (what
+    * `sort_array` yields) — an unsorted input silently under-counts, so
+    * callers own the sort; kept private to the TfidfSim path for that
+    * reason.
+    */
+  def sparseDotLong(ka: ArrayData, va: ArrayData, kb: ArrayData, vb: ArrayData): Long = {
+    val na = ka.numElements(); val nb = kb.numElements()
+    var i = 0; var j = 0; var dot = 0L
+    while (i < na && j < nb) {
+      val c = ka.getUTF8String(i).compareTo(kb.getUTF8String(j))
+      if (c == 0) { dot += va.getLong(i) * vb.getLong(j); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    dot
   }
 
   def cosine(x: ArrayData, y: ArrayData): Double = {
@@ -196,6 +214,49 @@ object VectorKernels {
   }
 }
 
+/** Sorted-merge sparse dot product over two quantized term-weight vectors:
+  * `(terms_a sorted asc, wns_a, terms_b sorted asc, wns_b) → Σ wn_a·wn_b`
+  * over the shared terms — the verification kernel of TF-IDF cosine pairs
+  * (SURVEY §2 `q63_tfidf_cosine_pairs`).
+  *
+  * Why an expression and not a re-join? Verifying a candidate pair by
+  * re-joining the (doc, term, wn) table term-at-a-time costs two shuffles
+  * and a 2·|terms| row explosion PER PAIR; this kernel walks the two
+  * sorted arrays once inside whole-stage codegen — candidate verification
+  * becomes a map over the pair list. Term arrays compare as binary
+  * UTF8 (the same total order `sort_array` produces), weights are the
+  * 6-dp quantized LONGs, so the sum is an exact integer: deterministic,
+  * order-independent, engine-identical.
+  */
+case class SparseDotLong(
+    termsA: Expression, wnsA: Expression, termsB: Expression, wnsB: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = termsA
+  override def second: Expression = wnsA
+  override def third: Expression = termsB
+  override def fourth: Expression = wnsB
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType),
+      ArrayType(StringType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorKernels.sparseDotLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.plans.VectorKernels.sparseDotLong($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(termsA = f, wnsA = s, termsB = t, wnsB = q)
+}
+
 /** Multi-table random-hyperplane LSH bucket ids of an `array<float>`
   * vector — the blocking keys for the ANN scale path (SURVEY §2
   * `q26_knn_lsh`). Returns `array<int>` of length `tables`.
@@ -256,6 +317,12 @@ object VectorFunctions {
   def cosineSimilarityInt8(a: Column, b: Column): Column =
     GraftColumnShim.column(
       Int8CosineSimilarity(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Column API for [[SparseDotLong]]. */
+  def sparseDotLong(ta: Column, wa: Column, tb: Column, wb: Column): Column =
+    GraftColumnShim.column(SparseDotLong(
+      GraftColumnShim.expression(ta), GraftColumnShim.expression(wa),
+      GraftColumnShim.expression(tb), GraftColumnShim.expression(wb)))
 
   /** Column API for [[LshBuckets]]. */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =

@@ -304,6 +304,55 @@ class DedupSpec extends SparkTestBase {
     assert(bp.exists(p => p._1 == 1L && p._2 == 4L)) // same block, still found
   }
 
+  test("tfidf degenerate hot block: chunked candgen = unchunked = naive") {
+    import spark.implicits._
+    // one block holds 80% of the docs, tiny shared vocabulary — the shape
+    // that made single-column blocking quadratic-in-one-task. A small
+    // maxPostings forces the chunk-triangle join (hot-term guard) through
+    // chunks > 1; the result must be IDENTICAL to the unchunked join and
+    // to a driver-side naive all-pairs tf-idf cosine.
+    val vocab = Array("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9")
+    def text(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 20).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val docs = (0 until 50).map(i =>
+      (i.toLong, text(i), if (i < 40) "hot" else "cold")).toDF("doc_id", "text", "src")
+    val threshold = 0.8
+
+    val chunked = graft.operators.TfidfSim
+      .cosinePairs(docs, "doc_id", "text", threshold, Some("src"), maxPostings = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val unchunked = graft.operators.TfidfSim
+      .cosinePairs(docs, "doc_id", "text", threshold, Some("src"), maxPostings = 1 << 30)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(chunked == unchunked)
+
+    // driver-side naive reference: same tf-idf formula, double math,
+    // 6-dp quantized LONG dot — byte-identical semantics to the operator
+    val rows = docs.as[(Long, String, String)].collect()
+    val tf = rows.map { case (id, t, s) =>
+      (id, s, t.split(" ").filter(_.nonEmpty).groupBy(identity).map { case (k, v) => k -> v.length.toDouble }) }
+    val dfm = tf.flatMap(_._3.keys).groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val nDocs = rows.length.toDouble
+    val wn = tf.map { case (id, s, m) =>
+      val w = m.map { case (t, f) => t -> f * (math.log((nDocs + 1) / (dfm(t) + 1)) + 1) }
+      val norm = math.sqrt(w.values.map(x => x * x).sum)
+      (id, s, w.map { case (t, x) => t -> math.round(x / norm * 1e6) })
+    }
+    val naive = (for {
+      (ia, sa, wa) <- wn; (ib, sb, wb) <- wn
+      if ia < ib && sa == sb
+      dot = wa.keysIterator.filter(wb.contains).map(t => wa(t) * wb(t)).sum
+      cos = math.rint(dot.toDouble / 1e12 * 1e4) / 1e4
+      if cos >= threshold
+    } yield (ia, ib, cos)).toSet
+    assert(chunked == naive)
+    assert(naive.nonEmpty) // the test must be discriminating
+    // cross-block pairs never appear
+    assert(chunked.forall { case (a, b, _) => (a < 40) == (b < 40) })
+  }
+
   test("hot-bucket cap bounds candidate generation") {
     // 30 identical docs: uncapped LSH would emit 435 pairs; cap=5 keeps
     // the 5 lowest ids per bucket -> C(5,2) = 10 pairs.
