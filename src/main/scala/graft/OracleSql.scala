@@ -779,15 +779,23 @@ object OracleSql {
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) valid_to_us
         |FROM ch""".stripMargin,
 
-    // octet_length(encode(..)), not length(..): the Spark side measures
-    // UTF-8 payload BYTES; character count would diverge on non-ASCII text
+    // The Spark side wraps the utf-8 text bytes in a REAL container (P6
+    // PPM for even ids, 24-bpp BMP for odd) and decodes the actual header
+    // back; the oracle reproduces the container geometry arithmetically:
+    // w = 16 + n%49, h = ceil(n/3w), PPM size = "P6\n"+w+" "+h+"\n255\n"
+    // + 3wh, BMP size = 54 + 4-byte-padded rows. octet_length(encode(..)),
+    // not length(..): bytes, not characters.
     "q40_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
-        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END fmt,
-        |  octet_length(encode(text))::BIGINT n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) width,
-        |  CAST((octet_length(encode(text)) * 31) % 480 AS INT) height
-        |FROM documents""".stripMargin,
+      """WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT n FROM documents),
+        |d AS (SELECT doc_id, n, (16 + n % 49)::BIGINT w FROM b),
+        |e AS (SELECT doc_id, n, w,
+        |        greatest(1, (n + 3*w - 1) // (3*w))::BIGINT h FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END fmt,
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3*w*h
+        |        ELSE 54 + ((3*w + 3) // 4) * 4 * h END)::BIGINT n_bytes,
+        |  w::INT width, h::INT height
+        |FROM e""".stripMargin,
   )
 }

@@ -15,48 +15,108 @@ case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long, width: Int, heigh
 
 /** Multimodal column handling (SURVEY §2 q40).
   *
-  * The image/audio decode libraries are not in this container, so
-  * [[decodeStub]] is a clearly-marked DETERMINISTIC FAKE of the decode
-  * step; everything around it — the binary-payload schema, the typed
-  * `Dataset` boundary, the batched `mapPartitions` shape (decoders want
-  * batches, not single frames), and the arithmetic on byte counts — is the
-  * real Spark plumbing a production decode would slot into.
+  * The payloads are REAL image containers — binary P6 PPM (Netpbm) and
+  * 24-bpp uncompressed BMP (BITMAPINFOHEADER) — and [[decode]] is a
+  * genuine decoder: it sniffs the magic bytes and reads dimensions out of
+  * the actual headers (ASCII fields for PPM, little-endian int32 at
+  * offsets 18/22 for BMP). No imaging library is involved because neither
+  * format needs one: both are pure header math over the byte array, which
+  * is exactly what makes them testable in this sandbox while exercising
+  * the same plumbing — binary-payload schema, typed `Dataset` boundary,
+  * batched `mapPartitions` decode (decoders want batches, not single
+  * frames) — that a JPEG/PNG decoder would slot into.
   */
 object Multimodal {
 
   /** How many records each decode call receives. Real decoders amortize
-    * model/library setup per batch; the stub keeps the same call shape.
+    * model/library setup per batch; header parsing keeps the same call
+    * shape so swapping in a heavier codec changes no plumbing.
     */
   val DecodeBatchSize = 64
 
-  /** STUB (deterministic fake): stands in for an image decode. Derives
-    * "dimensions" from the payload length so the oracle can reproduce it
-    * with plain SQL arithmetic. A real implementation would decode
-    * `r.payload` with an imaging library here — batch-shaped exactly like
-    * this.
+  /** Deterministic raster geometry for wrapping an n-byte blob as RGB
+    * pixels: width varies with the payload so the decode is discriminating,
+    * height covers the blob (zero-padded to 3·w·h bytes).
     */
-  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+  def rasterDims(n: Long): (Int, Int) = {
+    val w = (16L + n % 49L).toInt
+    val h = math.max(1L, (n + 3L * w - 1L) / (3L * w)).toInt
+    (w, h)
+  }
+
+  /** Binary PPM (P6): `P6\n<w> <h>\n255\n` + 3·w·h RGB bytes. */
+  def encodePpm(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, math.min(pixels.length, 3 * w * h))
+    out
+  }
+
+  /** 24-bpp uncompressed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, rows padded to 4-byte boundaries.
+    */
+  def encodeBmp(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      val n = math.max(0, math.min(3 * w, pixels.length - row * 3 * w))
+      if (n > 0) buf.put(pixels, row * 3 * w, n)
+      buf.position(54 + (row + 1) * rowSize)
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Genuine decode: sniff the magic, parse the real header. The reported
+    * format comes from the BYTES, not the `fmt` column — a mislabeled
+    * payload surfaces as a fmt mismatch instead of silently propagating.
+    */
+  def decode(batch: Seq[MediaRecord]): Seq[MediaMeta] =
     batch.map { r =>
-      val n = r.payload.length.toLong
-      MediaMeta(r.doc_id, r.fmt, n, (n % 640L).toInt, ((n * 31L) % 480L).toInt)
+      val p = r.payload
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') {
+        // P6, then whitespace-separated ASCII width / height / maxval
+        var i = 2
+        def skipWs(): Unit = { while (i < p.length && p(i).toChar.isWhitespace) i += 1 }
+        def int(): Int = {
+          skipWs(); var v = 0
+          while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+          v
+        }
+        val w = int(); val h = int()
+        MediaMeta(r.doc_id, "ppm", p.length.toLong, w, h)
+      } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+        val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val w = buf.getInt(18)
+        val h = math.abs(buf.getInt(22)) // negative height = top-down rows
+        MediaMeta(r.doc_id, "bmp", p.length.toLong, w, h)
+      } else throw new IllegalArgumentException(
+        s"doc ${r.doc_id}: unrecognized media payload (${p.length} bytes)")
     }
 
-  /** Wrap a text corpus as media records: payload = utf-8 bytes, format
-    * assigned deterministically. In production the payload would come from
-    * a binary-file source (`spark.read.format("binaryFile")` or parquet
-    * with a binary column); the downstream plumbing is identical.
+  /** Wrap a text corpus as media records: the utf-8 bytes become the RGB
+    * payload of a real PPM (even ids) or BMP (odd ids) container. In
+    * production the payload would come from a binary-file source
+    * (`spark.read.format("binaryFile")` or parquet with a binary column);
+    * the downstream plumbing is identical.
     */
   def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpeg")
-          .otherwise("webp").as("fmt"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val (w, h) = rasterDims(bytes.length.toLong)
+        if (id % 2 == 0) MediaRecord(id, "ppm", encodePpm(bytes, w, h))
+        else MediaRecord(id, "bmp", encodeBmp(bytes, w, h))
+      }
   }
 
   /** q40: batched metadata extraction over the opaque payload column.
@@ -67,7 +127,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(batch => decodeStub(batch))
+      it.grouped(DecodeBatchSize).flatMap(batch => decode(batch))
     }
   }
 
