@@ -325,6 +325,26 @@ object OracleSql {
 
     "q21_dedup_minhash" -> jaccardPairs,
 
+    // Incremental near-dup: delta (odd ids) vs base (even ids) index.
+    // nullif keeps the empty-∪-empty case NULL (= no drop), matching
+    // Spark's J(∅,∅)=0 — DuckDB's NaN would otherwise compare ≥ τ.
+    "q65_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t),
+        |b AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |d AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |jx AS (SELECT DISTINCT d.doc_id FROM d JOIN b ON
+        |   len(list_intersect(d.sh,b.sh))::DOUBLE
+        |     / nullif(len(d.sh)+len(b.sh)-len(list_intersect(d.sh,b.sh)),0) >= 0.7),
+        |jw AS (SELECT DISTINCT a2.doc_id FROM d a1 JOIN d a2
+        |  ON a1.doc_id < a2.doc_id AND
+        |   len(list_intersect(a1.sh,a2.sh))::DOUBLE
+        |     / nullif(len(a1.sh)+len(a2.sh)-len(list_intersect(a1.sh,a2.sh)),0) >= 0.7)
+        |SELECT doc_id FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        |ANTI JOIN jx USING (doc_id)
+        |ANTI JOIN jw USING (doc_id)""".stripMargin,
+
     // TF-IDF cosine pairs (blocked by source): both order-sensitive sums
     // (norm, dot) ride DECIMAL in both engines, so the 4-dp cosine and
     // the >= cut agree.

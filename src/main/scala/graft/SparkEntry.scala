@@ -64,6 +64,13 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
         Dedup.digests(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
     }),
+    "q65_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        Dedup.nearDupIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+        .survivors.select(col("id").as("doc_id"))
+    }),
     "q21_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q22_dedup_simhash" -> ((s, dir) =>

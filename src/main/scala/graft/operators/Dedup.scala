@@ -79,6 +79,102 @@ object Dedup {
       .join(baseDigests, Seq("digest"), "left_anti")
       .select(col(idCol), col("n_copies"))
 
+  /** The persisted NEAR-dup twin of [[digests]]: everything an incremental
+    * ingest needs to near-dup a delta against an already-ingested base
+    * without touching the base text again.
+    *
+    *  - `bands`: (band, bh, id) — the MinHash LSH band keys, the candidate
+    *    -generation side of the index.
+    *  - `shingles`: (id, sh: array<long>) — each doc's distinct shingle
+    *    set as 8-byte xxhash64 values, the verification side (exact
+    *    Jaccard over hashed shingles == over the strings, modulo 64-bit
+    *    collisions — the q62 contract).
+    *
+    * At 100 TB both frames are written once per ingest (partition by
+    * pmod(bh)/pmod(id)) and grow only by each delta's survivors.
+    */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Survivors of one incremental near-dup step plus the index to persist
+    * for the next one.
+    */
+  final case class IncrementalNearDup(survivors: DataFrame, index: NearDupIndex)
+
+  /** Build the [[NearDupIndex]] of a corpus (the one-time base pass). */
+  def nearDupIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4): NearDupIndex = {
+    val sh = shingled(docs, idCol, textCol, n)
+    NearDupIndex(
+      bands = bandKeys(sh, bands, rowsPerBand),
+      shingles = sh.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh")))
+  }
+
+  /** Incremental NEAR-dup dedup — the daily-ingest reality q52 covers only
+    * for exact copies. Bands the delta, joins band keys against the
+    * persisted index (base candidates) and itself (within-delta
+    * candidates), exact-verifies every candidate with Jaccard over the
+    * hashed shingle sets, and drops each delta doc that matches the base
+    * or a SMALLER delta id at ≥ `threshold` (the same keep-first
+    * canonicalization as [[exact]]'s min-id rule). Returns the surviving
+    * delta ids and the grown index.
+    *
+    * The base corpus appears ONLY through its index: no base text is
+    * read, shuffled, or re-shingled — cost is O(|delta|) banding plus
+    * band-key joins against an 8-byte-keyed index, the property that
+    * makes daily ingest affordable when delta ≪ base. Both candidate
+    * joins are bucket-capped ([[cappedBucketPairs]]' hot-bucket
+    * discipline) so a boilerplate band bucket cannot go quadratic.
+    */
+  def incrementalNearDup(
+      delta: DataFrame, idCol: String, textCol: String,
+      index: NearDupIndex,
+      n: Int = 3, threshold: Double = 0.7,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      bucketCap: Int = DefaultBucketCap): IncrementalNearDup = {
+    import org.apache.spark.sql.expressions.Window
+    val dsh = shingled(delta, idCol, textCol, n)
+    val dHashed = dsh.select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+    val dBanded = bandKeys(dsh, bands, rowsPerBand)
+
+    // delta × base candidates: equi-join on the band key, each side
+    // bucket-capped (lowest ids kept) — the cross-corpus analog of
+    // cappedBucketPairs' self-join discipline
+    def capped(b: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
+      b.withColumn("rn", row_number().over(w)).filter(col("rn") <= bucketCap)
+        .select("band", "bh", "id")
+    }
+    val crossCand = capped(dBanded).withColumnRenamed("id", "id_d")
+      .join(capped(index.bands).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
+      .select("id_d", "id_b").distinct()
+    val crossDrop = crossCand
+      .join(dHashed.select(col("id").as("id_d"), col("sh").as("sh_d")), Seq("id_d"))
+      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(TextFunctions.jaccard(col("sh_d"), col("sh_b")) >= threshold)
+      .select(col("id_d").as("id")).distinct()
+
+    // within-delta candidates: the q21 self-join path over the delta only
+    val withinCand = cappedBucketPairs(dBanded, Seq("band", "bh"), bucketCap).distinct()
+    val withinDrop = withinCand
+      .join(dHashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(dHashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(TextFunctions.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct() // id_a < id_b: the larger id drops
+
+    val survivors = delta.select(col(idCol).as("id"))
+      .join(crossDrop, Seq("id"), "left_anti")
+      .join(withinDrop, Seq("id"), "left_anti")
+
+    IncrementalNearDup(
+      survivors,
+      NearDupIndex(
+        bands = index.bands.unionByName(
+          dBanded.join(survivors, Seq("id"), "left_semi").select("band", "bh", "id")),
+        shingles = index.shingles.unionByName(
+          dHashed.join(survivors, Seq("id"), "left_semi"))))
+  }
+
   /** Shingled docs — the shared prefix of the shingle-based pipelines.
     * Shingle-less docs (shorter than n tokens) are dropped here: they have
     * no Jaccard evidence, and an empty set's MinHash signature is the
@@ -110,8 +206,19 @@ object Dedup {
     // Banding consumes the signature; verification consumes only the
     // shingle sets — keep the 128-hash MinHash computation out of the
     // verify branch (it would otherwise be recomputed per verify join).
-    val banded = sh
-      .select(col("id"), HashFunctions.minHashSignature(col("sh")).as("sig"))
+    val banded = bandKeys(sh, bands, rowsPerBand)
+
+    val candidates = cappedBucketPairs(banded, Seq("band", "bh"), bucketCap)
+      .distinct()
+
+    verifyPairs(candidates, sh, threshold)
+  }
+
+  /** LSH band keys of a shingled corpus: (id, band, bh) — one row per
+    * (doc, band), bh = xxhash64 of the band's MinHash signature slice.
+    */
+  private def bandKeys(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.select(col("id"), HashFunctions.minHashSignature(col("sh")).as("sig"))
       .select(
         col("id"),
         explode(
@@ -122,12 +229,6 @@ object Dedup {
               xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-
-    val candidates = cappedBucketPairs(banded, Seq("band", "bh"), bucketCap)
-      .distinct()
-
-    verifyPairs(candidates, sh, threshold)
-  }
 
   /** Per-bucket candidate cap (SURVEY §5). A boilerplate-text bucket with B
     * members emits B²/2 candidate pairs; one hot bucket at corpus scale can

@@ -304,6 +304,44 @@ class DedupSpec extends SparkTestBase {
     assert(bp.exists(p => p._1 == 1L && p._2 == 4L)) // same block, still found
   }
 
+  test("incremental near-dup: index-only base, keep-first delta, grown index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-nd").toString
+    Seq((0L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base")
+
+    // materialized index = what a real ingest persists between runs
+    val built = Dedup.nearDupIndex(base, "doc_id", "text")
+    val index = Dedup.NearDupIndex(
+      built.bands.localCheckpoint(), built.shingles.localCheckpoint())
+
+    val delta = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // = base -> drop
+      (3L, "completely different words forming unique content here for testing"),
+      (5L, "completely different words forming unique content here for testing"), // = 3 -> drop (keep-first)
+      (7L, "xy zz")) // shingle-less: no evidence, survives
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDup(delta, "doc_id", "text", index)
+    assert(inc.survivors.as[Long].collect().toSet == Set(3L, 7L))
+
+    // the base corpus participates ONLY via the index: no scan of the
+    // base parquet anywhere in the executed plan
+    val plan = inc.survivors.queryExecution.executedPlan.toString
+    assert(!plan.contains(root), "base text was re-read:\n" + plan)
+
+    // the grown index carries exactly base + surviving delta docs
+    assert(inc.index.shingles.select("id").as[Long].collect().toSet == Set(0L, 3L))
+
+    // next delta dedups against a delta-1 survivor through the grown index
+    val delta2 = Seq(
+      (9L, "completely different words forming unique content here for testing"), // = 3 -> drop
+      (11L, "fresh unseen material with no overlap at all anywhere else"))
+      .toDF("doc_id", "text")
+    val inc2 = Dedup.incrementalNearDup(delta2, "doc_id", "text", inc.index)
+    assert(inc2.survivors.as[Long].collect().toSet == Set(11L))
+  }
+
   test("tfidf degenerate hot block: chunked candgen = unchunked = naive") {
     import spark.implicits._
     // one block holds 80% of the docs, tiny shared vocabulary — the shape
