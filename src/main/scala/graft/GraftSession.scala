@@ -59,4 +59,43 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.dynamicAllocation.enabled", "true")
       .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
+
+  /** The public object-store (s3a) knobs a 100 TB deployment sets before
+    * anything else — the reference configures this surface explicitly
+    * (`tweets.py:32-38`: s3a endpoint + credentials on the Hadoop conf).
+    * Credentials/endpoint deliberately NOT set here: they come from the
+    * environment (instance profile, env vars, or the caller adding
+    * `fs.s3a.endpoint` etc. on top).
+    *
+    *  - connection pool + thread pool sized for hundreds of concurrent
+    *    parquet range-reads per executor (the defaults starve a 32-core
+    *    executor);
+    *  - 128 MB multipart parts so column-chunk writes stream instead of
+    *    buffering whole files;
+    *  - the S3A "magic" committer: task commits become object copies
+    *    inside the store, never a driver-side directory rename (O(files)
+    *    renames on a prefix listing is the classic cloud-commit
+    *    pathology);
+    *  - directory markers kept (no delete storms on deep prefixes;
+    *    safe on all modern Hadoop clients).
+    */
+  def objectStoreConf: Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.connection.maximum" -> "200",
+    "spark.hadoop.fs.s3a.threads.max" -> "64",
+    "spark.hadoop.fs.s3a.multipart.size" -> (128L * 1024 * 1024).toString,
+    "spark.hadoop.fs.s3a.fast.upload.buffer" -> "disk",
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+
+  /** [[clusterBuilder]] + [[objectStoreConf]]: the session profile for a
+    * cluster reading/writing an object store instead of HDFS/local disk.
+    */
+  def objectStoreBuilder(shufflePartitions: Int): SparkSession.Builder =
+    objectStoreConf.foldLeft(clusterBuilder(shufflePartitions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }

@@ -112,6 +112,18 @@ object OracleSql {
          |  $sentimentCase sentiment
          |FROM documents""".stripMargin,
 
+    // The broadcast-weights model path scoring the toy lexicon as a
+    // linear model: margin = Σ valence·count, tri-state label on the sign
+    "q66_model_sentiment" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  (len(list_filter(string_split(text,' '), t -> t IN $pos))
+         |   - len(list_filter(string_split(text,' '), t -> t IN $neg)))::DOUBLE margin
+         |  FROM documents)
+         |SELECT doc_id, margin,
+         |  CASE WHEN margin > 0 THEN 'positive'
+         |       WHEN margin < 0 THEN 'negative' ELSE 'na' END sentiment
+         |FROM m""".stripMargin,
+
     "q03_sentiment_daily" ->
       s"""SELECT source,
          |  count(*) FILTER (WHERE s = 'positive') positive_count,

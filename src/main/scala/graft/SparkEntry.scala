@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, IvfKnn, Knn, Multimodal, Relational}
-import graft.functions.TextFunctions
+import graft.functions.{Lexicon, SentimentModel, TextFunctions}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -167,6 +167,10 @@ object SparkEntry {
         .select(col("event_id"), col("r_regionkey"), col("value"))
     }),
 
+    "q66_model_sentiment" -> ((s, dir) =>
+      SentimentModel.scored(
+        Tables.documents(s, dir), "doc_id", "text",
+        SentimentModel.fromLexicon(Lexicon.Toy))),
     "q30_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),

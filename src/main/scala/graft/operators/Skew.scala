@@ -24,9 +24,13 @@ object Skew {
     * small-to-medium dims that are still ABOVE the broadcast threshold —
     * when the dim fits in memory, `broadcast()` (no shuffle at all) wins.
     *
-    * The salt is `pmod(hash(monotonically_increasing_id(), key), salts)` —
-    * deterministic within a run, uniform across rows, independent of the
-    * join key's own distribution.
+    * The salt is `pmod(xxhash64(<every fact column>), salts)` — a pure
+    * function of row CONTENT, so it is stable under stage retries and
+    * AQE re-planning (a `monotonically_increasing_id`-based salt changes
+    * when a recomputed upstream reorders rows; correctness survives — the
+    * dim carries every salt — but work placement silently moves).
+    * Fully-duplicate fact rows necessarily share a salt; a hot KEY still
+    * spreads because its rows differ in the other columns.
     */
   def saltedJoin(
       fact: DataFrame, dim: DataFrame,
@@ -34,7 +38,7 @@ object Skew {
       salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val salted = fact.withColumn(
-      "__salt", pmod(hash(monotonically_increasing_id(), col(factKey)), lit(salts)))
+      "__salt", pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
     val exploded = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

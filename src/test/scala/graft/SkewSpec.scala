@@ -19,6 +19,33 @@ class SkewSpec extends SparkTestBase {
     assert(plain.size == 1001) // hot key matched + k=2; k=3/dk=4 unmatched
   }
 
+  test("salt is content-derived: stable across partitionings and spread over buckets") {
+    import org.apache.spark.sql.functions._
+    val fact = (1 to 500).map(i => (1L, s"v$i")).toDF("k", "payload")
+    def salts(parts: Int): Map[String, Int] = fact.repartition(parts)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(8)).cast("int"))
+      .select("payload", "__salt").as[(String, Int)].collect().toMap
+    // the same rows get the same salt no matter how the input is
+    // partitioned — the property a stage retry / AQE re-plan relies on
+    // (a monotonically_increasing_id-based salt fails this)
+    assert(salts(3) == salts(11))
+    // and the hot key still spreads across all buckets
+    assert(salts(3).values.toSet.size == 8)
+  }
+
+  test("objectStoreConf carries the cloud-commit and s3a pool knobs") {
+    val c = GraftSession.objectStoreConf
+    assert(c("spark.hadoop.fs.s3a.committer.name") == "magic")
+    assert(c("spark.sql.sources.commitProtocolClass").contains("PathOutputCommitProtocol"))
+    assert(c("spark.hadoop.fs.s3a.connection.maximum").toInt >=
+      c("spark.hadoop.fs.s3a.threads.max").toInt)
+    assert(c("spark.hadoop.fs.s3a.multipart.size").toLong >= 64L * 1024 * 1024)
+    // no credentials baked into the profile
+    assert(!c.keys.exists(k => k.contains("access.key") || k.contains("secret")))
+    // the builder applies cleanly on top of the cluster profile
+    GraftSession.objectStoreBuilder(shufflePartitions = 2048)
+  }
+
   test("keyProfile ranks hot keys with exact shares") {
     // key 1: 6 rows, key 2: 3 rows, key 3: 1 row
     val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")

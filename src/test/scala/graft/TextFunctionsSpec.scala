@@ -101,4 +101,41 @@ class TextFunctionsSpec extends SparkTestBase {
     // a-shingles {x y, y z, z w}, b-shingles {y z, z w, w v}: 2 / 4
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("sentiment model: batch scoring = driver reference; lexicon model = column path") {
+    import graft.functions.{Lexicon, SentimentModel}
+    // real-valued weights + bias + dead zone — beyond what the lexicon does
+    val model = SentimentModel(
+      Map("good" -> 1.5, "great" -> 2.0, "bad" -> -1.0, "awful" -> -2.5),
+      bias = 0.25, deadZone = 0.5)
+    val r = new scala.util.Random(42)
+    val vocab = Array("good", "great", "bad", "awful", "meh", "thing", "x")
+    val docs = (0 until 200).map(i =>
+      (i.toLong, (0 until r.nextInt(12)).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val scored = SentimentModel.scored(docs, "doc_id", "text", model, batchSize = 7)
+      .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val reference = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val m = model.margin(text.split(" ").toSeq)
+      id -> ((m, model.label(m)))
+    }.toMap
+    assert(scored.size == 200 && scored == reference)
+
+    // the lexicon-as-model reproduces the overallSentiment column exactly
+    val lexModel = SentimentModel.fromLexicon(Lexicon.Toy)
+    val corpus = Seq(
+      (1L, "fast fast slow"), (2L, "slow big join"), (3L, "nothing here"),
+      (4L, "fast slow"), (5L, "")).toDF("doc_id", "text")
+    val viaModel = SentimentModel.scored(corpus, "doc_id", "text", lexModel)
+      .select("doc_id", "sentiment").as[(Long, String)].collect().toMap
+    val viaColumn = corpus
+      .select($"doc_id", graft.functions.TextFunctions.overallSentiment($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(viaModel == viaColumn)
+
+    // AFINN-style round trip
+    val parsed = SentimentModel.fromLines(Iterator("# c", "good\t1.5", "awful\t-2.5"))
+    assert(parsed.weights == Map("good" -> 1.5, "awful" -> -2.5))
+  }
 }
