@@ -95,10 +95,12 @@ object Dedup {
     */
   final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
 
-  /** Survivors of one incremental near-dup step plus the index to persist
-    * for the next one.
+  /** Survivors of one incremental near-dup step, the index rows this step
+    * ADDS (what an append-mode persister writes), and the grown index as
+    * a whole (what the next in-session step consumes).
     */
-  final case class IncrementalNearDup(survivors: DataFrame, index: NearDupIndex)
+  final case class IncrementalNearDup(
+      survivors: DataFrame, added: NearDupIndex, index: NearDupIndex)
 
   /** Build the [[NearDupIndex]] of a corpus (the one-time base pass). */
   def nearDupIndex(
@@ -166,13 +168,15 @@ object Dedup {
       .join(crossDrop, Seq("id"), "left_anti")
       .join(withinDrop, Seq("id"), "left_anti")
 
+    val added = NearDupIndex(
+      bands = dBanded.join(survivors, Seq("id"), "left_semi").select("band", "bh", "id"),
+      shingles = dHashed.join(survivors, Seq("id"), "left_semi"))
     IncrementalNearDup(
       survivors,
+      added,
       NearDupIndex(
-        bands = index.bands.unionByName(
-          dBanded.join(survivors, Seq("id"), "left_semi").select("band", "bh", "id")),
-        shingles = index.shingles.unionByName(
-          dHashed.join(survivors, Seq("id"), "left_semi"))))
+        bands = index.bands.unionByName(added.bands),
+        shingles = index.shingles.unionByName(added.shingles)))
   }
 
   /** Shingled docs — the shared prefix of the shingle-based pipelines.

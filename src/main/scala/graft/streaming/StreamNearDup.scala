@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous NEAR-dup ingest — [[graft.operators.Dedup.incrementalNearDup]]
+  * run micro-batch by micro-batch against a PERSISTED index, the streaming
+  * completion of the dedup family: [[StreamDedup]] drops exact copies
+  * inside the watermark horizon; this drops near-duplicates against
+  * everything ever ingested, because the index (band keys + hashed
+  * shingle sets, 8-byte rows) is what persists — never the corpus text.
+  *
+  * Layout under `indexDir`: `bands/` and `shingles/` parquet (append-only),
+  * plus `_batches/<id>` markers. Survivors land in
+  * `survivorsDir/batch=<id>/` (full rows), overwritten per batch id.
+  *
+  * Delivery semantics, in write order per batch:
+  *   1. marker exists → the batch is already fully applied: skip (a
+  *      checkpoint-replayed batch changes nothing).
+  *   2. survivors are computed against the CURRENT index and written to
+  *      the batch's own directory in overwrite mode — a retried batch
+  *      recomputes the identical result (the index hasn't changed) and
+  *      overwrites in place: no duplicate survivor rows, ever.
+  *   3. the marker commits the batch BEFORE the index append: a crash
+  *      inside the append window can only LOSE index rows for this
+  *      batch's survivors — future batches miss a dedup opportunity
+  *      against them (the streaming-dedup compromise, same shape as
+  *      StreamDedup's watermark horizon), but never lose survivor rows
+  *      and never double-drop. Duplicate index rows cannot occur; even a
+  *      partially-visible append is correctness-safe downstream (both
+  *      candidate joins `distinct` before verification).
+  */
+object StreamNearDup {
+
+  def start(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, survivorsDir: String, checkpointDir: String,
+      n: Int = 3, threshold: Double = 0.7,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = applyBatch(
+          batch.sparkSession, batch, idCol, textCol,
+          indexDir, survivorsDir, batchId, n, threshold)
+        onBatch(batchId, kept)
+      }
+      .start()
+
+  /** One batch of the protocol above (factored out so the semantics are
+    * unit-testable without a streaming runtime). Returns the number of
+    * survivors written, or -1 if the batch was already applied.
+    */
+  def applyBatch(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, survivorsDir: String, batchId: Long,
+      n: Int = 3, threshold: Double = 0.7): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return -1L
+
+    // empty-but-correctly-typed frames when the index doesn't exist yet:
+    // derive the schemas from the batch itself via a zero-row index build
+    val empty = Dedup.nearDupIndex(batch.limit(0), idCol, textCol, n)
+    def load(sub: String, or: DataFrame): DataFrame = {
+      val p = new Path(s"$indexDir/$sub")
+      if (p.getFileSystem(conf).exists(p)) spark.read.parquet(p.toString) else or
+    }
+    val index = Dedup.NearDupIndex(
+      load("bands", empty.bands), load("shingles", empty.shingles))
+
+    val inc = Dedup.incrementalNearDup(
+      batch, idCol, textCol, index, n, threshold)
+    val keptRows = batch.join(
+      inc.survivors.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .localCheckpoint() // pin the result BEFORE the index mutates
+    val added = Dedup.NearDupIndex(
+      inc.added.bands.localCheckpoint(), inc.added.shingles.localCheckpoint())
+
+    keptRows.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    added.bands.write.mode("append").parquet(s"$indexDir/bands")
+    added.shingles.write.mode("append").parquet(s"$indexDir/shingles")
+    keptRows.count()
+  }
+}
