@@ -86,7 +86,10 @@ object SentimentModel {
       .mapPartitions { it =>
         val m = bc.value
         it.grouped(batchSize).flatMap(_.map { case (id, text) =>
-          val mg = m.margin(text.split(" ").toSeq)
+          // null text = no tokens: the margin is the bias alone (usually
+          // "na"), never a crash and never a lost doc
+          val toks = if (text == null) Seq.empty[String] else text.split(" ").toSeq
+          val mg = m.margin(toks)
           (id, mg, m.label(mg))
         })
       }

@@ -110,6 +110,9 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"))
+      // a null payload has nothing to wrap or decode: the doc drops here,
+      // like the explode-based text operators (repetition, tfidf)
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")

@@ -157,4 +157,43 @@ class RobustnessSpec extends SparkTestBase {
       Dedup.digests(Seq.empty[(Long, String)].toDF("doc_id", "text"), "text"))
       .count() == 1)
   }
+
+  test("round-5 additions tolerate null/empty/degenerate inputs") {
+    import graft.functions.{Lexicon, SentimentModel}
+    import graft.operators.{Multimodal, TfidfSim}
+
+    // tfidf cosine pairs over the messy corpus: null-text doc vanishes
+    // from pairing, the duplicate pair still scores 1.0, nothing crashes
+    val tp = TfidfSim.cosinePairs(messy, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tp == Set((1L, 5L, 1.0)))
+    // and on an empty corpus: empty result
+    assert(TfidfSim.cosinePairs(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+
+    // incremental near-dup: empty delta against a real index -> no
+    // survivors, index unchanged; messy delta against an empty index ->
+    // null/short docs survive (no shingle evidence), dup pair collapses
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val idx = Dedup.nearDupIndex(messy, "doc_id", "text")
+    val incEmpty = Dedup.incrementalNearDup(emptyDocs, "doc_id", "text", idx)
+    assert(incEmpty.survivors.count() == 0)
+    assert(incEmpty.index.shingles.count() == idx.shingles.count())
+    val incMessy = Dedup.incrementalNearDup(
+      messy, "doc_id", "text", Dedup.nearDupIndex(emptyDocs, "doc_id", "text"))
+    assert(incMessy.survivors.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+
+    // model scoring: null text scores as bias-only na, no lost doc
+    val ms = SentimentModel.scored(
+      messy, "doc_id", "text", SentimentModel.fromLexicon(Lexicon.Toy))
+      .select("doc_id", "sentiment").as[(Long, String)].collect().toMap
+    assert(ms.keySet == Set(1L, 2L, 3L, 4L, 5L) && ms(2L) == "na")
+
+    // media wrap/decode: null text drops, empty text still yields a real
+    // minimal container that decodes
+    val mm = Multimodal.metaFromDocuments(spark, messy)
+      .as[(Long, String, Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(!mm.contains(2L))
+    assert(mm(3L)._4 == 16 && mm(3L)._5 == 1) // n=0 -> 16x1 raster
+  }
 }
