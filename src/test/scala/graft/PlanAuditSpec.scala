@@ -186,4 +186,46 @@ class PlanAuditSpec extends SparkTestBase {
         s"percentile bounds should broadcast to the clamp:\n$plan")
     }
   }
+
+  test("q63 tfidf pairs: candgen shuffles are slim scalars, arrays only on id-keyed verify joins") {
+    audited {
+      val df = SparkEntry.queries("q63_tfidf_cosine_pairs")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      // the pair pipeline must stay in hash aggregation (codegen), never
+      // fall back to sort-based aggregation
+      assert(!plan.toString.contains("SortAggregate"), s"sort-agg fallback:\n$plan")
+      val withArrays = shuffles(df)
+        .filter(_.child.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      // term-keyed candidate-generation rows are (term[, blk], chunk, doc)
+      // scalars — a term array on those shuffles would mean the prefix
+      // index regressed to shipping whole documents per posting
+      withArrays.foreach { s =>
+        val names = s.child.output.map(_.name)
+        assert(!names.contains("term"),
+          s"candidate-generation shuffle carries arrays: ${s.child.output}")
+      }
+      // per-doc vectors move at most: once into the groupBy, once per
+      // verify side — never per candidate pair
+      assert(withArrays.size <= 3,
+        s"expected <=3 array-bearing shuffles, found ${withArrays.size}")
+    }
+  }
+
+  test("q65 incremental near-dup: no document text on any shuffle") {
+    audited {
+      val df = SparkEntry.queries("q65_incremental_neardup")(spark, dir)
+      val ex = shuffles(df)
+      assert(ex.nonEmpty)
+      ex.foreach { s =>
+        s.child.output.map(_.dataType).foreach {
+          case _: StringType =>
+            fail(s"text/shingle strings must not ride a q65 shuffle: ${s.child.output}")
+          case ArrayType(et, _) =>
+            assert(!et.isInstanceOf[StringType],
+              s"shingle STRING arrays must not ride a q65 shuffle (hashed longs only): ${s.child.output}")
+          case _ =>
+        }
+      }
+    }
+  }
 }
