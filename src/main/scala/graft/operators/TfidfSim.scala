@@ -79,10 +79,17 @@ object TfidfSim {
     val norms = w.groupBy(col("doc"))
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(30,12)")).cast("double"))
         .as("norm"))
+    // The weight table feeds FOUR consumers (vectors, prefix, and both
+    // candidate-join sides); without materialization every branch
+    // recomputes the whole tf→df→norm chain from the scan — measured 36
+    // source scans per run at sf0.01. localCheckpoint pins it to executor
+    // disk once (the q47/q34 shared-subplan discipline): at 100 TB this is
+    // the difference between one corpus pass and dozens.
     val wn = w.join(norms, Seq("doc"))
       .select(keep ++ Seq(col("df"),
         (col("w") / col("norm")).as("dn"),
         round(col("w") / col("norm") * lit(1e6)).cast("long").as("wn")): _*)
+      .localCheckpoint()
 
     // Per-doc sorted sparse vector: the verification payload. One shuffle
     // keyed by doc; sort_array gives the binary-UTF8 order sparseDotLong
@@ -109,9 +116,11 @@ object TfidfSim {
     // meets exactly once on key (term[, blk], min(gx,gy), max(gx,gy)).
     val pKey = "term" +: blk.map(_ => "blk")
     val pdf = prefix.groupBy(pKey.map(col): _*).agg(count(lit(1)).as("pdf"))
+    // both triangle-join sides explode from pc: materialize it once
     val pc = prefix.join(pdf, pKey)
       .withColumn("chunks", ceil(col("pdf") / lit(maxPostings)).cast("int"))
       .withColumn("g", pmod(xxhash64(col("doc")), col("chunks")).cast("int"))
+      .localCheckpoint()
     val aSide = pc.select(pKey.map(col) ++ Seq(col("doc").as("doc_1"),
       col("g").as("lo"), explode(sequence(col("g"), col("chunks") - 1)).as("hi")): _*)
     val bSide = pc.select(pKey.map(col) ++ Seq(col("doc").as("doc_2"),
