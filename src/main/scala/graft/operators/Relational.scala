@@ -313,13 +313,17 @@ object Relational {
     * EXCEPT (both directions) over the customer sets of two order eras,
     * tagged and unioned into one result. Spark plans these as left-semi /
     * left-anti joins over distinct keys: only the (custkey) column ever
-    * shuffles, never order payloads.
+    * shuffles, never order payloads. Each era's key set feeds three
+    * branches, so it is materialized once (key column only) — without
+    * that the three set operations scan the orders source six times.
     */
   def setOps(orders: DataFrame, splitYear: Int = 1998): DataFrame = {
     val early = orders
       .filter(year(col("o_orderdate")) < splitYear).select(col("o_custkey"))
+      .localCheckpoint()
     val late = orders
       .filter(year(col("o_orderdate")) >= splitYear).select(col("o_custkey"))
+      .localCheckpoint()
     early.intersect(late).select(lit("both_eras").as("kind"), col("o_custkey"))
       .unionAll(early.except(late).select(lit("early_only").as("kind"), col("o_custkey")))
       .unionAll(late.except(early).select(lit("late_only").as("kind"), col("o_custkey")))
