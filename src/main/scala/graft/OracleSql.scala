@@ -112,6 +112,26 @@ object OracleSql {
          |  $sentimentCase sentiment
          |FROM documents""".stripMargin,
 
+    // CCNet-style LM quality scoring: add-one bigram model trained on the
+    // even-id half, scoring the odd-id half. Prefix counts (not token
+    // counts) normalize the conditional; ln sums round 4 dp (q61 rule)
+    // and ppl = exp of the ROUNDED entropy so both engines cut identically
+    "q67_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |    for i in range(1, len(toks))], recursive := true) FROM t),
+        |refbg AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |refug AS (SELECT w1, count(*) c1 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE v
+        |  FROM (SELECT unnest(toks) u FROM t WHERE doc_id % 2 = 0)),
+        |s AS (SELECT b.doc_id, ln((coalesce(c12, 0) + 1)::DOUBLE / (coalesce(c1, 0) + v)) lnp
+        |  FROM bg b LEFT JOIN refbg USING (w1, w2) LEFT JOIN refug USING (w1) CROSS JOIN v
+        |  WHERE b.doc_id % 2 = 1),
+        |h AS (SELECT doc_id, count(*)::BIGINT n_bigrams,
+        |    round(-sum(lnp) / count(*), 4) cross_entropy
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, cross_entropy, round(exp(cross_entropy), 2) ppl FROM h""".stripMargin,
+
     // The broadcast-weights model path scoring the toy lexicon as a
     // linear model: margin = Σ valence·count, tri-state label on the sign
     "q66_model_sentiment" ->

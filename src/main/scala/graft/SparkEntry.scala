@@ -173,6 +173,13 @@ object SparkEntry {
         .select(col("event_id"), col("r_regionkey"), col("value"))
     }),
 
+    "q67_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Perplexity.score(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        operators.Perplexity.train(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+    }),
     "q66_model_sentiment" -> ((s, dir) =>
       SentimentModel.scored(
         Tables.documents(s, dir), "doc_id", "text",

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet/Gopher-class
+  * quality filter a pretraining pipeline runs over every document: score
+  * each doc by how surprising its text is under a language model trained
+  * on a trusted reference corpus, then keep/bucket by perplexity band
+  * (CCNet's head/middle/tail split). The production version uses a KenLM
+  * 5-gram model; this is the same statistic over an add-one-smoothed
+  * word BIGRAM model, with the model itself trained as a Spark
+  * aggregation — no external artifacts, any corpus can be the reference.
+  *
+  * Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), where c(w1) is w1's
+  * count as a bigram PREFIX (so Σ_w2 P = 1 exactly) and V the reference's
+  * distinct-token vocabulary size. Per doc: cross-entropy
+  * H = −Σ ln P / n_bigrams (rounded 4 dp — the q61 ln-sum discipline,
+  * engine-identical), perplexity = exp(H) of the rounded H. Unseen
+  * bigrams and unseen prefixes degrade smoothly to the 1/(c1+V) floor —
+  * OOV text scores high-perplexity, exactly the filtering signal.
+  *
+  * Scale: training is two linear aggregations over the reference; scoring
+  * joins each doc bigram against the count tables — Zipf keeps the model
+  * ≪ corpus (broadcast when under the threshold, hash join otherwise),
+  * and the corpus side never shuffles anything wider than (id, w1, w2).
+  * Docs with < 2 tokens carry no bigram evidence and are excluded, the
+  * explode-first convention (q61/q42).
+  */
+object Perplexity {
+
+  /** A trained bigram LM: prefix-keyed count tables + the one-row vocab
+    * size. All three are plain DataFrames — persist them like any other
+    * index (the q52/q65 pattern) and score any number of later corpora.
+    */
+  final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame, vocab: DataFrame)
+
+  /** (id, w1, w2) bigram OCCURRENCES (duplicates kept — counts, not the
+    * distinct shingle sets of the Jaccard family).
+    */
+  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(toks) - 2), i =>
+          struct(
+            element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train the model: bigram counts, prefix counts, vocabulary size. */
+  def train(ref: DataFrame, idCol: String, textCol: String): BigramLm = {
+    val bg = bigramsOf(ref, idCol, textCol)
+    BigramLm(
+      bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      unigrams = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      vocab = ref
+        .select(explode(TextFunctions.tokens(col(textCol))).as("u"))
+        .agg(countDistinct(col("u")).cast("double").as("v")))
+  }
+
+  /** Score a corpus under a trained model:
+    * (id, n_bigrams, cross_entropy, ppl).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, lm: BigramLm): DataFrame =
+    bigramsOf(docs, idCol, textCol)
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.unigrams, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .select(col("id"),
+        log((coalesce(col("c12"), lit(0)) + 1).cast("double")
+          / (coalesce(col("c1"), lit(0)) + col("v"))).as("lnp"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lnp")) / count(lit(1)), 4).as("cross_entropy"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"),
+        round(exp(col("cross_entropy")), 2).as("ppl"))
+}

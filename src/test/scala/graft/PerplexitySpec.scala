@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Perplexity
+
+class PerplexitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bigram LM: driver-reference equality, normalization, OOV ordering") {
+    val ref = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val lm = Perplexity.train(ref, "doc_id", "text")
+
+    // conditional normalizes: Σ_w2-over-vocab (c12+1)/(c1+V) = 1 exactly
+    // iff each prefix's bigram-count sum equals its prefix count
+    val v = lm.vocab.as[Double].head()
+    val c1 = lm.unigrams.as[(String, Long)].collect().toMap
+    val c12 = lm.bigrams.as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    c1.foreach { case (w1, n) =>
+      assert(c12(w1) == n,
+        s"prefix $w1: Σ_w2 c12 = ${c12(w1)} must equal c1 = $n (normalization)")
+    }
+
+    // driver-side reference score for one doc
+    val probe = Seq((1L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val out = Perplexity.score(probe, "doc_id", "text", lm)
+      .as[(Long, Long, Double, Double)].head()
+    val toks = "the cat sat on the rug".split(" ")
+    val lnps = toks.sliding(2).map { case Array(a, b) =>
+      math.log((c12ForPair(lm, a, b) + 1.0) / (c1.getOrElse(a, 0L) + v))
+    }.toSeq
+    val h = math.rint(-lnps.sum / lnps.size * 1e4) / 1e4
+    assert(out._2 == 5L && out._3 == h)
+    assert(out._4 == math.rint(math.exp(h) * 100) / 100)
+
+    // OOV text scores strictly higher perplexity than in-domain text
+    val pair = Seq(
+      (1L, "the cat sat on the mat"),
+      (3L, "zz qq ww ee rr tt")).toDF("doc_id", "text")
+    val scored = Perplexity.score(pair, "doc_id", "text", lm)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(scored(3L) > scored(1L))
+
+    // single-token docs carry no bigram evidence: excluded
+    assert(Perplexity.score(
+      Seq((9L, "word")).toDF("doc_id", "text"), "doc_id", "text", lm).count() == 0)
+  }
+
+  private def c12ForPair(lm: Perplexity.BigramLm, a: String, b: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val r = lm.bigrams.filter(col("w1") === a && col("w2") === b)
+      .select("c12").collect()
+    if (r.isEmpty) 0L else r(0).getLong(0)
+  }
+}
