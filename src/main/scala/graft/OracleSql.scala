@@ -132,6 +132,30 @@ object OracleSql {
         |  FROM s GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, cross_entropy, round(exp(cross_entropy), 2) ppl FROM h""".stripMargin,
 
+    // CCNet's band decision on q67's scores: per-source head/middle/tail
+    // at the source's own exact 1/3 / 2/3 ppl quantiles, cuts rounded 6dp
+    // (the winsorize rule) before the <= comparisons
+    "q68_perplexity_bands" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |    for i in range(1, len(toks))], recursive := true) FROM t),
+        |refbg AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |refug AS (SELECT w1, count(*) c1 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE v
+        |  FROM (SELECT unnest(toks) u FROM t WHERE doc_id % 2 = 0)),
+        |s AS (SELECT b.doc_id, ln((coalesce(c12, 0) + 1)::DOUBLE / (coalesce(c1, 0) + v)) lnp
+        |  FROM bg b LEFT JOIN refbg USING (w1, w2) LEFT JOIN refug USING (w1) CROSS JOIN v
+        |  WHERE b.doc_id % 2 = 1),
+        |h AS (SELECT doc_id, round(-sum(lnp) / count(*), 4) cross_entropy FROM s GROUP BY doc_id),
+        |ps AS (SELECT h.doc_id, d.source, round(exp(cross_entropy), 2) ppl
+        |  FROM h JOIN documents d USING (doc_id)),
+        |c AS (SELECT source, round(quantile_cont(ppl, 1.0/3), 6) lo,
+        |    round(quantile_cont(ppl, 2.0/3), 6) hi FROM ps GROUP BY source)
+        |SELECT doc_id, source, ppl,
+        |  CASE WHEN ppl <= lo THEN 'head' WHEN ppl <= hi THEN 'middle'
+        |       ELSE 'tail' END band
+        |FROM ps JOIN c USING (source)""".stripMargin,
+
     // The broadcast-weights model path scoring the toy lexicon as a
     // linear model: margin = Σ valence·count, tri-state label on the sign
     "q66_model_sentiment" ->

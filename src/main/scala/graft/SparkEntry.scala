@@ -180,6 +180,13 @@ object SparkEntry {
         operators.Perplexity.train(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
     }),
+    "q68_perplexity_bands" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Perplexity.bands(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "source",
+        operators.Perplexity.train(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+    }),
     "q66_model_sentiment" -> ((s, dir) =>
       SentimentModel.scored(
         Tables.documents(s, dir), "doc_id", "text",

@@ -62,6 +62,33 @@ object Perplexity {
         .agg(countDistinct(col("u")).cast("double").as("v")))
   }
 
+  /** CCNet's actual filter decision: split each source's documents into
+    * head / middle / tail perplexity bands at the source's own `lo`/`hi`
+    * exact quantiles (head = most fluent). Per-source cuts, not global —
+    * CCNet banded per language for the same reason: sources differ in
+    * baseline perplexity and a global cut would empty some and pass all
+    * of others. Cuts are EXACT interpolated percentiles rounded 6 dp
+    * before the comparison (the winsorize discipline — the last float
+    * bits are where engines disagree) and broadcast; the scored corpus
+    * never re-shuffles for the banding.
+    * Returns (id, srcCol, ppl, band).
+    */
+  def bands(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      lm: BigramLm, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, "need 0 < lo < hi < 1")
+    val scored = score(docs, idCol, textCol, lm)
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+    val cuts = scored.groupBy(col(srcCol)).agg(
+      round(percentile(col("ppl"), lit(lo)), 6).as("__lo"),
+      round(percentile(col("ppl"), lit(hi)), 6).as("__hi"))
+    scored.join(broadcast(cuts), srcCol)
+      .select(col(idCol), col(srcCol), col("ppl"),
+        when(col("ppl") <= col("__lo"), "head")
+          .when(col("ppl") <= col("__hi"), "middle")
+          .otherwise("tail").as("band"))
+  }
+
   /** Score a corpus under a trained model:
     * (id, n_bigrams, cross_entropy, ppl).
     */

@@ -47,6 +47,27 @@ class PerplexitySpec extends SparkTestBase {
       Seq((9L, "word")).toDF("doc_id", "text"), "doc_id", "text", lm).count() == 0)
   }
 
+  test("bands: per-source terciles, head = most fluent, sources independent") {
+    val ref = Seq(
+      (0L, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val lm = Perplexity.train(ref, "doc_id", "text")
+    // source A: three docs of strictly increasing OOV-ness; source B: all
+    // identical (every doc ties at the cut -> everyone lands in head)
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "A"),      // in-domain
+      (3L, "the cat sat zz qq ww", "A"),        // half OOV
+      (5L, "zz qq ww ee rr tt", "A"),           // all OOV
+      (7L, "the dog sat on the rug", "B"),
+      (9L, "the dog sat on the rug", "B"),
+      (11L, "the dog sat on the rug", "B")).toDF("doc_id", "text", "src")
+    val out = Perplexity.bands(docs, "doc_id", "text", "src", lm)
+      .as[(Long, String, Double, String)].collect().map(r => r._1 -> r._4).toMap
+    assert(out(1L) == "head" && out(3L) == "middle" && out(5L) == "tail")
+    // B's cuts come from B alone: identical ppls all tie at <= lo
+    assert(out(7L) == "head" && out(9L) == "head" && out(11L) == "head")
+  }
+
   private def c12ForPair(lm: Perplexity.BigramLm, a: String, b: String): Long = {
     import org.apache.spark.sql.functions.col
     val r = lm.bigrams.filter(col("w1") === a && col("w2") === b)
