@@ -51,15 +51,23 @@ object Perplexity {
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
-  /** Train the model: bigram counts, prefix counts, vocabulary size. */
+  /** Train the model: bigram counts, prefix counts, vocabulary size. The
+    * model frames are MATERIALIZED here (localCheckpoint) — they are the
+    * persistable artifact, and every downstream score join would
+    * otherwise re-aggregate the reference corpus per consumer (the
+    * ScanCount recomputation trap: q68 hit 10 source scans before this).
+    */
   def train(ref: DataFrame, idCol: String, textCol: String): BigramLm = {
-    val bg = bigramsOf(ref, idCol, textCol)
+    val bg = bigramsOf(ref, idCol, textCol).localCheckpoint()
     BigramLm(
-      bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
-      unigrams = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint(),
+      unigrams = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(),
       vocab = ref
         .select(explode(TextFunctions.tokens(col(textCol))).as("u"))
-        .agg(countDistinct(col("u")).cast("double").as("v")))
+        .agg(countDistinct(col("u")).cast("double").as("v"))
+        .localCheckpoint())
   }
 
   /** CCNet's actual filter decision: split each source's documents into
@@ -77,8 +85,10 @@ object Perplexity {
       docs: DataFrame, idCol: String, textCol: String, srcCol: String,
       lm: BigramLm, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
     require(0 < lo && lo < hi && hi < 1, "need 0 < lo < hi < 1")
+    // scored feeds both the cut aggregation and the final join: pin it
     val scored = score(docs, idCol, textCol, lm)
       .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .localCheckpoint()
     val cuts = scored.groupBy(col(srcCol)).agg(
       round(percentile(col("ppl"), lit(lo)), 6).as("__lo"),
       round(percentile(col("ppl"), lit(hi)), 6).as("__hi"))
