@@ -23,12 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** `dropPplTail` enables the CCNet perplexity stage between the
+    * repetition cut and dedup: train the q67 bigram LM on the survivors
+    * so far (CCNet trains on trusted text; self-training is the
+    * no-external-corpus variant — boilerplate/gibberish still scores
+    * tail because it is unlike the corpus MAJORITY), band per source at
+    * `pplTailQuantile`, drop the tail. Off by default: the q47 oracle
+    * pins the 6-stage chain.
+    */
   final case class Config(
       keepLang: String = "en",
       minTokens: Long = 25,
       maxTopWordFrac: Double = 0.125,
       jaccardThreshold: Double = 0.7,
-      samplePerSource: Int = 15)
+      samplePerSource: Int = 15,
+      dropPplTail: Boolean = false,
+      pplTailQuantile: Double = 2.0 / 3)
 
   /** Stage DataFrames, each the survivors of the previous stage. `docs`
     * must carry (doc_id, text, source). Heavier stages are
@@ -47,7 +57,18 @@ object CorpusPipeline {
     // checkpoint the last cheap-filter stage too: without it the audit's
     // stage-4..6 counts each recompute the repetition aggregation
     val s3 = if (checkpoint) s3raw.localCheckpoint() else s3raw
-    val s4raw = Dedup.exactSurvivors(s3, "doc_id", "text")
+    val ppl: Seq[(String, DataFrame)] =
+      if (!cfg.dropPplTail) Seq.empty
+      else {
+        val keepPpl = graft.operators.Perplexity.bands(
+          s3, "doc_id", "text", "source",
+          graft.operators.Perplexity.train(s3, "doc_id", "text"),
+          hi = cfg.pplTailQuantile)
+          .filter(col("band") =!= "tail").select("doc_id")
+        Seq("ppl" -> s3.join(keepPpl, Seq("doc_id"), "left_semi"))
+      }
+    val pplIn = ppl.lastOption.map(_._2).getOrElse(s3)
+    val s4raw = Dedup.exactSurvivors(pplIn, "doc_id", "text")
     val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
     val pairs = Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
     val s5raw = Dedup.nearDupSurvivors(s4, "doc_id", pairs)
@@ -56,8 +77,8 @@ object CorpusPipeline {
       s5.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
       .select("doc_id")
     val s6 = s5.join(keep, Seq("doc_id"), "left_semi")
-    Seq("lang" -> s1, "quality" -> s2, "repetition" -> s3,
-      "exact_dedup" -> s4, "near_dedup" -> s5, "sample" -> s6)
+    Seq("lang" -> s1, "quality" -> s2, "repetition" -> s3) ++ ppl ++
+      Seq("exact_dedup" -> s4, "near_dedup" -> s5, "sample" -> s6)
   }
 
   /** The cleaned corpus: full rows of every surviving document. */

@@ -33,4 +33,33 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(cleaned.contains(1L)) // the canonical copy of the 1/5/6 cluster
     assert(cleaned.intersect(Set(7L, 8L, 9L)).size == 2) // s2 capped
   }
+
+  test("optional perplexity stage drops the planted gibberish, default chain unchanged") {
+    // one source, many similar docs + one OOV-gibberish doc that passes
+    // lang/quality/repetition but is unlike the corpus majority
+    val base = (1L to 12L).map(i =>
+      (i, s"alpha beta gamma delta the epsilon v$i", "s1"))
+    val docs = (base :+ ((13L, "zz qq ww ee the rr tt yy", "s1")))
+      .toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 4, maxTopWordFrac = 0.5, jaccardThreshold = 0.99,
+      samplePerSource = 100, dropPplTail = true, pplTailQuantile = 0.9)
+
+    val audit = CorpusPipeline.auditCounts(docs, cfg)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    val byName = audit.map(t => t._2 -> t._3).toMap
+    assert(audit.map(_._2) == Seq("input", "lang", "quality", "repetition",
+      "ppl", "exact_dedup", "near_dedup", "sample"))
+    assert(byName("repetition") == 13L)
+    assert(byName("ppl") == 12L) // exactly the gibberish doc dropped
+    val cleaned = CorpusPipeline.clean(docs, cfg).select($"doc_id").as[Long].collect().toSet
+    assert(!cleaned.contains(13L) && cleaned.contains(1L))
+
+    // default config: no ppl stage, original 6-stage names (q47's oracle shape)
+    val defaultNames = CorpusPipeline.auditCounts(docs,
+      CorpusPipeline.Config(minTokens = 4, maxTopWordFrac = 0.5))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(defaultNames == Seq("input", "lang", "quality", "repetition",
+      "exact_dedup", "near_dedup", "sample"))
+  }
 }
