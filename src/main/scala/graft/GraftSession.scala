@@ -85,7 +85,16 @@ object GraftSession {
     "spark.hadoop.fs.s3a.multipart.size" -> (128L * 1024 * 1024).toString,
     "spark.hadoop.fs.s3a.fast.upload.buffer" -> "disk",
     "spark.hadoop.fs.s3a.committer.name" -> "magic",
-    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep",
+    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep")
+
+  /** The cloud-commit protocol classes, SEPARATE from [[objectStoreConf]]
+    * because they live in Spark's `spark-hadoop-cloud` module (+
+    * `hadoop-aws`), which is not on every classpath — setting
+    * `commitProtocolClass` to an absent class breaks EVERY sql write in
+    * the session, including local ones. Apply on top of
+    * [[objectStoreBuilder]] only on a deployment that ships those jars.
+    */
+  def objectStoreCommitterConf: Map[String, String] = Map(
     "spark.sql.sources.commitProtocolClass" ->
       "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
     "spark.sql.parquet.output.committer.class" ->
@@ -93,6 +102,8 @@ object GraftSession {
 
   /** [[clusterBuilder]] + [[objectStoreConf]]: the session profile for a
     * cluster reading/writing an object store instead of HDFS/local disk.
+    * Add [[objectStoreCommitterConf]] when `spark-hadoop-cloud` is on the
+    * classpath.
     */
   def objectStoreBuilder(shufflePartitions: Int): SparkSession.Builder =
     objectStoreConf.foldLeft(clusterBuilder(shufflePartitions)) {

@@ -29,22 +29,31 @@ object Lexicon {
     (TextFunctions.positiveWords.map(_ -> 1) ++
       TextFunctions.negativeWords.map(_ -> -1)).toMap)
 
-  /** Parse AFINN-format lines: `word<TAB>score`, one per line; blank lines
-    * and `#` comments skipped. Multi-word AFINN phrases are kept verbatim
-    * (they simply never match single-token lookups).
+  /** Shared AFINN-format line parser: `token<TAB>value`, blank lines and
+    * `#` comments skipped, `conv` interprets the value (Int valences
+    * here, Double weights in [[SentimentModel.fromLines]] — one parser,
+    * so a format fix lands in both loaders).
     */
-  def fromLines(lines: Iterator[String]): Lexicon = {
+  private[functions] def parseTokenValueLines[A](
+      lines: Iterator[String])(conv: String => A): Map[String, A] = {
     val entries = lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val cut = l.lastIndexOf('\t')
-        require(cut > 0, s"not AFINN format (word<TAB>score): '$l'")
-        l.substring(0, cut) -> l.substring(cut + 1).trim.toInt
+        require(cut > 0, s"not token<TAB>value format: '$l'")
+        l.substring(0, cut) -> conv(l.substring(cut + 1).trim)
       }
       .toMap
-    require(entries.nonEmpty, "empty lexicon")
-    Lexicon(entries)
+    require(entries.nonEmpty, "empty token-value list")
+    entries
   }
+
+  /** Parse AFINN-format lines: `word<TAB>score`, one per line; blank lines
+    * and `#` comments skipped. Multi-word AFINN phrases are kept verbatim
+    * (they simply never match single-token lookups).
+    */
+  def fromLines(lines: Iterator[String]): Lexicon =
+    Lexicon(parseTokenValueLines(lines)(_.toInt))
 
   /** Load from a filesystem path (driver-side; the lexicon is broadcast
     * from the plan, never re-read per task).

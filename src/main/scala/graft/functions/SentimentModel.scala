@@ -55,18 +55,25 @@ object SentimentModel {
   def fromLexicon(lex: Lexicon): SentimentModel =
     SentimentModel(lex.scores.map { case (w, s) => w -> s.toDouble })
 
-  /** Parse `token<TAB>weight` lines (AFINN shape, real-valued weights). */
-  def fromLines(lines: Iterator[String]): SentimentModel = {
-    val entries = lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val cut = l.lastIndexOf('\t')
-        require(cut > 0, s"not token<TAB>weight format: '$l'")
-        l.substring(0, cut) -> l.substring(cut + 1).trim.toDouble
-      }.toMap
-    require(entries.nonEmpty, "empty model")
-    SentimentModel(entries)
-  }
+  /** Parse `token<TAB>weight` lines (AFINN shape, real-valued weights;
+    * the parser is [[Lexicon.parseTokenValueLines]]).
+    */
+  def fromLines(lines: Iterator[String]): SentimentModel =
+    SentimentModel(Lexicon.parseTokenValueLines(lines)(_.toDouble))
+
+  /** Score one BATCH of (id, text) rows — the call a model server / ONNX
+    * session replaces: it receives the whole batch, exactly like
+    * [[graft.operators.Multimodal.decode]].
+    */
+  def scoreBatch(
+      m: SentimentModel, batch: Seq[(Long, String)]): Seq[(Long, Double, String)] =
+    batch.map { case (id, text) =>
+      // null text = no tokens: the margin is the bias alone (usually
+      // "na"), never a crash and never a lost doc
+      val toks = if (text == null) Seq.empty[String] else text.split(" ").toSeq
+      val mg = m.margin(toks)
+      (id, mg, m.label(mg))
+    }
 
   /** Batch-scored corpus: `(id, margin, sentiment)` per document. The
     * weights ride ONE broadcast (not a per-task closure copy);
@@ -85,13 +92,7 @@ object SentimentModel {
       .as[(Long, String)]
       .mapPartitions { it =>
         val m = bc.value
-        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
-          // null text = no tokens: the margin is the bias alone (usually
-          // "na"), never a crash and never a lost doc
-          val toks = if (text == null) Seq.empty[String] else text.split(" ").toSeq
-          val mg = m.margin(toks)
-          (id, mg, m.label(mg))
-        })
+        it.grouped(batchSize).flatMap(batch => scoreBatch(m, batch))
       }
     out.toDF(idCol, "margin", "sentiment")
   }

@@ -154,8 +154,16 @@ object Dedup {
       b.withColumn("rn", row_number().over(w)).filter(col("rn") <= bucketCap)
         .select("band", "bh", "id")
     }
+    // The index side is pruned to the delta's buckets BEFORE the cap
+    // window: the window must never partition/sort the WHOLE persisted
+    // index (it grows with the base — that would make every micro-batch
+    // pay O(|index|) and break the O(|delta|) ingest contract). After the
+    // semi-join, the surviving index rows are O(|delta| · bands) for
+    // bounded buckets.
+    val touched = index.bands
+      .join(dBanded.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
     val crossCand = capped(dBanded).withColumnRenamed("id", "id_d")
-      .join(capped(index.bands).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
+      .join(capped(touched).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
       .select("id_d", "id_b").distinct()
     val crossDrop = crossCand
       .join(dHashed.select(col("id").as("id_d"), col("sh").as("sh_d")), Seq("id_d"))

@@ -90,11 +90,19 @@ object Multimodal {
           v
         }
         val w = int(); val h = int()
+        // a real header yields positive dims and a payload that covers
+        // the raster; "P6" + garbage must reject, not decode as 0×0
+        if (w <= 0 || h <= 0 || p.length - i < 3L * w * h)
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: malformed PPM header (w=$w h=$h, ${p.length} bytes)")
         MediaMeta(r.doc_id, "ppm", p.length.toLong, w, h)
-      } else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M') {
+      } else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
         val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val w = buf.getInt(18)
         val h = math.abs(buf.getInt(22)) // negative height = top-down rows
+        if (w <= 0 || h == 0)
+          throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: malformed BMP header (w=$w h=$h)")
         MediaMeta(r.doc_id, "bmp", p.length.toLong, w, h)
       } else throw new IllegalArgumentException(
         s"doc ${r.doc_id}: unrecognized media payload (${p.length} bytes)")

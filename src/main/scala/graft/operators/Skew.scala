@@ -37,8 +37,15 @@ object Skew {
       factKey: String, dimKey: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // MapType is not hashable (xxhash64 rejects it by default); salt from
+    // the remaining columns — content-stability only needs SOME columns
+    // that distinguish the hot key's rows
+    val hashable = fact.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    require(hashable.nonEmpty, "saltedJoin: fact has no hashable (non-map) columns")
     val salted = fact.withColumn(
-      "__salt", pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+      "__salt", pmod(xxhash64(hashable: _*), lit(salts)).cast("int"))
     val exploded = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

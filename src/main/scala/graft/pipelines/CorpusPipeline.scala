@@ -60,10 +60,12 @@ object CorpusPipeline {
     val ppl: Seq[(String, DataFrame)] =
       if (!cfg.dropPplTail) Seq.empty
       else {
+        // only the hi cut decides tail-or-not; pass a lo strictly below
+        // it so any pplTailQuantile in (0, 1) is valid
         val keepPpl = graft.operators.Perplexity.bands(
           s3, "doc_id", "text", "source",
           graft.operators.Perplexity.train(s3, "doc_id", "text"),
-          hi = cfg.pplTailQuantile)
+          lo = cfg.pplTailQuantile / 2, hi = cfg.pplTailQuantile)
           .filter(col("band") =!= "tail").select("doc_id")
         Seq("ppl" -> s3.join(keepPpl, Seq("doc_id"), "left_semi"))
       }

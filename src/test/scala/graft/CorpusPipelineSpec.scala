@@ -55,6 +55,11 @@ class CorpusPipelineSpec extends SparkTestBase {
     val cleaned = CorpusPipeline.clean(docs, cfg).select($"doc_id").as[Long].collect().toSet
     assert(!cleaned.contains(13L) && cleaned.contains(1L))
 
+    // any tail quantile in (0,1) is valid — including below 1/3
+    val strict = CorpusPipeline.clean(docs, cfg.copy(pplTailQuantile = 0.25))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!strict.contains(13L) && strict.nonEmpty)
+
     // default config: no ppl stage, original 6-stage names (q47's oracle shape)
     val defaultNames = CorpusPipeline.auditCounts(docs,
       CorpusPipeline.Config(minTokens = 4, maxTopWordFrac = 0.5))

@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Multimodal.decode(Seq(MediaRecord(9L, "png", Array[Byte](1, 2, 3, 4))))
     }
+    // a correct magic with a garbage header must reject too, not decode
+    // as a 0x0 image
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(Seq(MediaRecord(10L, "ppm",
+        Array[Byte]('P', '6', -1, -2, -3, -4, -5))))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decode(Seq(MediaRecord(11L, "ppm",
+        "P6\n100 100\n255\n".getBytes("US-ASCII"))))
+    }
   }
 
   test("streaming sentiment twin matches batch pivot on the same rows") {

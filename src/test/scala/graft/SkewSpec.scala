@@ -33,17 +33,35 @@ class SkewSpec extends SparkTestBase {
     assert(salts(3).values.toSet.size == 8)
   }
 
-  test("objectStoreConf carries the cloud-commit and s3a pool knobs") {
+  test("objectStoreConf carries the s3a pool knobs; committer classes are opt-in") {
     val c = GraftSession.objectStoreConf
     assert(c("spark.hadoop.fs.s3a.committer.name") == "magic")
-    assert(c("spark.sql.sources.commitProtocolClass").contains("PathOutputCommitProtocol"))
     assert(c("spark.hadoop.fs.s3a.connection.maximum").toInt >=
       c("spark.hadoop.fs.s3a.threads.max").toInt)
     assert(c("spark.hadoop.fs.s3a.multipart.size").toLong >= 64L * 1024 * 1024)
     // no credentials baked into the profile
     assert(!c.keys.exists(k => k.contains("access.key") || k.contains("secret")))
+    // commit-protocol classes live in spark-hadoop-cloud, absent from many
+    // classpaths (including this one): they must NOT be in the default
+    // profile — an absent class there breaks every write in the session
+    assert(!c.contains("spark.sql.sources.commitProtocolClass"))
+    assert(GraftSession.objectStoreCommitterConf(
+      "spark.sql.sources.commitProtocolClass").contains("PathOutputCommitProtocol"))
     // the builder applies cleanly on top of the cluster profile
     GraftSession.objectStoreBuilder(shufflePartitions = 2048)
+  }
+
+  test("saltedJoin tolerates map-typed fact columns (excluded from the salt)") {
+    import org.apache.spark.sql.functions._
+    val fact = ((1 to 50).map(i => (1L, s"v$i")) :+ ((2L, "x")))
+      .toDF("k", "payload")
+      .withColumn("attrs", map(lit("a"), $"payload")) // MapType: not hashable
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("dk", "name")
+    val out = Skew.saltedJoin(fact, dim, "k", "dk", salts = 4)
+      .select("k", "payload", "name").as[(Long, String, String)].collect().sorted.toSeq
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .select("k", "payload", "name").as[(Long, String, String)].collect().sorted.toSeq
+    assert(out == plain && out.size == 51)
   }
 
   test("keyProfile ranks hot keys with exact shares") {
