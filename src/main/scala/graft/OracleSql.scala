@@ -829,6 +829,37 @@ object OracleSql {
         |  TRUE sk50_ok, TRUE sk90_ok, TRUE sk99_ok
         |FROM documents GROUP BY source""".stripMargin,
 
+    // q59's approx-cut gate: exact p05/p95 spine + sketch-inside-window
+    // booleans asserted TRUE (the q37 pattern)
+    "q69_winsorize_gate" ->
+      """SELECT source, count(*) n,
+        |  round(quantile_cont(n_chars, 0.05), 4) exact_lo,
+        |  round(quantile_cont(n_chars, 0.95), 4) exact_hi,
+        |  TRUE lo_ok, TRUE hi_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q68's approx-cut gate: q68's scored-ppl CTE chain, then the exact
+    // tercile spine + sketch booleans asserted TRUE
+    "q70_ppl_cut_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |    for i in range(1, len(toks))], recursive := true) FROM t),
+        |refbg AS (SELECT w1, w2, count(*) c12 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |refug AS (SELECT w1, count(*) c1 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u)::DOUBLE v
+        |  FROM (SELECT unnest(toks) u FROM t WHERE doc_id % 2 = 0)),
+        |s AS (SELECT b.doc_id, ln((coalesce(c12, 0) + 1)::DOUBLE / (coalesce(c1, 0) + v)) lnp
+        |  FROM bg b LEFT JOIN refbg USING (w1, w2) LEFT JOIN refug USING (w1) CROSS JOIN v
+        |  WHERE b.doc_id % 2 = 1),
+        |h AS (SELECT doc_id, round(-sum(lnp) / count(*), 4) cross_entropy FROM s GROUP BY doc_id),
+        |ps AS (SELECT h.doc_id, d.source, round(exp(cross_entropy), 2) ppl
+        |  FROM h JOIN documents d USING (doc_id))
+        |SELECT source, count(*) n,
+        |  round(quantile_cont(ppl, 1.0/3), 4) exact_lo,
+        |  round(quantile_cont(ppl, 2.0/3), 4) exact_hi,
+        |  TRUE lo_ok, TRUE hi_ok
+        |FROM ps GROUP BY source""".stripMargin,
+
     // Latest-wins upsert: update rows (version 1) replace base rows for
     // their key; src breaks the tie exactly like upsert's _src column.
     "q50_upsert" ->

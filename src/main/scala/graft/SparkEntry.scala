@@ -390,6 +390,23 @@ object SparkEntry {
 
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
+
+    // gate for q59's approx-cut scale path: sketch cuts inside the exact
+    // quantile window, per source (q37's gated-sketch discipline)
+    "q69_winsorize_gate" -> ((s, dir) =>
+      operators.Outliers.cutGate(
+        Tables.documents(s, dir).select("source", "n_chars"),
+        "source", "n_chars")),
+
+    // gate for q68's approx-cut scale path: same discipline on the
+    // scored-ppl distribution per source
+    "q70_ppl_cut_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Perplexity.bandCutGate(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "source",
+        operators.Perplexity.train(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+    }),
   )
 
   /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and

@@ -80,23 +80,52 @@ object Perplexity {
     * bits are where engines disagree) and broadcast; the scored corpus
     * never re-shuffles for the banding.
     * Returns (id, srcCol, ppl, band).
+    *
+    * Cut computation follows the winsorize two-path design: exact
+    * `percentile` by default (the oracle twin — its buffer holds each
+    * source's distinct ppl values; 2-dp rounding bounds cardinality but
+    * the bound is data-range-dependent), `approxCuts = true` for the
+    * mergeable `approx_percentile` sketch whose state is O(accuracy) per
+    * source regardless of corpus size — the 100 TB path, gated by
+    * [[Outliers.cutGate]] on the scored frame (q37's discipline).
     */
   def bands(
       docs: DataFrame, idCol: String, textCol: String, srcCol: String,
-      lm: BigramLm, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
+      lm: BigramLm, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      approxCuts: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(0 < lo && lo < hi && hi < 1, "need 0 < lo < hi < 1")
     // scored feeds both the cut aggregation and the final join: pin it
     val scored = score(docs, idCol, textCol, lm)
       .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
       .localCheckpoint()
+    def cut(p: Double) =
+      if (approxCuts) approx_percentile(col("ppl"), lit(p), lit(accuracy)).cast("double")
+      else percentile(col("ppl"), lit(p))
     val cuts = scored.groupBy(col(srcCol)).agg(
-      round(percentile(col("ppl"), lit(lo)), 6).as("__lo"),
-      round(percentile(col("ppl"), lit(hi)), 6).as("__hi"))
+      round(cut(lo), 6).as("__lo"),
+      round(cut(hi), 6).as("__hi"))
     scored.join(broadcast(cuts), srcCol)
       .select(col(idCol), col(srcCol), col("ppl"),
         when(col("ppl") <= col("__lo"), "head")
           .when(col("ppl") <= col("__hi"), "middle")
           .otherwise("tail").as("band"))
+  }
+
+  /** In-query gate for the `approxCuts` scale path of [[bands]]: score
+    * the corpus, then per source assert the sketch cuts land inside the
+    * exact cuts' quantile window ([[Outliers.cutGate]] — the oracle
+    * recomputes the exact spine and asserts the booleans TRUE). ppl's
+    * 2-dp rounding means heavy ties; the sketch and exact agree on tied
+    * plateaus, so the rank window is the only slack needed.
+    */
+  def bandCutGate(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      lm: BigramLm, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      window: Double = 0.08, accuracy: Int = 10000): DataFrame = {
+    val scored = score(docs, idCol, textCol, lm)
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+    Outliers.cutGate(scored.select(col(srcCol), col("ppl")), srcCol, "ppl",
+      lo, hi, window, accuracy)
   }
 
   /** Score a corpus under a trained model:

@@ -68,6 +68,41 @@ class PerplexitySpec extends SparkTestBase {
     assert(out(7L) == "head" && out(9L) == "head" && out(11L) == "head")
   }
 
+  test("bands approxCuts: scale path agrees with the exact twin; gate holds at 25-doc sources") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val lm = Perplexity.train(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    val scoreSide = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    // the q70 gate: per-source sketch cuts inside the exact rank window
+    val gate = Perplexity.bandCutGate(scoreSide, "doc_id", "text", "source", lm)
+      .collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("lo_ok") && r.getAs[Boolean]("hi_ok"),
+        s"ppl sketch cut escaped the exact window: $r")
+    }
+
+    // band assignments: the approx path may flip only boundary docs — docs
+    // whose ppl lies between the sketch's element cut and the exact
+    // interpolated cut. Bound: ≤ 2 flips per source per cut (the same
+    // ≥2-ranks-at-25-docs arithmetic as the window), observed 0 here.
+    val exact = Perplexity.bands(scoreSide, "doc_id", "text", "source", lm)
+      .select(col("doc_id"), col("band").as("b_exact"))
+    val approx = Perplexity.bands(scoreSide, "doc_id", "text", "source", lm,
+      approxCuts = true)
+      .select(col("doc_id"), col("source"), col("band").as("b_approx"))
+    val flips = approx.join(exact, "doc_id")
+      .filter(col("b_exact") =!= col("b_approx"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect()
+    flips.foreach { r =>
+      assert(r.getAs[Long]("n") <= 4, s"too many band flips: $r")
+    }
+  }
+
   private def c12ForPair(lm: Perplexity.BigramLm, a: String, b: String): Long = {
     import org.apache.spark.sql.functions.col
     val r = lm.bigrams.filter(col("w1") === a && col("w2") === b)
