@@ -114,8 +114,14 @@ object HeavyHitters {
     val sketch = terms.agg(ss(col("term")).as("s"))
       .select(explode(col("s")).as("e"))
       .select(col("e._1").as("sk_term"), col("e._2").as("sk_est"))
+      // Constant partition key: the SpaceSaving summary holds <= m entries
+      // by construction, so one-partition ranking is bounded — the dummy
+      // key only silences WindowExec's single-partition scale warning.
+      // (`sk_est * 0`, not `lit(0)`: a foldable key is pruned by the
+      // optimizer and the partition spec goes back to empty.)
       .withColumn("sk_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sk_est") * lit(0L))
           .orderBy(col("sk_est").desc, col("sk_term"))))
       .filter(col("sk_rank") <= 2 * k)
 

@@ -57,6 +57,15 @@ object Outliers {
     * (q37's reasoning; ±0.08 ≥ 2 ranks at 25-row groups). Output:
     * (grp, n, exact_lo, exact_hi, lo_ok, hi_ok) — exact values are the
     * oracle-checkable spine, the booleans assert the sketch.
+    *
+    * Edge behaviour: when `window > min(pLo, 1-pHi)` the window clamps to
+    * quantile 0 (group min) or 1 (group max). Because the sketch returns
+    * an actual group element, `sketch >= min` and `sketch <= max` hold
+    * trivially, so the gate is ONE-SIDED at a clamped edge (only the
+    * inward bound constrains). With the defaults (pLo=0.05, pHi=0.95,
+    * window=0.08) both tails clamp — the same asymmetry q37 accepts with
+    * its 0.91..1.0 window. Pass `window <= min(pLo, 1-pHi)` for a
+    * genuinely two-sided gate.
     */
   def cutGate(
       df: DataFrame, grpCol: String, valCol: String,
@@ -68,10 +77,10 @@ object Outliers {
       math.max(pHi - window, 0), math.min(pHi + window, 1))
     df.groupBy(col(grpCol)).agg(
         count(lit(1)).as("n"),
-        round(expr(s"percentile($valCol, $pLo)"), 4).as("exact_lo"),
-        round(expr(s"percentile($valCol, $pHi)"), 4).as("exact_hi"),
-        expr(s"percentile($valCol, array(${b.mkString(", ")}))").as("__b"),
-        expr(s"approx_percentile($valCol, array($pLo, $pHi), $accuracy)").as("__sk"))
+        round(percentile(col(valCol), lit(pLo)), 4).as("exact_lo"),
+        round(percentile(col(valCol), lit(pHi)), 4).as("exact_hi"),
+        percentile(col(valCol), array(b.map(lit): _*)).as("__b"),
+        approx_percentile(col(valCol), array(lit(pLo), lit(pHi)), lit(accuracy)).as("__sk"))
       .select(col(grpCol), col("n"), col("exact_lo"), col("exact_hi"),
         col("__sk").getItem(0).cast("double")
           .between(col("__b").getItem(0), col("__b").getItem(1)).as("lo_ok"),

@@ -70,8 +70,15 @@ object Skew {
       .select(
         col("key"), col("n"),
         round(col("n") / col("n_total"), 6).as("share"))
+      // Constant partition key: input is post-limit(topN), <= topN rows,
+      // so the single-partition window is the point, not a hazard — the
+      // dummy key just keeps WindowExec from logging a scale warning.
+      // (`pmod(n, 1)`, not `lit(0)` or `n * 0`: a foldable key is pruned
+      // by the optimizer, and `n * 0` constant-folds to 0 because count's
+      // output is non-nullable — either way the spec goes back to empty.)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("n"), lit(1L)))
           .orderBy(col("n").desc, col("key"))).cast("int"))
   }
 }
