@@ -48,22 +48,36 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to runs).map(_ => timeOne(name, fn))
       val good = ts.filter(_ >= 0)
-      (name, if (good.nonEmpty) good.min else -1.0)
+      (name, if (good.nonEmpty) good.min else -1.0,
+        if (good.nonEmpty) good.max else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // Self-diagnosis: the min is what we report, but the max/min spread
+    // across the N runs is the noise meter — a query whose runs disagree
+    // >3x (and whose cost is big enough for the ratio to mean anything)
+    // is flagged `suspect` so an environmental outlier (page-cache
+    // eviction, host contention; r4's 212.6 s run, r5's 69.3 s run)
+    // adjudicates itself in the official record instead of by forensics.
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val spread = results.map { case (k, lo, hi) =>
+      s"\"" + k + "\":" + (if (lo > 0) r4(hi / lo) else -1.0)
+    }.mkString("{", ",", "}")
+    val suspect = results.collect {
+      case (k, lo, hi) if lo > 0 && hi / lo > 3.0 && hi - lo > 0.5 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"suspect":$suspect,"failed":$failed,"sf":"$sfDir"}"""
     // stdout must stay COMPACT: the driver captures a bounded tail of the
     // run and JSON-parses one line — the 65-query line (~3.4 KB) overflowed
     // it at r4 and the official record got "parsed": null. Per-query
     // detail lives in the bench_out.json file (the machine-readable
     // channel); stdout carries only the headline the tail can always hold.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"suspect":$suspect,"failed":$failed,"sf":"$sfDir"}"""
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
