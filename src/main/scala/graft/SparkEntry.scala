@@ -101,13 +101,15 @@ object SparkEntry {
     }),
     // self-gating ANN rows: recall@5 vs an in-query exact reference must
     // clear a measured floor (near-uniform vectors are the LSH worst case;
-    // floors calibrated in ProbeRecall, clustered-corpus gates in specs)
+    // floors calibrated in ProbeRecall, clustered-corpus gates in specs).
+    // Multiprobe (2 flip-1-bit probes/table, query side only) measures
+    // 0.80-0.90 recall@5 across scales vs 0.46-0.58 exact-bucket-only.
     "q26_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
       Knn.recallGate(
         Knn.lshTopK(emb, q, "vec_id", "embedding", 5),
-        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.3)
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.7)
     }),
     "q27_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

@@ -91,23 +91,35 @@ object Knn {
     * (1 - θ/π)^b for angle θ, so near vectors are found with probability
     * 1 - (1 - (1-θ/π)^b)^L while the candidate set stays tiny.
     *
-    * Scale shape: the corpus side explodes only (id, bucket) — 8 ints per
-    * vector, NOT the vector itself — and the candidate (qid, id) pairs are
-    * re-joined to the corpus vectors for scoring. The query side is
-    * broadcast. Recall is approximate by construction (rows-only oracle).
-    * Returns (query_id, rank, neighbor_id).
+    * MULTIPROBE (`probes` > 0): the query side also probes, per table, the
+    * `probes` flip-1-bit neighbor buckets with the smallest hyperplane
+    * margin (Lv et al.) — the buckets a true neighbor most probably landed
+    * in when a weak sign bit disagreed. This buys recall WITHOUT growing
+    * the corpus explode: only the (small, broadcast) query side fans out
+    * ×(1+probes); adding tables instead would re-explode the 100 TB corpus.
+    * Measured on the near-uniform synthetic embeddings (the angular-LSH
+    * worst case), probes 0 → 2 lifts recall@5 from 0.58 to 0.90 at sf0.1
+    * (0.46 → 0.84 at sf0.001, 0.48 → 0.80 at sf0.01 — ProbeRecall sweep)
+    * at identical corpus cost.
+    *
+    * Scale shape: the corpus side explodes only (id, bucket) — `tables`
+    * ints per vector, NOT the vector itself — and the candidate (qid, id)
+    * pairs are re-joined to the corpus vectors for scoring. The query side
+    * is broadcast. Recall is approximate by construction (rows-only
+    * oracle). Returns (query_id, rank, neighbor_id).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bits: Int = 6, tables: Int = 12): DataFrame = {
-    val buckets = (v: org.apache.spark.sql.Column) =>
-      graft.plans.VectorFunctions.lshBuckets(v, bits, tables)
+      bits: Int = 6, tables: Int = 12, probes: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cb = corpus.select(
-      col(idCol).as("id"), explode(buckets(col(vecCol))).as("bucket"))
+      col(idCol).as("id"),
+      explode(graft.plans.VectorFunctions.lshBuckets(col(vecCol), bits, tables)).as("bucket"))
     val qb = queries.select(
-      col(idCol).as("qid"), explode(buckets(col(vecCol))).as("bucket"))
+      col(idCol).as("qid"),
+      explode(graft.plans.VectorFunctions.lshProbeBuckets(col(vecCol), bits, tables, probes))
+        .as("bucket"))
 
     val candidates = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("id") =!= col("qid"))

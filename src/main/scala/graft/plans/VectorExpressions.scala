@@ -212,6 +212,62 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Multiprobe variant of [[lshBuckets]]: per table, the exact bucket
+    * PLUS the `probes` flip-1-bit neighbor buckets with the smallest
+    * |dot| margin — the sign bits most likely to differ for a true
+    * neighbor are exactly the ones whose hyperplane the vector sits
+    * closest to (Lv et al., multi-probe LSH). Probing neighbors raises
+    * recall at a FIXED table count: flipping the weakest bit reaches the
+    * bucket a near-neighbor most probably landed in, where the classic
+    * fix (more tables) pays another full corpus explode per table.
+    * Returns `tables * (1 + min(probes, bits))` table-tagged ints,
+    * exact bucket first per table (probe order is diagnostic only —
+    * consumers treat the array as a key set).
+    */
+  def lshProbeBuckets(v: ArrayData, bits: Int, tables: Int, probes: Int): ArrayData = {
+    require(bits * tables <= MaxPlanes, s"bits*tables must be <= $MaxPlanes")
+    val p = math.min(probes, bits)
+    val n = math.min(v.numElements(), LshMaxDim)
+    val out = new Array[Int](tables * (1 + p))
+    val dots = new Array[Double](bits)
+    val taken = new Array[Boolean](bits)
+    var t = 0
+    var o = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        val plane = Hyperplanes(t * bits + b)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+        dots(b) = dot
+        taken(b) = false
+        if (dot > 0.0) bucket |= (1 << b)
+        b += 1
+      }
+      out(o) = (t << bits) | bucket
+      o += 1
+      var j = 0
+      while (j < p) {
+        var best = -1
+        var bestAbs = Double.MaxValue
+        var q = 0
+        while (q < bits) {
+          val a = math.abs(dots(q))
+          if (!taken(q) && a < bestAbs) { bestAbs = a; best = q }
+          q += 1
+        }
+        taken(best) = true
+        out(o) = (t << bits) | (bucket ^ (1 << best))
+        o += 1
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Sorted-merge sparse dot product over two quantized term-weight vectors:
@@ -279,6 +335,31 @@ case class LshBuckets(child: Expression, bits: Int, tables: Int)
     copy(child = newChild)
 }
 
+/** Multiprobe LSH bucket ids of an `array<float>` vector: per table, the
+  * exact bucket plus the `probes` smallest-margin flip-1-bit neighbors
+  * (see [[VectorKernels.lshProbeBuckets]]). Used on the QUERY/probe side
+  * only — the corpus side keeps the exact [[LshBuckets]] keys, so the
+  * corpus explode never grows with the probe count. Returns `array<int>`
+  * of length `tables * (1 + min(probes, bits))`.
+  */
+case class LshProbeBuckets(child: Expression, bits: Int, tables: Int, probes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshProbeBuckets(input.asInstanceOf[ArrayData], bits, tables, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.lshProbeBuckets($c, $bits, $tables, $probes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest centroid cell ids of an `array<float>` vector, by
   * dot product against L2-normalized centroids (== cosine order), ties to
   * the lowest cell id. Centroid matrix travels as an expression reference
@@ -327,6 +408,11 @@ object VectorFunctions {
   /** Column API for [[LshBuckets]]. */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =
     GraftColumnShim.column(LshBuckets(GraftColumnShim.expression(v), bits, tables))
+
+  /** Column API for [[LshProbeBuckets]]. */
+  def lshProbeBuckets(v: Column, bits: Int, tables: Int, probes: Int): Column =
+    GraftColumnShim.column(
+      LshProbeBuckets(GraftColumnShim.expression(v), bits, tables, probes))
 
   /** Column API for [[NearestCells]]. */
   def nearestCells(v: Column, centroids: Array[Array[Float]], nprobe: Int): Column =

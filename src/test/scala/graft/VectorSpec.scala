@@ -45,6 +45,35 @@ class VectorSpec extends SparkTestBase {
     a.zipWithIndex.foreach { case (bucket, t) => assert(bucket >> 8 == t) }
   }
 
+  test("lshProbeBuckets: exact bucket first, Hamming-1 probes, probes=0 degenerates") {
+    val rnd = new Random(11)
+    val v = Seq(Seq.fill(64)(rnd.nextFloat() - 0.5f)).toDF("v")
+    val exact = v.select(VectorFunctions.lshBuckets(col("v"), 6, 8).as("b"))
+      .as[Seq[Int]].collect()(0)
+    val p0 = v.select(VectorFunctions.lshProbeBuckets(col("v"), 6, 8, 0).as("b"))
+      .as[Seq[Int]].collect()(0)
+    assert(p0 == exact, "probes=0 must equal the exact bucket set")
+    val p2 = v.select(VectorFunctions.lshProbeBuckets(col("v"), 6, 8, 2).as("b"))
+      .as[Seq[Int]].collect()(0)
+    assert(p2.size == 8 * 3)
+    for (t <- 0 until 8) {
+      val group = p2.slice(t * 3, t * 3 + 3)
+      // exact bucket leads its table's group; every entry carries the tag
+      assert(group.head == exact(t))
+      group.foreach(b => assert(b >> 6 == t))
+      // each probe flips exactly one sign bit of the exact bucket
+      group.tail.foreach { b =>
+        assert(Integer.bitCount((b ^ exact(t)) & 0x3f) == 1)
+      }
+      assert(group.distinct.size == 3)
+    }
+    // probes clamp at the bit count: all 1-bit neighbors, no repeats
+    val pAll = v.select(VectorFunctions.lshProbeBuckets(col("v"), 6, 8, 99).as("b"))
+      .as[Seq[Int]].collect()(0)
+    assert(pAll.size == 8 * 7)
+    assert(pAll.distinct.size == pAll.size)
+  }
+
   test("brute-force kNN returns exact top-k (vs driver-side reference)") {
     val rnd = new Random(5)
     val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
