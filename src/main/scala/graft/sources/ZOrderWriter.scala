@@ -56,7 +56,10 @@ object ZOrderWriter {
   /** Cluster `df` on the z-order of `dimCols` into `numFiles` output files
     * under `path`. Range partitioning on the z-value gives each file one
     * contiguous Morton segment — a compact hyper-rectangle-ish region —
-    * and the within-file sort tightens row-group stats too.
+    * and the within-file sort tightens row-group stats too. Also writes
+    * the per-file stats manifest [[ZOrderReader]] plans box queries
+    * against (built from the fresh files' footers — metadata-only, no
+    * data re-scan).
     */
   def write(
       df: DataFrame, dimCols: Seq[String], path: String, numFiles: Int,
@@ -68,6 +71,7 @@ object ZOrderWriter {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    ZOrderReader.writeManifest(df.sparkSession, path, dimCols)
   }
 
   /** One min/max aggregate over the dims — bounded (2 doubles per dim). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.ZOrderWriter
+import graft.sources.{ZOrderReader, ZOrderWriter}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -64,5 +64,47 @@ class ZOrderSpec extends SparkTestBase {
     assert(spark.read.parquet(zDir).count() == 4096)
     assert(spark.read.parquet(zDir).agg(sum("id")).head().getLong(0)
       == (0L until 4096L).sum)
+  }
+
+  test("ZOrderReader reads <=4 of 16 files on a 1/16-area box, rows identical to full scan") {
+    val rnd = new scala.util.Random(77)
+    val rows = rnd.shuffle((0 until 4096).toVector)
+      .map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+    val df = rows.toDF("id", "x", "y").repartition(4)
+    val zDir = Files.createTempDirectory("zread").toString
+    ZOrderWriter.write(df, Seq("x", "y"), zDir, numFiles = 16, bits = 6)
+
+    val box = Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))
+    // the file list the reader will actually OPEN — this is the pruning
+    // claim itself, not an intersection count over stats
+    val files = ZOrderReader.prunedFiles(spark, zDir, box)
+    assert(files.size <= 4, s"expected <=4 of 16 files read, got ${files.size}: $files")
+
+    val pruned = ZOrderReader.readBox(spark, zDir, box)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().sorted.toSeq
+    val full = spark.read.parquet(zDir)
+      .filter($"x".between(0, 15) && $"y".between(0, 15))
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(pruned.size == 256) // the 16x16 box out of the 64x64 grid
+    assert(pruned == full)
+
+    // manifest is the plan path: it exists, is parquet, and lists 16 files
+    val manifest = spark.read.parquet(s"$zDir/_graft_zorder_stats")
+    assert(manifest.select("file").distinct().count() == 16)
+    assert(manifest.columns.toSeq == Seq("file", "dim", "min", "max"))
+
+    // footer fallback agrees with the manifest when the manifest is gone
+    val fs = new java.io.File(s"$zDir/_graft_zorder_stats")
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(fs)
+    val filesNoManifest = ZOrderReader.prunedFiles(spark, zDir, box)
+    assert(filesNoManifest.toSet == files.toSet)
+
+    // a box that misses the whole space reads zero files but keeps schema
+    val empty = ZOrderReader.readBox(spark, zDir, Seq(("x", 1000.0, 2000.0)))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "x", "y"))
   }
 }
