@@ -56,11 +56,25 @@ object Perplexity {
     * persistable artifact, and every downstream score join would
     * otherwise re-aggregate the reference corpus per consumer (the
     * ScanCount recomputation trap: q68 hit 10 source scans before this).
+    *
+    * `minCount` is the KenLM-style count-threshold pruning knob: bigrams
+    * seen fewer than `minCount` times are DROPPED from the model (default
+    * 1 = keep all). On an open-domain reference corpus the bigram table
+    * is Zipf-tailed — hapax bigrams are typically half the distinct rows
+    * while carrying the least signal — so `minCount = 2` roughly halves
+    * the model for a small scoring shift. Degradation is smooth by
+    * construction: a pruned bigram scores through the SAME unseen-bigram
+    * floor 1/(c1+V) the smoothing already defines (scoring has no pruned
+    * /unpruned branch), and prefix counts / vocabulary keep the full
+    * corpus mass, so probabilities only move at the pruned entries.
+    * Pruned-vs-unpruned band agreement is measured in PerplexitySpec.
     */
-  def train(ref: DataFrame, idCol: String, textCol: String): BigramLm = {
+  def train(ref: DataFrame, idCol: String, textCol: String, minCount: Int = 1): BigramLm = {
+    require(minCount >= 1, "minCount >= 1 (1 = no pruning)")
     val bg = bigramsOf(ref, idCol, textCol).localCheckpoint()
     BigramLm(
       bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= minCount)
         .localCheckpoint(),
       unigrams = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
         .localCheckpoint(),

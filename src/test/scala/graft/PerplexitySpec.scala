@@ -103,6 +103,62 @@ class PerplexitySpec extends SparkTestBase {
     }
   }
 
+  test("minCount pruning: model shrinks, default is exact, bands agree within tolerance") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val scoreSide = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    // exact pruning semantics on a corpus with a known hapax tail
+    val tiny = Seq(
+      (0L, "a b a b a b"), // a-b x3, b-a x2
+      (2L, "c d")          // c-d x1: the hapax to prune
+    ).toDF("doc_id", "text")
+    val tinyFull = Perplexity.train(tiny, "doc_id", "text")
+    val tinyPruned = Perplexity.train(tiny, "doc_id", "text", minCount = 2)
+    assert(tinyFull.bigrams.count() == 3 && tinyPruned.bigrams.count() == 2)
+    assert(tinyPruned.bigrams.filter(col("w1") === "c").count() == 0)
+    // prefix counts and vocabulary keep the full corpus mass: the pruned
+    // bigram degrades to the unseen floor 1/(c1+V), not to a new model
+    assert(tinyPruned.unigrams.count() == tinyFull.unigrams.count())
+    assert(tinyPruned.vocab.as[Double].head() == tinyFull.vocab.as[Double].head())
+    val probe = Seq((9L, "c d")).toDF("doc_id", "text")
+    def ppl(lm: Perplexity.BigramLm): Double =
+      Perplexity.score(probe, "doc_id", "text", lm)
+        .select("ppl").as[Double].head()
+    // V=4, c1(c)=1: unpruned ln((1+1)/(1+4)), pruned floor ln(1/(1+4))
+    assert(ppl(tinyFull) == math.rint(math.exp(math.rint(
+      -math.log(2.0 / 5.0) * 1e4) / 1e4) * 100) / 100)
+    assert(ppl(tinyPruned) == math.rint(math.exp(math.rint(
+      -math.log(1.0 / 5.0) * 1e4) / 1e4) * 100) / 100)
+    assert(ppl(tinyPruned) > ppl(tinyFull))
+
+    val full = Perplexity.train(ref, "doc_id", "text")
+    val pruned = Perplexity.train(ref, "doc_id", "text", minCount = 2)
+    // the repetitive synthetic table has a thin tail — assert direction,
+    // not magnitude (open-domain corpora are where the knob pays)
+    val nFull = full.bigrams.count()
+    assert(pruned.bigrams.count() < nFull)
+
+    // knob off = byte-identical model (q67/q68's oracle path untouched)
+    assert(Perplexity.train(ref, "doc_id", "text", minCount = 1)
+      .bigrams.count() == nFull)
+
+    // documented tolerance: >= 90% of docs keep their band when scoring
+    // under the pruned model (pruned entries fall to the smoothing floor,
+    // shifting every doc's ppl the same direction — cuts shift with them)
+    val bFull = Perplexity.bands(scoreSide, "doc_id", "text", "source", full)
+      .select(col("doc_id"), col("band").as("b_full"))
+    val bPruned = Perplexity.bands(scoreSide, "doc_id", "text", "source", pruned)
+      .select(col("doc_id"), col("band").as("b_pruned"))
+    val joined = bFull.join(bPruned, "doc_id")
+    val n = joined.count()
+    val same = joined.filter(col("b_full") === col("b_pruned")).count()
+    assert(n > 0 && same.toDouble / n >= 0.9,
+      s"pruned-model band agreement ${same.toDouble / n} below 0.9 ($same/$n)")
+  }
+
   private def c12ForPair(lm: Perplexity.BigramLm, a: String, b: String): Long = {
     import org.apache.spark.sql.functions.col
     val r = lm.bigrams.filter(col("w1") === a && col("w2") === b)
