@@ -1,0 +1,189 @@
+package graft.pipelines
+
+import java.sql.Connection
+import java.time.LocalDate
+
+import graft.operators.Dedup
+import graft.sources.{Compaction, JdbcSink, JsonlGz, SqlSink}
+import graft.streaming.StreamNearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's daily DAG generalized to the TRAINING-DATA setting:
+  * one [[Dag]] per execution date that ingests a day of raw documents,
+  * cleans them with [[CorpusPipeline]] (perplexity stage on), collapses
+  * cross-day near-duplicates against the PERSISTED q65 index (each day
+  * dedups against every prior day without re-reading prior days' text),
+  * compacts the survivor warehouse, and publishes per-source counts to a
+  * SQL warehouse behind a row-count gate —
+  *
+  * {{{
+  * start >> ingest_raw >> clean_corpus >> cross_day_neardup
+  *       >> compact_warehouse >> publish_counts >> finish
+  * }}}
+  *
+  * Composition, not new machinery: task bodies are the library's own
+  * operators (JsonlGz dead-lettering, CorpusPipeline.clean,
+  * StreamNearDup.applyBatch = q65's exactly-once batch protocol keyed by
+  * epoch day, Compaction.compact, JdbcSink.load + rowCountGate), and
+  * multi-day driving is [[Catchup]] — so an outage back-fills in order
+  * and a caught-up schedule re-runs nothing. Idempotency stacks the same
+  * way: per-date overwrite paths (raw/clean), the neardup batch marker
+  * (a replayed day is a no-op and the index grows by each day's
+  * SURVIVORS exactly once), and a DELETE-then-INSERT publish keyed by
+  * execution date.
+  */
+object LlmIngestDag {
+
+  val InputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  val CountsTable = "corpus_daily_counts"
+
+  val CountsSchema: StructType = StructType(Seq(
+    StructField("execution_date", StringType),
+    StructField("source", StringType),
+    StructField("n_docs", LongType)))
+
+  final case class Build(
+      tasks: Seq[Dag.Task],
+      edges: Seq[(String, String)],
+      rawPath: String,
+      cleanPath: String,
+      survivorsDir: String,
+      indexDir: String)
+
+  /** Wire one execution date. `connect` is a serializable factory (the
+    * JdbcSink contract — executors open their own connections); the
+    * `corpus_daily_counts` table must exist ([[ensureCountsTable]]).
+    */
+  def build(
+      spark: SparkSession,
+      inputRoot: String, outputRoot: String,
+      date: LocalDate,
+      connect: () => Connection,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
+      retries: Int = 1, minRows: Long = 1,
+      compactMaxFiles: Int = 8): Build = {
+    val rawPath = s"$outputRoot/warehouse/raw/date=$date"
+    val cleanPath = s"$outputRoot/warehouse/clean_daily/date=$date"
+    val survivorsDir = s"$outputRoot/warehouse/corpus"
+    val indexDir = s"$outputRoot/warehouse/neardup_index"
+    val (y, m, d) = (date.getYear, date.getMonthValue, date.getDayOfMonth)
+
+    val tasks = Seq(
+      Dag.Task("start", () => ()),
+
+      // raw ingest with dead-lettering: unparseable lines go to the
+      // quarantine, clean rows to the per-date raw partition (overwrite)
+      Dag.Task("ingest_raw", () => {
+        val inPath = f"$inputRoot/$y%04d/$m%02d/$d%02d/*.jsonl.gz"
+        val raw = JsonlGz.read(spark, inPath, InputSchema)
+        val corrupt = JsonlGz.corrupt(raw).localCheckpoint()
+        if (corrupt.count() > 0)
+          JsonlGz.write(corrupt, s"$outputRoot/quarantine/$date")
+        JsonlGz.clean(raw).write.mode("overwrite").parquet(rawPath)
+      }, retries = retries),
+
+      // the 100 TB cleaning chain (lang, quality, repetition, ppl-tail,
+      // exact + within-day near-dup, per-source cap), per-date overwrite
+      Dag.Task("clean_corpus", () => {
+        CorpusPipeline.clean(spark.read.parquet(rawPath), cfg)
+          .write.mode("overwrite").parquet(cleanPath)
+      }, retries = retries),
+
+      // q65 across days: dedup today's clean docs against the persisted
+      // index of every prior day (text never re-read), append survivors'
+      // band/shingle keys exactly once (epoch-day batch marker)
+      Dag.Task("cross_day_neardup", () => {
+        StreamNearDup.applyBatch(
+          spark, spark.read.parquet(cleanPath), "doc_id", "text",
+          indexDir, survivorsDir, batchId = date.toEpochDay)
+        ()
+      }, retries = retries,
+        // marker present = the batch is applied (this run's or a replay's)
+        gate = () => {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$indexDir/_batches/${date.toEpochDay}")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }),
+
+      // fold the day's small survivor files into target-size files;
+      // idempotent (re-compaction of a compacted partition is a no-op)
+      Dag.Task("compact_warehouse", () => {
+        Compaction.compact(spark, survivorsDir, "batch",
+          maxFiles = compactMaxFiles)
+        ()
+      }, retries = retries),
+
+      // publish per-source survivor counts, DELETE-then-INSERT on the
+      // execution date so a re-run converges instead of duplicating
+      Dag.Task("publish_counts", () => {
+        val day = spark.read.parquet(s"$survivorsDir/batch=${date.toEpochDay}")
+        val counts = day.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(
+            lit(date.toString).as("execution_date"),
+            col("source"), col("n_docs"))
+        val conn = connect()
+        try JdbcSink.run(conn,
+          Seq(s"""DELETE FROM $CountsTable WHERE "execution_date" = '$date'"""))
+        finally conn.close()
+        JdbcSink.load(counts, CountsTable, connect)
+      }, retries = retries,
+        gate = () => {
+          val conn = connect()
+          try {
+            JdbcSink.rowCountGate(
+              conn, CountsTable, "execution_date", date.toString, minRows)
+            true
+          } catch { case _: IllegalStateException => false }
+          finally conn.close()
+        }),
+
+      Dag.Task("finish", () => ()))
+
+    val edges = Seq(
+      "start" -> "ingest_raw",
+      "ingest_raw" -> "clean_corpus",
+      "clean_corpus" -> "cross_day_neardup",
+      "cross_day_neardup" -> "compact_warehouse",
+      "compact_warehouse" -> "publish_counts",
+      "publish_counts" -> "finish")
+
+    Build(tasks, edges, rawPath, cleanPath, survivorsDir, indexDir)
+  }
+
+  /** Create the counts table (Derby-compatible DDL; no-op if present). */
+  def ensureCountsTable(conn: Connection): Unit =
+    try JdbcSink.run(conn, Seq(SqlSink.createTableSql(
+      CountsTable, CountsSchema, ifNotExists = false, varcharWidth = 256)))
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+
+  /** Multi-day driving via [[Catchup]]: derive the missed dates from the
+    * watermark, run one day dag per missed date in order. A failed day is
+    * left unwatermarked (retried next tick) and never blocks later days.
+    */
+  def catchup(
+      spark: SparkSession,
+      inputRoot: String, outputRoot: String,
+      connect: () => Connection,
+      startDate: LocalDate, untilExclusive: LocalDate,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
+      retries: Int = 1, minRows: Long = 1,
+      compactMaxFiles: Int = 8): Seq[Catchup.DayRun] = {
+    val wm = s"$outputRoot/_catchup_watermark"
+    var details = Map.empty[LocalDate, Seq[Dag.Outcome]]
+    val ran = Catchup.run(spark, wm, startDate, untilExclusive) { d =>
+      val b = build(spark, inputRoot, outputRoot, d, connect, cfg,
+        retries, minRows, compactMaxFiles)
+      val out = Dag.run(b.tasks, b.edges)
+      details += d -> out
+      out.forall(_.status == Dag.Succeeded)
+    }
+    ran.map { case (d, ok) => Catchup.DayRun(d, ok, details.getOrElse(d, Nil)) }
+  }
+}
