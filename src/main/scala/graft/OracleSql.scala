@@ -860,6 +860,24 @@ object OracleSql {
         |  TRUE lo_ok, TRUE hi_ok
         |FROM ps GROUP BY source""".stripMargin,
 
+    // Duplicated-span stats: positions covered by a corpus-wide repeated
+    // 8-gram. Spark joins on xxhash64(gram); the oracle joins on the gram
+    // text itself — equality of the per-doc coverage counts is the
+    // no-meaningful-collisions check.
+    "q71_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |g AS (SELECT doc_id, unnest([{'p': i - 1,
+        |    'gram': array_to_string(toks[i:i+7], ' ')}
+        |    for i in range(1, greatest(len(toks) - 6, 1))], recursive := true) FROM t),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos
+        |  FROM g JOIN dup USING (gram)),
+        |c AS (SELECT doc_id, count(*) dp FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, len(toks) n_tokens,
+        |  coalesce(dp, 0) dup_positions,
+        |  round(coalesce(dp, 0)::DOUBLE / len(toks), 6) dup_fraction
+        |FROM t LEFT JOIN c USING (doc_id)""".stripMargin,
+
     // Latest-wins upsert: update rows (version 1) replace base rows for
     // their key; src breaks the tie exactly like upsert's _src column.
     "q50_upsert" ->
@@ -903,6 +921,24 @@ object OracleSql {
         |        THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3*w*h
         |        ELSE 54 + ((3*w + 3) // 4) * 4 * h END)::BIGINT n_bytes,
         |  w::INT width, h::INT height
+        |FROM e""".stripMargin,
+
+    // WAV container geometry: 16-bit PCM, mono/stereo by id parity, rate
+    // cycled by payload length, data padded to a frame boundary, +12-byte
+    // LIST chunk every third id. The decode walks the real chunks; the
+    // oracle recomputes the arithmetic the encoder used.
+    "q72_audio_meta" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT n FROM documents),
+        |d AS (SELECT doc_id, n, (1 + doc_id % 2)::INT channels,
+        |        ([8000, 16000, 22050, 44100])[(n % 4 + 1)::INT]::INT sample_rate FROM b),
+        |e AS (SELECT doc_id, n, channels, sample_rate, 2 * channels block,
+        |        (n + 2 * channels - 1) // (2 * channels) n_samples FROM d)
+        |SELECT doc_id, 'wav' fmt,
+        |  (44 + n_samples * block
+        |      + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END)::BIGINT n_bytes,
+        |  sample_rate, channels, 16::INT bits,
+        |  n_samples::BIGINT n_samples,
+        |  (n_samples * 1000 // sample_rate)::BIGINT duration_ms
         |FROM e""".stripMargin,
   )
 }

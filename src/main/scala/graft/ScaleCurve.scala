@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scaling-curve harness for the dedup family's bounded-candidate claims.
+  *
+  * The 100 TB story for the near-dup operators rests on analytical bounds
+  * (band-bucketed candidate generation, hot-bucket caps, prefix filters).
+  * This tool measures them: run each named query over a ladder of corpus
+  * sizes (the driver dirs + `GenData` output) and record, per (dir, query),
+  *
+  *   - `sec`            min wall time over `reps` runs,
+  *   - `shufRecords`    total shuffle-read records across all tasks —
+  *                      the candidate-volume proxy; linear growth in corpus
+  *                      size is the claim under test,
+  *   - `maxTaskRecords` the largest single task's shuffle-read records —
+  *                      the skew/blowup detector: a quadratic hot bucket
+  *                      shows up here long before total volume moves,
+  *   - `maxTaskMs`      the slowest task — straggler detector.
+  *
+  * One JSON line per measurement (stdout) for SURVEY's scaling table.
+  * Usage:
+  *   runMain graft.ScaleCurve <q1,q2,...> <dir1,dir2,...> [reps]
+  */
+object ScaleCurve {
+
+  private class TaskStats extends SparkListener {
+    @volatile var shufRecords = 0L
+    @volatile var maxTaskRecords = 0L
+    @volatile var maxTaskMs = 0L
+    @volatile var inputRecords = 0L
+    def reset(): Unit = { shufRecords = 0; maxTaskRecords = 0; maxTaskMs = 0; inputRecords = 0 }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      val m = t.taskMetrics
+      if (m != null) {
+        val r = m.shuffleReadMetrics.recordsRead
+        shufRecords += r
+        if (r > maxTaskRecords) maxTaskRecords = r
+        val ms = m.executorRunTime
+        if (ms > maxTaskMs) maxTaskMs = ms
+        // scan-side rows: the probe that still sees work when every join
+        // in a toy-scale plan goes through a BROADCAST exchange (broadcast
+        // rows never appear in shuffle-read metrics)
+        inputRecords += m.inputMetrics.recordsRead
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val dirs = args(1).split(",").toSeq
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+
+    for (dir <- dirs; name <- names) {
+      var best = Double.MaxValue
+      var line = ""
+      for (_ <- 1 to reps) {
+        stats.reset()
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[scalecurve] $name @ $dir failed: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a beat before
+        // reading the counters for this rep
+        Thread.sleep(500)
+        if (ok && sec < best) {
+          best = sec
+          line = f"""{"query":"$name","dir":"$dir","sec":$sec%.2f,""" +
+            s""""shufRecords":${stats.shufRecords},"maxTaskRecords":${stats.maxTaskRecords},""" +
+            s""""inputRecords":${stats.inputRecords},"maxTaskMs":${stats.maxTaskMs}}"""
+        }
+      }
+      if (line.nonEmpty) println(line)
+    }
+    spark.stop()
+  }
+}

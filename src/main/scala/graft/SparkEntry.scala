@@ -409,6 +409,12 @@ object SparkEntry {
         operators.Perplexity.train(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
     }),
+
+    "q71_span_dedup" -> ((s, dir) =>
+      operators.SpanDedup.spanStats(Tables.documents(s, dir))),
+
+    "q72_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMetaFromDocuments(s, Tables.documents(s, dir))),
   )
 
   /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and

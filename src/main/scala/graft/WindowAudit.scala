@@ -17,7 +17,13 @@ import org.apache.spark.sql.execution.window.WindowExec
 object WindowAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // WARN (not ERROR) so WindowExec's own single-partition warning prints
+    // interleaved with the per-query markers below: an unpartitioned window
+    // running inside an EAGER sub-job (a driver-side cut/bound collect
+    // during DataFrame construction) never appears in the final executed
+    // plan this tool walks, but its runtime warning still betrays it.
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_AUDIT_LOG", "WARN"))
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
       if (args.length > 1) args(1).split(",").toSeq
@@ -41,6 +47,7 @@ object WindowAudit {
     var hits = 0
     for (name <- names) {
       try {
+        System.err.println(s"[windowaudit] >>> $name")
         val df = SparkEntry.queries(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         val bare = bareWindows(df.queryExecution.executedPlan)

@@ -13,6 +13,10 @@ case class MediaRecord(doc_id: Long, fmt: String, payload: Array[Byte])
 /** Decoded media metadata (the output of the decode/feature-extract step). */
 case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long, width: Int, height: Int)
 
+/** Decoded audio metadata: PCM parameters + duration from the real chunks. */
+case class AudioMeta(doc_id: Long, fmt: String, n_bytes: Long, sample_rate: Int,
+    channels: Int, bits: Int, n_samples: Long, duration_ms: Long)
+
 /** Multimodal column handling (SURVEY §2 q40).
   *
   * The payloads are REAL image containers — binary P6 PPM (Netpbm) and
@@ -147,4 +151,110 @@ object Multimodal {
     */
   def metaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMeta(asMedia(docs)).toDF()
+
+  // ---------------------------------------------------------------- audio
+
+  /** The PCM sample rates the synthetic corpus cycles through. */
+  val WavRates: Array[Int] = Array(8000, 16000, 22050, 44100)
+
+  /** Deterministic audio geometry for an n-byte payload with the given
+    * channel count: 16-bit PCM, block align = 2·channels, data padded to a
+    * whole number of sample frames.
+    */
+  def wavDims(n: Long, channels: Int): (Int, Long) = {
+    val rate = WavRates((n % 4).toInt)
+    val block = 2L * channels
+    val nSamples = (n + block - 1) / block
+    (rate, nSamples)
+  }
+
+  /** Real RIFF/WAVE container: `RIFF` size `WAVE`, a 16-byte PCM `fmt `
+    * chunk, an optional `LIST INFO` chunk (every third id — so the decoder
+    * has to actually WALK chunks, not assume data at offset 44), then the
+    * `data` chunk holding the payload zero-padded to a frame boundary.
+    */
+  def encodeWav(payload: Array[Byte], channels: Int, withList: Boolean): Array[Byte] = {
+    val (rate, nSamples) = wavDims(payload.length.toLong, channels)
+    val block = 2 * channels
+    val dataLen = (nSamples * block).toInt
+    val listLen = if (withList) 12 else 0
+    val size = 44 + listLen + dataLen
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(size - 8).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * block).putShort(block.toShort).putShort(16)
+    if (withList)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.put(payload, 0, math.min(payload.length, dataLen))
+    buf.array()
+  }
+
+  /** Genuine WAV decode: verify the RIFF/WAVE magic, then walk the chunk
+    * list reading each fourcc + little-endian size — `fmt ` yields the PCM
+    * parameters, `data` the sample count; unknown chunks are skipped by
+    * size (word-aligned), exactly as a real parser must. Malformed
+    * containers raise, never decode to zeros.
+    */
+  def decodeWav(batch: Seq[MediaRecord]): Seq[AudioMeta] =
+    batch.map { r =>
+      val p = r.payload
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg (${p.length} bytes)")
+      if (p.length < 12 || new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(p, 8, 4, "US-ASCII") != "WAVE") fail("not a RIFF/WAVE container")
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = 0; var rate = 0; var bits = 0; var block = 0
+      var dataLen = -1L
+      while (pos + 8 <= p.length && dataLen < 0) {
+        val fourcc = new String(p, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > p.length) fail(s"chunk $fourcc overruns container")
+        fourcc match {
+          case "fmt " =>
+            if (len < 16) fail("fmt chunk too short")
+            channels = buf.getShort(pos + 10).toInt
+            rate = buf.getInt(pos + 12)
+            block = buf.getShort(pos + 20).toInt
+            bits = buf.getShort(pos + 22).toInt
+          case "data" => dataLen = len.toLong
+          case _ => () // skip unknown chunk (LIST, cue, ...)
+        }
+        pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      if (dataLen < 0) fail("no data chunk")
+      if (channels <= 0 || rate <= 0 || block != channels * (bits / 8))
+        fail(s"malformed fmt (channels=$channels rate=$rate block=$block bits=$bits)")
+      val nSamples = dataLen / block
+      AudioMeta(r.doc_id, "wav", p.length.toLong, rate, channels, bits,
+        nSamples, nSamples * 1000L / rate)
+    }
+
+  /** Wrap the text corpus as WAV records: utf-8 bytes as PCM payload,
+    * mono for even ids / stereo for odd, a LIST chunk every third id.
+    */
+  def asAudio(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        MediaRecord(id, "wav", encodeWav(bytes, 1 + (id % 2).toInt, id % 3 == 0))
+      }
+  }
+
+  /** q72: batched audio-metadata extraction — the same mapPartitions batch
+    * shape as [[extractMeta]], so a real resampler/feature extractor
+    * (fbank, VAD) slots in without plumbing changes.
+    */
+  def audioMetaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asAudio(docs).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch => decodeWav(batch))
+    }.toDF()
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicated-SPAN statistics — exact-substring dedup's measurement side
+  * (the Lee et al. 2021 / RefinedWeb discipline, re-expressed
+  * relationally): a token position is *duplicated* when at least one
+  * corpus-wide repeated `minLen`-gram covers it. Unlike document-level
+  * dedup (q20–q24), this catches boilerplate REGIONS inside otherwise
+  * unique documents — headers, navigation chrome, license blocks — the
+  * spans a suffix-array pipeline would excise before training.
+  *
+  * Per document: token count, number of positions covered by a repeated
+  * gram, and the covered fraction (the filter variable: drop or trim docs
+  * above a threshold).
+  *
+  * Shape, built for 100 TB:
+  *   1. each doc explodes to (doc_id, pos, xxhash64(gram)) — 24-byte rows;
+  *      gram TEXT never leaves the scan projection;
+  *   2. repeated grams come from one count-only aggregation on the hash
+  *      (16-byte shuffle rows, map-side partial);
+  *   3. coverage explodes ONLY matched gram starts ×minLen positions —
+  *      on a mostly-unique corpus the match set is a sliver of the gram
+  *      stream — then distinct-counts per doc (id+int rows);
+  *   4. per-doc sizes come from the scan, joined at the end.
+  * Occurrences are counted globally (a gram repeated twice WITHIN one doc
+  * is duplication too — self-repetition is exactly what boilerplate is).
+  * No array ever rides a shuffle; cost is linear in corpus size plus the
+  * duplicated-gram volume.
+  */
+object SpanDedup {
+
+  def spanStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // long, not int: the oracle's len() is BIGINT and the driver compares
+    // schemas after sorting columns by name
+    val sizes = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+
+    // (doc_id, p, gramhash) for every gram start p; docs shorter than
+    // minLen contribute nothing (sequence upper bound < 0 → filtered).
+    val grams = toks
+      .filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - minLen)).as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
+
+    val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+
+    val covered = grams.join(repeated, Seq("gh"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (minLen - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_positions"))
+
+    sizes.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        round(coalesce(col("dup_positions"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_fraction"))
+  }
+}

@@ -50,6 +50,66 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("audio pipeline: real RIFF/WAVE containers round-trip through decode") {
+    val docs = Seq(
+      (0L, "abcde"),                    // mono (even id), LIST chunk (id%3==0)
+      (1L, "seven bytes!!"),            // stereo (odd id), no LIST
+      (2L, "zz")).toDF("doc_id", "text") // mono, no LIST
+    val media = Multimodal.asAudio(docs).collect().sortBy(_.doc_id)
+    assert(new String(media(0).payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(media(0).payload, 8, 4, "US-ASCII") == "WAVE")
+    // id 0 carries the LIST chunk the decoder has to walk over; id 1 not
+    assert(new String(media(0).payload, "ISO-8859-1").contains("LIST"))
+    assert(!new String(media(1).payload, "ISO-8859-1").contains("LIST"))
+
+    val meta = Multimodal.audioMetaFromDocuments(spark, docs)
+      .as[(Long, String, Long, Int, Int, Int, Long, Long)].collect().sortBy(_._1)
+    // doc 0: n=5 mono -> block 2, 3 samples, rate from n%4=1 -> 16000,
+    //   bytes = 44 + 12 (LIST) + 6 = 62, duration = 3*1000/16000 = 0 ms
+    assert(meta(0) == ((0L, "wav", 62L, 16000, 1, 16, 3L, 0L)))
+    // doc 1: n=13 stereo -> block 4, 4 samples (padded), rate n%4=1 ->
+    //   16000, bytes = 44 + 16 = 60
+    assert(meta(1) == ((1L, "wav", 60L, 16000, 2, 16, 4L, 0L)))
+    // decoded sizes equal the actual containers, not arithmetic on text
+    assert(meta.map(_._3).toSeq == media.map(_.payload.length.toLong).toSeq)
+  }
+
+  test("wav decode walks chunks from bytes and rejects malformed containers") {
+    // long payload so duration is nonzero: 44100 frames mono = 1000 ms
+    val pcm = Array.fill[Byte](88200)(3)
+    val wav = Multimodal.encodeWav(pcm, 1, withList = false)
+    val m = Multimodal.decodeWav(Seq(MediaRecord(5L, "mislabeled", wav))).head
+    assert((m.sample_rate, m.n_samples, m.duration_ms) == ((8000, 44100L, 5512L)))
+
+    // an ODD-length unknown chunk before data: the walker must skip the
+    // RIFF pad byte or every later fourcc is misread
+    val dataLen = 4
+    val odd = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 3 + 1 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put("RIFF".getBytes("US-ASCII")).putInt(odd.capacity - 8).put("WAVE".getBytes("US-ASCII"))
+    odd.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    odd.put("junk".getBytes("US-ASCII")).putInt(3).put(Array[Byte](9, 9, 9, 0))
+    odd.put("data".getBytes("US-ASCII")).putInt(dataLen).put(Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.decodeWav(Seq(MediaRecord(6L, "wav", odd.array()))).head.n_samples == 2L)
+
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodeWav(Seq(MediaRecord(7L, "wav", "RIFXjunkWAVE".getBytes("US-ASCII"))))
+    }
+    intercept[IllegalArgumentException] { // chunk size overruns container
+      val bad = Multimodal.encodeWav(Array[Byte](1, 2), 1, withList = false)
+      val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(16, 9999) // fmt chunk claims 9999 bytes
+      Multimodal.decodeWav(Seq(MediaRecord(8L, "wav", bad)))
+    }
+    intercept[IllegalArgumentException] { // no data chunk at all
+      val hdr = Multimodal.encodeWav(Array[Byte](1, 2), 1, withList = false).take(36)
+      val b = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(hdr); b.putInt(4, 28)
+      Multimodal.decodeWav(Seq(MediaRecord(9L, "wav", b.array())))
+    }
+  }
+
   test("streaming sentiment twin matches batch pivot on the same rows") {
     import java.sql.Timestamp
     val docs = Seq(

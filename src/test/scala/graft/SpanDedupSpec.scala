@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.SpanDedup
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stats(rows: Seq[(Long, String)]) =
+    SpanDedup.spanStats(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("a shared 10-token run marks exactly its positions in both docs") {
+    // docs differ outside the run, so only grams fully inside s1..s10
+    // repeat (starts 5..7 in each doc) — coverage is positions 5..14
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val a = (1 to 5).map(i => s"u$i").mkString(" ") + " " + run + " " +
+      (1 to 5).map(i => s"v$i").mkString(" ")
+    val b = (1 to 5).map(i => s"x$i").mkString(" ") + " " + run + " " +
+      (1 to 5).map(i => s"y$i").mkString(" ")
+    assert(stats(Seq((1L, a), (2L, b))) == Seq(
+      (1L, 20L, 10L, 0.5), (2L, 20L, 10L, 0.5)))
+  }
+
+  test("within-doc repetition is duplication too; short docs report zero") {
+    // doc 3 repeats its own 8-gram: both occurrences covered, the pivot
+    // token between them not; doc 4 is shorter than one gram
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")
+    val c = r + " z " + r
+    val out = stats(Seq((3L, c), (4L, "tiny doc of five words")))
+    assert(out == Seq((3L, 17L, 16L, 0.941176), (4L, 5L, 0L, 0.0)))
+  }
+
+  test("an exact duplicate pair is fully covered; unique docs are untouched") {
+    val dup = (1 to 12).map(i => s"d$i").mkString(" ")
+    val uniq = (1 to 12).map(i => s"q$i").mkString(" ")
+    val out = stats(Seq((5L, dup), (6L, dup), (7L, uniq)))
+    assert(out == Seq((5L, 12L, 12L, 1.0), (6L, 12L, 12L, 1.0), (7L, 12L, 0L, 0.0)))
+  }
+}
