@@ -97,6 +97,27 @@ object OracleSql {
       |        THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0,60)]) AS BIGINT) sim
       |FROM h)""".stripMargin
 
+  /** [[simhashCte]] with DISTINCT 3-gram shingle features instead of
+    * word-token features (q22b): same two polynomial hashes over the
+    * space-joined shingle string; the majority denominator is the distinct
+    * shingle count (the Spark kernel feeds `ShingleSet` output, which is
+    * distinct by construction). Docs with no shingle have no signature.
+    */
+  private val shingledSimhashCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+      |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t),
+      |h AS (SELECT doc_id, len(sh) n,
+      |  [ (list_reduce(list_transform(string_split(tok,''), c -> ascii(c)::BIGINT),
+      |       (a,b) -> (a*31+b)%1000000007) & 1073741823) * 1073741824
+      |  + (list_reduce(list_transform(string_split(tok,''), c -> ascii(c)::BIGINT),
+      |       (a,b) -> (a*131+b)%1000000009) & 1073741823)
+      |    for tok in sh] hs FROM s WHERE len(sh) > 0),
+      |f AS (SELECT doc_id, CAST(list_sum(
+      |  [CASE WHEN 2*len(list_filter(hs, x -> (x >> i) & 1 = 1)) > n
+      |        THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0,60)]) AS BIGINT) sim
+      |FROM h)""".stripMargin
+
   private val cosineCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)"""
 
@@ -427,6 +448,13 @@ object OracleSql {
 
     "q22_dedup_simhash" ->
       s"""$simhashCte
+         |SELECT a.doc_id id_a, b.doc_id id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
+    "q22b_dedup_simhash_shingled" ->
+      s"""$shingledSimhashCte
          |SELECT a.doc_id id_a, b.doc_id id_b,
          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) hamming
          |FROM f a JOIN f b ON a.doc_id < b.doc_id

@@ -81,6 +81,12 @@ object SparkEntry {
       Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text")),
     "q22_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")),
+    // the Zipf-robust feature basis: distinct 3-gram shingles spread the
+    // signature where head-heavy word features crowd one Hamming ball
+    // (r7 ScaleCurve: ~100x pairs per 10x docs with word features on the
+    // Zipf corpus vs ~linear with shingles)
+    "q22b_dedup_simhash_shingled" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", shingleN = 3)),
     "q23_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")),
     // lexical near-dup by sparse TF-IDF cosine, blocked by source (the

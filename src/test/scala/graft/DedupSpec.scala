@@ -72,6 +72,35 @@ class DedupSpec extends SparkTestBase {
     assert(blocked == brute)
   }
 
+  test("shingled simhash equals its brute-force twin and excludes shingle-less docs") {
+    // same covering-design losslessness, different feature basis: the
+    // blocked pairs must equal all-pairs hamming over simHash64(shingles)
+    val fp = corpus
+      .select($"doc_id", HashFunctions.simHash64(TextFunctions.shingles($"text", 3)).as("sim"),
+        size(TextFunctions.shingles($"text", 3)).as("nf"))
+      .filter($"nf" > 0)
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("int").as("h"))
+      .filter($"h" <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.simHashPairs(corpus, "doc_id", "text", shingleN = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+
+    // an exact duplicate pair is hamming 0 under any feature basis; docs
+    // too short to shingle get NO signature (they must not all collide on
+    // the empty-feature fingerprint 0, which word-feature simhash never
+    // produces but shingle features would)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "hi"), (4L, "yo")).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(docs, "doc_id", "text", shingleN = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 0)))
+  }
+
   test("exact dedup collapses normalization-equivalent copies") {
     val docs = Seq(
       (1L, "Hello  World"),
