@@ -968,5 +968,32 @@ object OracleSql {
         |  n_samples::BIGINT n_samples,
         |  (n_samples * 1000 // sample_rate)::BIGINT duration_ms
         |FROM e""".stripMargin,
+    // Overlapping token-window chunks: integer chunk-count arithmetic,
+    // slices truncate at the doc end in both engines.
+    "q73_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks)::BIGINT L,
+        |  CASE WHEN len(toks) <= 32 THEN 1
+        |       ELSE (len(toks) - 32 + 23) // 24 + 1 END nc FROM t),
+        |c AS (SELECT doc_id, toks, L, unnest(range(0, nc)) k FROM n)
+        |SELECT doc_id, k chunk_id, (k * 24)::BIGINT start_tok,
+        |  least(32, L - k * 24)::BIGINT n_tokens,
+        |  array_to_string(toks[k*24+1 : k*24+32], ' ') chunk_text
+        |FROM c""".stripMargin,
+
+    // Temperature-0.5 mixture quotas: per-source weight = round(sqrt(n),6)
+    // summed as DECIMAL (exact), quota = floor(1000 * w/W) in one double
+    // multiply+divide — then the q35 id-hash rank inside each source.
+    "q74_mixture_resample" ->
+      """WITH c AS (SELECT source, count(*) n_s FROM documents GROUP BY 1),
+        |w AS (SELECT source, round(sqrt(n_s), 6)::DECIMAL(18,6) w FROM c),
+        |tw AS (SELECT sum(w) tot FROM w),
+        |q AS (SELECT source,
+        |  floor(1000 * (w::DOUBLE / tot::DOUBLE))::BIGINT quota
+        |  FROM w CROSS JOIN tw)
+        |SELECT doc_id, d.source, lang FROM documents d JOIN q USING (source)
+        |QUALIFY row_number() OVER (PARTITION BY d.source
+        |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |    doc_id) <= quota""".stripMargin,
   )
 }

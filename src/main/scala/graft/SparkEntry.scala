@@ -421,6 +421,14 @@ object SparkEntry {
 
     "q72_audio_meta" -> ((s, dir) =>
       Multimodal.audioMetaFromDocuments(s, Tables.documents(s, dir))),
+
+    "q73_doc_chunks" -> ((s, dir) =>
+      operators.Chunking.chunks(Tables.documents(s, dir))),
+
+    "q74_mixture_resample" -> ((s, dir) =>
+      operators.Sampling.mixtureResample(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        "source", "doc_id", targetTotal = 1000L)),
   )
 
   /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and

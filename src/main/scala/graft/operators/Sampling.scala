@@ -81,6 +81,62 @@ object Sampling {
     * rows never shuffle, nothing sorts. Rows with weight <= 0 or NULL are
     * never sampled.
     */
+  /** Temperature-scaled MIXTURE resampling — the multilingual/DoReMi-style
+    * source-balancing step: sample `targetTotal` documents with per-source
+    * quotas ∝ n_s^τ. τ = 1 reproduces the natural mixture; τ = 0.5 (the
+    * multilingual-pretraining staple) up-samples small sources relative to
+    * their size so the head can't drown the tail. Only τ ∈ {0.5, 1} is
+    * accepted: quota arithmetic must be bit-identical cross-engine, and
+    * IEEE `sqrt` is correctly rounded everywhere while libm `pow` is not.
+    *
+    * Determinism discipline: weights are rounded to 6 dp and summed as
+    * DECIMAL (exact, order-independent — a double Σ would depend on
+    * aggregation order), then quota_s = floor(T · w_s / W) in ONE double
+    * multiply + divide over exact operands — every engine computes the
+    * same quotas, and inside each source the q35 id-hash rank picks the
+    * same rows. Floor-rounding leaves Σ quota ≤ T by at most one doc per
+    * source (documented, not redistributed — redistribution would need a
+    * cross-source order, a needless determinism hazard).
+    *
+    * Shape: one count aggregation (rows: one per source), quotas broadcast
+    * back, per-source rank over 24-byte (source, hash, id) keys, winners
+    * pull full rows via broadcast semi-join — full rows never shuffle.
+    * The winner set is `targetTotal` ids (16 bytes each); past broadcast
+    * size (~hundreds of millions of ids) swap the final semi-join for a
+    * shuffled left-semi — the quota machinery is unchanged.
+    */
+  def mixtureResample(
+      df: DataFrame, strataCol: String, idCol: String,
+      targetTotal: Long, temperature: Double = 0.5): DataFrame = {
+    require(temperature == 0.5 || temperature == 1.0,
+      "only tau in {0.5, 1}: cross-engine quota determinism needs correctly-rounded ops (sqrt), not libm pow")
+    val counts = df.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val w =
+      if (temperature == 1.0) col("__n").cast("decimal(18,6)")
+      else round(sqrt(col("__n")), 6).cast("decimal(18,6)")
+    val weighted = counts.select(col("__s"), w.as("__w"))
+    // "__tot", not "__W": Spark resolution is case-insensitive by default,
+    // so "__W" next to "__w" is an ambiguous reference
+    val tot = weighted.agg(sum(col("__w")).as("__tot"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .select(col("__s"),
+        floor(lit(targetTotal.toDouble) * (col("__w").cast("double") / col("__tot").cast("double")))
+          .cast("long").as("__quota"))
+    val ranked = df
+      .select(col(strataCol).as("__s"), idHash(col(idCol)).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__s"))
+          .orderBy(col("__h"), col("__id"))))
+    val winners = ranked.join(quotas, Seq("__s"))
+      .filter(col("__rn") <= col("__quota"))
+      .select(col("__id").as("__sample_id"))
+    df.join(
+      broadcast(winners),
+      col(idCol).cast("long") === col("__sample_id"), "left_semi")
+  }
+
   def weightedN(
       df: DataFrame, strataCol: String, idCol: String, weightCol: String,
       n: Int): DataFrame = {

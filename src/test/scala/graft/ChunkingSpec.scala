@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Chunking, Sampling}
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunk boundaries: short doc, exact window, one-past, overlap content") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(5, "a")),   // shorter than one window -> 1 whole chunk
+      (2L, words(8, "b")),   // exactly one window
+      (3L, words(9, "c")),   // one past -> 2 chunks, second truncated
+      (4L, words(20, "d"))   // ceil((20-8)/6)+1 = 3 chunks
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunks(docs, window = 8, stride = 6)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 5L, words(5, "a")),
+      (2L, 0L, 0L, 8L, words(8, "b")),
+      (3L, 0L, 0L, 8L, (1 to 8).map(i => s"c$i").mkString(" ")),
+      (3L, 1L, 6L, 3L, "c7 c8 c9"),
+      (4L, 0L, 0L, 8L, (1 to 8).map(i => s"d$i").mkString(" ")),
+      (4L, 1L, 6L, 8L, (7 to 14).map(i => s"d$i").mkString(" ")),
+      (4L, 2L, 12L, 8L, (13 to 20).map(i => s"d$i").mkString(" "))))
+    // every token position is inside at least one chunk (stride <= window)
+    val covered = out.filter(_._1 == 4L).flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 20L).toSet)
+    // stride == window tiles without overlap
+    val tiled = Chunking.chunks(docs.filter($"doc_id" === 4L), window = 5, stride = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(tiled.map(_._4).sum == 20L)
+    intercept[IllegalArgumentException] {
+      Chunking.chunks(docs, window = 4, stride = 5)
+    }
+  }
+
+  test("mixture resample: tau=0.5 quotas, partitioning independence, tau=1 natural") {
+    // head source 160 docs, mid 40, tail 10: 6-dp sqrt weights 12.649111,
+    // 6.324555, 3.162278 -> shares of 22.135944; quotas at T=100:
+    // floor(57.14..)=57, floor(28.57..)=28, floor(14.28..)=14 — but the
+    // tail stratum only HAS 10 docs, so its quota caps at the stratum size
+    val docs = (0 until 160).map(i => (i.toLong, "head")) ++
+      (1000 until 1040).map(i => (i.toLong, "mid")) ++
+      (2000 until 2010).map(i => (i.toLong, "tail"))
+    val df = docs.toDF("doc_id", "source")
+    val out = Sampling.mixtureResample(df, "source", "doc_id", 100L)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("head" -> 57L, "mid" -> 28L, "tail" -> 10L))
+    // temperature up-samples the tail: natural share of tail is 10/210 ~ 4.8%,
+    // tau=0.5 quotas it at 14% (capped here by the tiny stratum) — and
+    // tau=1 reproduces the natural mixture
+    val nat = Sampling.mixtureResample(df, "source", "doc_id", 100L, temperature = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(nat == Map("head" -> 76L, "mid" -> 19L, "tail" -> 4L))
+    // deterministic under any partitioning: same ROWS, not just counts
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureResample(df.repartition(13), "source", "doc_id", 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(df, "source", "doc_id", 100L, temperature = 0.7)
+    }
+  }
+}
