@@ -995,5 +995,14 @@ object OracleSql {
         |QUALIFY row_number() OVER (PARTITION BY d.source
         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
         |    doc_id) <= quota""".stripMargin,
+
+    // JL random projection: same deterministic ±1 sign formula, DECIMAL
+    // accumulation (order-independent), unscaled 6-dp-exact output.
+    "q75_random_projection" ->
+      """SELECT vec_id, (j + 1)::INT dim,
+        |  list_sum([ (round(embedding[i+1]::DOUBLE, 6)::DECIMAL(18,6)
+        |      * (1 - 2 * ((i * 73856093 + j * 19349663) % 97 % 2)))::DECIMAL(28,6)
+        |    for i in range(0, len(embedding))])::DOUBLE val
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) j) dims""".stripMargin,
   )
 }

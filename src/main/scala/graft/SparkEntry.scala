@@ -429,6 +429,9 @@ object SparkEntry {
       operators.Sampling.mixtureResample(
         Tables.documents(s, dir).select("doc_id", "source", "lang"),
         "source", "doc_id", targetTotal = 1000L)),
+
+    "q75_random_projection" -> ((s, dir) =>
+      operators.Embeddings.randomProject(Tables.embeddings(s, dir))),
   )
 
   /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and

@@ -36,6 +36,58 @@ object Embeddings {
         round(sum(col("dv")).cast("double") / count(lit(1)), 6).as("centroid"),
         count(lit(1)).as("n_vectors"))
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION of the embedding column to
+    * `outDim` dimensions with a deterministic ±1 sign matrix (Achlioptas:
+    * ±1 entries preserve pairwise distances within 1±ε like gaussians do,
+    * and a sign matrix needs no stored model — the matrix IS the hash
+    * formula, reproducible on any engine). The compute/storage lever
+    * ABOVE int8 quantization: q57/q60 shrink bytes per dimension, this
+    * shrinks DIMENSIONS (64→16 = 4× fewer multiply-adds per kNN probe);
+    * they compose.
+    *
+    * sign(i, j) = 1 − 2·((i·73856093 + j·19349663) mod 97 mod 2) — pure
+    * integer math, identical in SQL. Per output dim j:
+    * proj_j = Σ_i round(v_i, 6)·sign(i,j), accumulated as DECIMAL (exact,
+    * order-independent — the q43 discipline) and emitted WITHOUT the
+    * JL 1/√outDim normalization: the constant cancels out of cosine and
+    * of any distance RANKING (the operator's consumers), and skipping it
+    * keeps the output an exact 6-dp decimal — no float rounding step for
+    * engines to disagree on (a /√k then round-6dp lands on round-half
+    * ties). Apply 1/√outDim downstream iff calibrated distances matter.
+    *
+    * Shape: pure per-row column math (`transform` over the out dims, an
+    * `aggregate` fold per entry) — NO explode, NO shuffle, embarrassingly
+    * parallel; 100 TB cost is outDim·dim multiply-adds per row at scan
+    * speed. Returns long format (id, dim, val) — exactly oracle-checkable,
+    * and [[fromLong]]-style re-assembly is one groupBy when a vector
+    * column is wanted.
+    */
+  def randomProject(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      outDim: Int = 16): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    def sign(i: Column, j: Column): Column =
+      lit(1L) - lit(2L) * pmod(pmod(i * 73856093L + j * 19349663L, lit(97L)), lit(2L))
+    emb.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(
+            zip_with(
+              col(vecCol),
+              sequence(lit(0), size(col(vecCol)) - 1),
+              (v, i) => round(v.cast("double"), 6).cast("decimal(18,6)") *
+                sign(i.cast("long"), j.cast("long"))),
+            lit(0).cast("decimal(28,6)"),
+            // cast the sum back to the accumulator type: Spark widens
+            // decimal + to (38,6) and `aggregate` requires merge to
+            // return exactly the zero's type. (28,6) holds |v|<=1-ish
+            // entries times 4k dims with 22 integer digits to spare.
+            (acc, x) => (acc + x).cast("decimal(28,6)")).cast("double")))
+        .as(Seq("dim0", "val")))
+      .select(col(idCol), (col("dim0") + 1).cast("int").as("dim"), col("val"))
+  }
+
   /** Per-dimension [min, max] over the corpus — the quantization ranges.
     * One aggregation, bounded driver collect (2 doubles per dimension,
     * the IvfKnn contract). Constant dims get a widened range so the

@@ -17,6 +17,41 @@ class EmbeddingsSpec extends SparkTestBase {
       (1, 1, 10.0, 1L), (1, 2, -2.5, 1L)))
   }
 
+  test("random projection: exact, partition-independent, neighbor-preserving") {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(3, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProject(df, "vec_id", "embedding", outDim = 16)
+      .as[(Long, Int, Double)].collect()
+
+    // identical input vectors project identically, under any partitioning
+    val proj2 = Embeddings.randomProject(df.repartition(13), "vec_id", "embedding", 16)
+      .as[(Long, Int, Double)].collect()
+    assert(proj.sortBy(r => (r._1, r._2)).toSeq == proj2.sortBy(r => (r._1, r._2)).toSeq)
+
+    // JL property on clustered data: every vector's nearest neighbor in
+    // the 16-dim projected space belongs to the same CLUSTER as in the
+    // 64-dim original (weaker than exact-neighbor, which even JL only
+    // gives in distribution — cluster identity is what ANN bucketing uses)
+    val full = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val low = proj.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._2).map(_._3).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def nn(space: Map[Long, Array[Double]], id: Long): Long =
+      space.filter(_._1 != id).maxBy { case (_, v) => cos(space(id), v) }._1
+    val agree = (0L until 90L).count(id => nn(full, id) % 3 == nn(low, id) % 3)
+    assert(agree >= 85, s"projected-space neighbors changed cluster: $agree/90 agree")
+  }
+
   test("centroid shuffle carries scalars, not vectors (explode-first)") {
     val emb = Seq((1L, Seq(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label")
     val plan = Embeddings.classCentroids(emb).queryExecution.executedPlan.toString
