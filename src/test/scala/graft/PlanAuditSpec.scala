@@ -211,6 +211,43 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q71 span dedup: gram text never shuffles, only hashes/ids/counts") {
+    audited {
+      val df = SparkEntry.queries("q71_span_dedup")(spark, dir)
+      val ex = shuffles(df)
+      assert(ex.nonEmpty, "the repeated-gram aggregation must shuffle")
+      ex.foreach { s =>
+        val tys = s.child.output.map(_.dataType)
+        assert(!tys.exists(t => t.isInstanceOf[StringType] || t.isInstanceOf[ArrayType]),
+          s"gram text/token arrays must not ride a q71 shuffle: ${s.child.output}")
+      }
+    }
+  }
+
+  test("q73 chunking and q75 projection: per-row operators, ZERO shuffles") {
+    audited {
+      assert(shuffles(SparkEntry.queries("q73_doc_chunks")(spark, dir)).isEmpty,
+        "chunking is a per-row explode; any shuffle is a regression")
+      assert(shuffles(SparkEntry.queries("q75_random_projection")(spark, dir)).isEmpty,
+        "random projection is per-row column math; any shuffle is a regression")
+    }
+  }
+
+  test("q74 mixture resample: rank shuffle carries slim keys, winners broadcast back") {
+    audited {
+      val df = SparkEntry.queries("q74_mixture_resample")(spark, dir)
+      // with auto-broadcast disabled the rank window and count agg shuffle;
+      // none of them may carry more than (stratum, hash, id)-width rows of
+      // the corpus — the full-width rows come back via the final semi-join
+      val ex = shuffles(df)
+      assert(ex.nonEmpty)
+      ex.foreach { s =>
+        assert(s.child.output.size <= 4,
+          s"mixture-resample shuffle wider than (stratum, hash, id, rank): ${s.child.output}")
+      }
+    }
+  }
+
   test("q65 incremental near-dup: no document text on any shuffle") {
     audited {
       val df = SparkEntry.queries("q65_incremental_neardup")(spark, dir)
