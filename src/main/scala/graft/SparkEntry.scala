@@ -432,6 +432,16 @@ object SparkEntry {
 
     "q75_random_projection" -> ((s, dir) =>
       operators.Embeddings.randomProject(Tables.embeddings(s, dir))),
+
+    // real-tokenizer budget: BPE trained on the corpus's own word table
+    // (50 merges), applied via the distinct-word dictionary join. The
+    // greedy merge fixpoint has no SQL form -> rows-only oracle; exact
+    // semantics pinned in BpeSpec.
+    "q76_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Bpe.tokenCounts(s, docs, "doc_id", "text",
+        graft.functions.Bpe.trainFromCorpus(docs, "text", k = 50))
+    }),
   )
 
   /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (GPT-2's merge discipline): an ordered
+  * merge list is the whole model — apply = repeatedly fuse the adjacent
+  * symbol pair with the LOWEST merge rank until none applies.
+  *
+  * The q32 token counter estimates tokens with a regex; this is the real
+  * thing a training pipeline budgets with. Non-SQL-expressible (the greedy
+  * fixpoint has no relational form), so the driver records a rows-only
+  * check for q76 and correctness is pinned by ScalaTest instead: the
+  * classic low/lower/newest corpus learns the textbook merges, tokens
+  * re-concatenate to their word, and the vocab-join path equals direct
+  * per-occurrence segmentation.
+  *
+  * Scale shape (the part that must be Spark-first):
+  *   - TRAINING inputs a (word, count) table — built by one distributed
+  *     aggregation — and loops over the VOCABULARY on the driver
+  *     (Zipf: vocab ≪ corpus; for open-domain 100 TB text, prune the
+  *     table first with q67's minCount discipline or train on a q35
+  *     sample — the contract is the table fits the driver, not the corpus).
+  *   - APPLICATION segments each DISTINCT word once (a vocab-sized job)
+  *     and joins the (word → n_tokens) dictionary back to occurrences:
+  *     work ∝ vocab + corpus rows, never corpus × word-length re-merging.
+  *     The dictionary is Zipf-small → broadcast; the occurrence side
+  *     shuffles nothing but (id, word-hash) counts.
+  */
+object Bpe {
+
+  /** Greedy BPE segmentation of one word under rank-ordered merges.
+    * GPT-2 order: at each step ALL occurrences of the single lowest-rank
+    * adjacent pair fuse left-to-right, then ranks are re-examined.
+    */
+  def segmentWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    var syms = word.map(_.toString).toVector
+    while (syms.size >= 2) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0 || bestRank == Int.MaxValue) return syms
+      val (a, b) = (syms(best), syms(best + 1))
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.size) {
+        if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** Learn `k` merges from a (word, count) table — the standard BPE
+    * trainer: per round, fuse the pair with the highest corpus-weighted
+    * frequency (lexicographic tie-break so training is deterministic on
+    * any input order).
+    */
+  def trainMerges(wordCounts: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+    var words = wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val freq = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.size - 1)
+        freq.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (freq.isEmpty) done = true
+      else {
+        val best = freq.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val (a, b) = best
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed word-count aggregation feeding [[trainMerges]]. The
+    * collect is the vocabulary, not the corpus; `maxVocab` keeps the
+    * driver honest (top-N by count, deterministic word tie-break — the
+    * tail it drops is exactly the tail BPE would never merge first).
+    */
+  def trainFromCorpus(docs: DataFrame, textCol: String, k: Int,
+      maxVocab: Int = 100000): Seq[(String, String)] = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainMerges(counts, k)
+  }
+
+  /** q76: per-doc real-tokenizer budget — whitespace tokens vs BPE tokens.
+    * Segments each DISTINCT word once, broadcasts the (word, n_bpe)
+    * dictionary, joins occurrences back. Returns
+    * (doc_id, n_tokens, n_bpe_tokens).
+    */
+  def tokenCounts(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val occ = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w")).filter(col("w") =!= "")
+    val dict = occ.select("w").distinct().as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, segmentWord(w, r).size.toLong))
+      }.toDF("w", "n_bpe")
+    occ.join(broadcast(dict), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
+  }
+}

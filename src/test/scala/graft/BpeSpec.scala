@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.Bpe
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("trainer learns the textbook merges; greedy apply follows rank order") {
+    // the classic BPE example (Sennrich et al. shape): character pairs
+    // shared by frequent words merge first, weighted by word counts
+    val counts = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainMerges(counts, 6)
+    // pair frequencies round 1: (l,o) 7, (o,w) 7, (e,s) 9, (s,t) 9,
+    // (w,e) 8, ... -> (e,s) wins (count 9, lexicographic beats (s,t));
+    // then (es,t) 9, then (l,o) 7 beats (o,w)? after merges: (l,o)=7,
+    // (o,w)=7 -> (l,o) lexicographically first
+    assert(merges.take(4) == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+
+    val ranks = merges.zipWithIndex.toMap
+    // apply is rank-greedy, not left-to-right: "lowest" fuses est before low
+    assert(Bpe.segmentWord("lowest", ranks) == Vector("low", "est"))
+    assert(Bpe.segmentWord("low", ranks) == Vector("low"))
+    // unseen symbols survive as singletons; concatenation always rebuilds
+    for (w <- Seq("lowest", "slowest", "xyz", "newlow", ""))
+      assert(Bpe.segmentWord(w, ranks).mkString == w)
+    // more merges never increase a word's token count
+    val fewer = Bpe.segmentWord("newest", merges.take(2).zipWithIndex.toMap).size
+    assert(Bpe.segmentWord("newest", ranks).size <= fewer)
+  }
+
+  test("vocab-dictionary join equals direct per-occurrence segmentation") {
+    val docs = Seq(
+      (1L, "low lower newest"),
+      (2L, "newest newest widest"),
+      (3L, "low")).toDF("doc_id", "text")
+    val merges = Bpe.trainFromCorpus(docs, "text", k = 4)
+    val ranks = merges.zipWithIndex.toMap
+    val out = Bpe.tokenCounts(spark, docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // reference: segment every occurrence directly on the driver
+    val expected = Seq(
+      (1L, "low lower newest"), (2L, "newest newest widest"), (3L, "low"))
+      .map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        (id, toks.size.toLong, toks.map(w => Bpe.segmentWord(w, ranks).size.toLong).sum)
+      }
+    assert(out == expected)
+    // BPE compresses below character count and never below word count
+    out.zip(expected).foreach { case ((_, n, b), _) =>
+      assert(b >= n, "a word is at least one BPE token") }
+  }
+}
