@@ -502,6 +502,11 @@ object OracleSql {
     "q26_knn_lsh" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // Projection fidelity: the oracle recomputes the exact pair count of
+    // the id<200 subset; the MAE bound is the Spark-side gate boolean.
+    "q77_projection_fidelity" ->
+      """SELECT (n * (n - 1) / 2)::BIGINT n_pairs, TRUE mae_ok
+        |FROM (SELECT count(*) n FROM embeddings WHERE vec_id < 200)""".stripMargin,
     // Quantized-store kNN: measured recall@5 0.96-1.0 across scales,
     // gated at 0.8 (int8 noise barely moves cosine ranks).
     "q57_knn_quantized" ->
@@ -1001,7 +1006,7 @@ object OracleSql {
     "q75_random_projection" ->
       """SELECT vec_id, (j + 1)::INT dim,
         |  list_sum([ (round(embedding[i+1]::DOUBLE, 6)::DECIMAL(18,6)
-        |      * (1 - 2 * ((i * 73856093 + j * 19349663) % 97 % 2)))::DECIMAL(28,6)
+        |      * (1 - 2 * ((i + 13) * (j + 101) * 2654435761 % 2147483647 % 2)))::DECIMAL(28,6)
         |    for i in range(0, len(embedding))])::DOUBLE val
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) j) dims""".stripMargin,
   )

