@@ -898,7 +898,8 @@ object OracleSql {
     // text itself — equality of the per-doc coverage counts is the
     // no-meaningful-collisions check.
     "q71_span_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, unnest([{'p': i - 1,
         |    'gram': array_to_string(toks[i:i+7], ' ')}
         |    for i in range(1, greatest(len(toks) - 6, 1))], recursive := true) FROM t),
@@ -1005,9 +1006,9 @@ object OracleSql {
     // accumulation (order-independent), unscaled 6-dp-exact output.
     "q75_random_projection" ->
       """SELECT vec_id, (j + 1)::INT dim,
-        |  list_sum([ (round(embedding[i+1]::DOUBLE, 6)::DECIMAL(18,6)
-        |      * (1 - 2 * ((i + 13) * (j + 101) * 2654435761 % 2147483647 % 2)))::DECIMAL(28,6)
-        |    for i in range(0, len(embedding))])::DOUBLE val
+        |  list_sum([ round(embedding[i+1]::DOUBLE * 1000000)::BIGINT
+        |      * (1 - 2 * ((i + 13) * (j + 101) * 2654435761 % 2147483647 % 2))
+        |    for i in range(0, len(embedding))])::DOUBLE / 1000000 val
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) j) dims""".stripMargin,
   )
 }

@@ -54,13 +54,18 @@ object Embeddings {
     * and projected kNN recall collapsed to 0.08; measured column-dot
     * spread of this form tracks a random ±1 matrix at 64×16 and 256×32).
     * Per output dim j:
-    * proj_j = Σ_i round(v_i, 6)·sign(i,j), accumulated as DECIMAL (exact,
-    * order-independent — the q43 discipline) and emitted WITHOUT the
-    * JL 1/√outDim normalization: the constant cancels out of cosine and
-    * of any distance RANKING (the operator's consumers), and skipping it
-    * keeps the output an exact 6-dp decimal — no float rounding step for
-    * engines to disagree on (a /√k then round-6dp lands on round-half
-    * ties). Apply 1/√outDim downstream iff calibrated distances matter.
+    * proj_j = Σ_i round(v_i·10⁶)·sign(i,j) / 10⁶ — accumulated EXACTLY on
+    * the 6-dp integer grid as LONGS (the q43 decimal-sum discipline at
+    * long-add speed inside the codegen'd [[graft.plans.SignProject]]
+    * kernel — the decimal HOF fold benched 2.8 s for 2k×16 at sf0.1, the
+    * long HOF ~0.9 s, the native kernel ~0.3 s, identical values; sums
+    * stay far under 2⁶³). Emitted
+    * WITHOUT the JL 1/√outDim normalization: the constant cancels out of
+    * cosine and of any distance RANKING (the operator's consumers), and
+    * skipping it keeps the output exact on the grid — no float rounding
+    * step for engines to disagree on (a /√k then round-6dp lands on
+    * round-half ties). Apply 1/√outDim downstream iff calibrated
+    * distances matter.
     *
     * Shape: pure per-row column math (`transform` over the out dims, an
     * `aggregate` fold per entry) — NO explode, NO shuffle, embarrassingly
@@ -73,25 +78,11 @@ object Embeddings {
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       outDim: Int = 16): DataFrame = {
     require(outDim > 0, "outDim must be positive")
-    def sign(i: Column, j: Column): Column =
-      lit(1L) - lit(2L) * pmod(pmod((i + 13L) * (j + 101L) * 2654435761L, lit(2147483647L)), lit(2L))
-    emb.select(
-      col(idCol),
-      posexplode(
-        transform(sequence(lit(0), lit(outDim - 1)), j =>
-          aggregate(
-            zip_with(
-              col(vecCol),
-              sequence(lit(0), size(col(vecCol)) - 1),
-              (v, i) => round(v.cast("double"), 6).cast("decimal(18,6)") *
-                sign(i.cast("long"), j.cast("long"))),
-            lit(0).cast("decimal(28,6)"),
-            // cast the sum back to the accumulator type: Spark widens
-            // decimal + to (38,6) and `aggregate` requires merge to
-            // return exactly the zero's type. (28,6) holds |v|<=1-ish
-            // entries times 4k dims with 22 integer digits to spare.
-            (acc, x) => (acc + x).cast("decimal(28,6)")).cast("double")))
-        .as(Seq("dim0", "val")))
+    emb
+      .select(col(idCol),
+        posexplode(graft.plans.VectorFunctions
+          .signProject(col(vecCol).cast("array<float>"), outDim))
+          .as(Seq("dim0", "val")))
       .select(col(idCol), (col("dim0") + 1).cast("int").as("dim"), col("val"))
   }
 
@@ -102,20 +93,10 @@ object Embeddings {
   def randomProjectVec(
       emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       outDim: Int = 16): DataFrame = {
-    def sign(i: Column, j: Column): Column =
-      lit(1L) - lit(2L) * pmod(pmod((i + 13L) * (j + 101L) * 2654435761L, lit(2147483647L)), lit(2L))
-    emb.select(
-      col(idCol),
-      transform(sequence(lit(0), lit(outDim - 1)), j =>
-        aggregate(
-          zip_with(
-            col(vecCol),
-            sequence(lit(0), size(col(vecCol)) - 1),
-            (v, i) => round(v.cast("double"), 6).cast("decimal(18,6)") *
-              sign(i.cast("long"), j.cast("long"))),
-          lit(0).cast("decimal(28,6)"),
-          (acc, x) => (acc + x).cast("decimal(28,6)")).cast("float"))
-        .as(vecCol))
+    emb.select(col(idCol),
+      transform(graft.plans.VectorFunctions
+        .signProject(col(vecCol).cast("array<float>"), outDim),
+        x => x.cast("float")).as(vecCol))
   }
 
   /** In-query fidelity gate for the projection (q77): over all pairs of a

@@ -33,8 +33,10 @@ object SpanDedup {
 
   def spanStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 8): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("toks"))
+    // null text has no tokens to cover — drop, like the other explode
+    // operators (q40 wrap, q73 chunking), instead of emitting a null-size row
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     // long, not int: the oracle's len() is BIGINT and the driver compares
     // schemas after sorting columns by name
     val sizes = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))

@@ -79,6 +79,40 @@ case class Int8CosineSimilarity(left: Expression, right: Expression)
   */
 object VectorKernels {
 
+  /** JL ±1 sign projection of an `array<float>` vector to `outDim` dims
+    * on the exact 6-dp grid (SURVEY §2 `q75_random_projection`). Each
+    * entry quantizes ONCE via BigDecimal HALF_UP — bit-identical to
+    * Spark's `round(v*1e6)` and DuckDB's `round()` half-away-from-zero
+    * (`Math.round` would differ on negative halves) — then `outDim`
+    * long-accumulator sign folds. Same value set as the HOF
+    * `aggregate`/`zip_with` formulation, ~10× cheaper (no per-element
+    * lambda interpretation).
+    */
+  def signProject(v: ArrayData, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = new java.math.BigDecimal(v.getFloat(i).toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0L
+      var k = 0
+      while (k < n) {
+        val h = ((k + 13L) * (j + 101L) * 2654435761L) % 2147483647L
+        s += (if ((h & 1L) == 0L) q(k) else -q(k))
+        k += 1
+      }
+      out(j) = s.toDouble / 1e6
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosineInt8(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
     if (n != y.numElements())
@@ -313,6 +347,28 @@ case class SparseDotLong(
     copy(termsA = f, wnsA = s, termsB = t, wnsB = q)
 }
 
+/** JL ±1 sign projection of an `array<float>` vector to `outDim`
+  * dimensions on the exact 6-dp grid (see [[VectorKernels.signProject]]).
+  * Returns `array<double>` of length `outDim`.
+  */
+case class SignProject(child: Expression, outDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.signProject(input.asInstanceOf[ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.signProject($c, $outDim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Multi-table random-hyperplane LSH bucket ids of an `array<float>`
   * vector — the blocking keys for the ANN scale path (SURVEY §2
   * `q26_knn_lsh`). Returns `array<int>` of length `tables`.
@@ -404,6 +460,10 @@ object VectorFunctions {
     GraftColumnShim.column(SparseDotLong(
       GraftColumnShim.expression(ta), GraftColumnShim.expression(wa),
       GraftColumnShim.expression(tb), GraftColumnShim.expression(wb)))
+
+  /** Column API for [[SignProject]]. */
+  def signProject(v: Column, outDim: Int): Column =
+    GraftColumnShim.column(SignProject(GraftColumnShim.expression(v), outDim))
 
   /** Column API for [[LshBuckets]]. */
   def lshBuckets(v: Column, bits: Int, tables: Int): Column =

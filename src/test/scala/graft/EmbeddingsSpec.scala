@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.Embeddings
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
 class EmbeddingsSpec extends SparkTestBase {
   import spark.implicits._
@@ -50,6 +52,33 @@ class EmbeddingsSpec extends SparkTestBase {
       space.filter(_._1 != id).maxBy { case (_, v) => cos(space(id), v) }._1
     val agree = (0L until 90L).count(id => nn(full, id) % 3 == nn(low, id) % 3)
     assert(agree >= 85, s"projected-space neighbors changed cluster: $agree/90 agree")
+  }
+
+  test("codegen'd SignProject kernel equals the HOF formula, ties included") {
+    // negative exact-half grid points are where Math.round-style kernels
+    // diverge from Spark/DuckDB half-away-from-zero: -0.0000005f etc.
+    val tricky = Seq(-0.0000005f, 0.0000005f, -1.5e-6f, 0.25f, -0.125f)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (tricky ++ Array.fill(59)(rnd.nextGaussian().toFloat * 0.5f)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def sign(i: Column, j: Column): Column =
+      lit(1L) - lit(2L) * pmod(pmod((i + 13L) * (j + 101L) * 2654435761L, lit(2147483647L)), lit(2L))
+    val hof = df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(15)), j =>
+        aggregate(
+          zip_with(
+            transform(col("embedding"), v => round(v.cast("double") * 1000000d).cast("long")),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (q, i) => q * sign(i.cast("long"), j.cast("long"))),
+          lit(0L), (acc, x) => acc + x).cast("double") / 1000000d))
+        .as(Seq("dim0", "val")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"), col("val"))
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val kernel = Embeddings.randomProject(df, "vec_id", "embedding", 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(kernel == hof)
   }
 
   test("centroid shuffle carries scalars, not vectors (explode-first)") {

@@ -196,4 +196,50 @@ class RobustnessSpec extends SparkTestBase {
     assert(!mm.contains(2L))
     assert(mm(3L)._4 == 16 && mm(3L)._5 == 1) // n=0 -> 16x1 raster
   }
+
+  test("round-7 additions tolerate null/empty/degenerate inputs") {
+    import graft.operators.{Chunking, Multimodal, Sampling, SpanDedup}
+
+    // span dedup: null text -> null token array -> no grams, zero coverage;
+    // "" splits to one empty token (sub-window doc); dup pair fully covered
+    // only if >= one gram long
+    val span = SpanDedup.spanStats(messy, minLen = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(span.keySet == Set(1L, 3L, 4L, 5L)) // null text contributes no size row? see below
+    assert(span(1L)._3 == 6L && span(5L)._3 == 6L) // exact dup pair: all 6 tokens covered
+    assert(span(3L)._3 == 0L && span(4L)._3 == 0L)
+
+    // audio wrap/decode: null drops, empty text is a 0-sample container
+    // that still decodes
+    val am = Multimodal.audioMetaFromDocuments(spark, messy)
+      .as[(Long, String, Long, Int, Int, Int, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!am.contains(2L))
+    assert(am(3L)._7 == 0L && am(3L)._8 == 0L)
+
+    // chunking: null drops; "" and "x" are single sub-window chunks
+    val ch = Chunking.chunks(messy, window = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+    assert(!ch.contains(2L))
+    assert(ch(3L).length == 1 && ch(4L).length == 1)
+
+    // mixture resample on a single stratum degenerates to stratifiedN-like
+    // behavior; empty input yields empty output, not a crash
+    val one = Sampling.mixtureResample(
+      messy.withColumn("source", lit("s")), "source", "doc_id", 3L)
+    assert(one.count() == 3)
+    assert(Sampling.mixtureResample(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"),
+      "source", "doc_id", 3L).count() == 0)
+
+    // projection: empty corpus -> empty; rows project regardless of label
+    assert(graft.operators.Embeddings.randomProject(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).count() == 0)
+
+    // BPE: empty merges segment to characters; empty corpus trains to
+    // empty merges without crashing
+    assert(graft.functions.Bpe.segmentWord("abc", Map.empty) == Vector("a", "b", "c"))
+    assert(graft.functions.Bpe.trainFromCorpus(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", 5).isEmpty)
+  }
 }
