@@ -912,6 +912,34 @@ object OracleSql {
         |  round(coalesce(dp, 0)::DOUBLE / len(toks), 6) dup_fraction
         |FROM t LEFT JOIN c USING (doc_id)""".stripMargin,
 
+    // Span REMOVAL: q71's grams + canonical first occurrence per repeated
+    // gram (row_number over (doc, pos)); drop = all-coverage anti-join
+    // canonical-coverage; tokens filter in place by dropped index.
+    "q78_span_removal" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest([{'p': i - 1,
+        |    'gram': array_to_string(toks[i:i+7], ' ')}
+        |    for i in range(1, greatest(len(toks) - 6, 1))], recursive := true) FROM t),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, p, gram,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) rn
+        |  FROM g JOIN rep USING (gram)),
+        |keepc AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos
+        |  FROM occ WHERE rn = 1),
+        |allc AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos FROM occ),
+        |dropp AS (SELECT doc_id, pos FROM allc ANTI JOIN keepc USING (doc_id, pos)),
+        |dl AS (SELECT doc_id, list_sort(list(pos)) drops FROM dropp GROUP BY doc_id)
+        |SELECT t.doc_id, len(toks)::BIGINT n_tokens,
+        |  coalesce(len(drops), 0)::BIGINT n_dropped,
+        |  CASE WHEN drops IS NULL THEN text
+        |       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        |       -- array_join of an all-dropped doc is '' — '' is the semantic
+        |       ELSE coalesce(array_to_string([toks[i+1] for i in range(0, len(toks))
+        |                             if NOT list_contains(drops, i)], ' '), '')
+        |  END text_clean
+        |FROM t LEFT JOIN dl USING (doc_id)""".stripMargin,
+
     // Latest-wins upsert: update rows (version 1) replace base rows for
     // their key; src breaks the tie exactly like upsert's _src column.
     "q50_upsert" ->

@@ -422,6 +422,9 @@ object SparkEntry {
     "q72_audio_meta" -> ((s, dir) =>
       Multimodal.audioMetaFromDocuments(s, Tables.documents(s, dir))),
 
+    "q78_span_removal" -> ((s, dir) =>
+      operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
+
     "q73_doc_chunks" -> ((s, dir) =>
       operators.Chunking.chunks(Tables.documents(s, dir))),
 

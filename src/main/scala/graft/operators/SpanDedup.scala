@@ -65,4 +65,65 @@ object SpanDedup {
         round(coalesce(col("dup_positions"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("dup_fraction"))
   }
+
+  /** The TRANSFORM [[spanStats]] measures (q78): drop every token position
+    * covered only by NON-canonical occurrences of repeated grams, keeping
+    * the gram's first occurrence (min (doc_id, position)) as the one
+    * surviving copy — Lee et al.'s "keep one copy of each duplicated
+    * span", token-granular and relational. An exact duplicate pair keeps
+    * doc A intact and empties doc B; boilerplate shared across docs
+    * survives only where it first appears.
+    *
+    * Shape: the q71 gram stream plus (1) a canonical pick — one
+    * `row_number` over (gram hash) ordered by (doc, pos): 16-byte shuffle
+    * rows; (2) drop = repeated-coverage ANTI JOIN canonical-coverage on
+    * (doc, pos) int pairs; (3) per doc, the drop POSITIONS collect to an
+    * int list and the text filters IN PLACE (`filter` over the token
+    * array by index) — document text never rides any shuffle; only
+    * hashes, ids, and positions move. Returns
+    * (doc_id, n_tokens, n_dropped, text_clean).
+    */
+  def removeSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        split(col(textCol), " ").as("toks"))
+
+    val grams = toks
+      .filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - minLen)).as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
+
+    val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+    val occ = grams.join(repeated, Seq("gh"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+          .orderBy(col("doc_id"), col("p"))))
+
+    def coverage(df: DataFrame) = df
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (minLen - 1))).as("pos"))
+      .distinct()
+    val keepCov = coverage(occ.filter(col("rn") === 1))
+    val dropPos = coverage(occ).join(keepCov, Seq("doc_id", "pos"), "left_anti")
+
+    val drops = dropPos.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("__drops"))
+
+    toks.join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"),
+        when(col("__drops").isNull, col("__text")).otherwise(
+          array_join(
+            zip_with(col("toks"), sequence(lit(0), size(col("toks")) - 1),
+              (t, i) => when(array_contains(col("__drops"), i.cast("int")), lit(null))
+                .otherwise(t)),
+            " "))
+          .as("text_clean"))
+  }
 }

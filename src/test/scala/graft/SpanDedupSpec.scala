@@ -36,4 +36,25 @@ class SpanDedupSpec extends SparkTestBase {
     val out = stats(Seq((5L, dup), (6L, dup), (7L, uniq)))
     assert(out == Seq((5L, 12L, 12L, 1.0), (6L, 12L, 12L, 1.0), (7L, 12L, 0L, 0.0)))
   }
+
+  test("span removal keeps the canonical occurrence, trims the rest") {
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val a = "u1 u2 " + run + " u3 u4"            // first occurrence -> canonical
+    val b = "x1 x2 " + run + " x3 x4"            // later -> run trimmed
+    val dup = (1 to 12).map(i => s"d$i").mkString(" ")
+    val out = SpanDedup.removeSpans(Seq(
+      (1L, a), (2L, b), (3L, dup), (4L, dup), (5L, "short doc")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 14L, 0L, a)))                       // canonical: untouched
+    assert(out(1) == ((2L, 14L, 10L, "x1 x2 x3 x4")))          // shared run removed
+    assert(out(2) == ((3L, 12L, 0L, dup)))                     // first copy survives
+    assert(out(3) == ((4L, 12L, 12L, "")))                     // second copy empties
+    assert(out(4) == ((5L, 2L, 0L, "short doc")))              // sub-window: untouched
+
+    // within-doc: the SECOND occurrence of a self-repeated run trims
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")
+    val self = SpanDedup.removeSpans(Seq((9L, r + " z " + r)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].head()
+    assert(self == ((9L, 17L, 8L, r + " z")))
+  }
 }
