@@ -43,6 +43,13 @@ object SpanDedup {
 
     // (doc_id, p, gramhash) for every gram start p; docs shorter than
     // minLen contribute nothing (sequence upper bound < 0 → filtered).
+    // localCheckpoint: the gram stream feeds BOTH the repeated-gram count
+    // and the coverage join — without materialization each consumer
+    // re-reads and re-hashes the corpus (ScanCount measured 3 scans; the
+    // q63/q65 shared-subplan discipline). A windowed count over gh would
+    // be one pass but skew-fragile: boilerplate grams — the operator's
+    // whole point — would pile one window partition, where groupBy gets
+    // map-side partials and the join gets AQE skew splitting.
     val grams = toks
       .filter(size(col("toks")) >= minLen)
       .select(col("doc_id"),
@@ -50,6 +57,7 @@ object SpanDedup {
         col("toks"))
       .select(col("doc_id"), col("p"),
         xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
+      .localCheckpoint()
 
     val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gh")
@@ -89,6 +97,8 @@ object SpanDedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         split(col(textCol), " ").as("toks"))
 
+    // same shared-subplan materialization as spanStats (three consumers
+    // here: repeated-count, canonical window, coverage)
     val grams = toks
       .filter(size(col("toks")) >= minLen)
       .select(col("doc_id"),
@@ -96,6 +106,7 @@ object SpanDedup {
         col("toks"))
       .select(col("doc_id"), col("p"),
         xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
+      .localCheckpoint()
 
     val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gh")
