@@ -82,13 +82,16 @@ object SpanDedup {
     * doc A intact and empties doc B; boilerplate shared across docs
     * survives only where it first appears.
     *
-    * Shape: the q71 gram stream plus (1) a canonical pick — one
-    * `row_number` over (gram hash) ordered by (doc, pos): 16-byte shuffle
-    * rows; (2) drop = repeated-coverage ANTI JOIN canonical-coverage on
-    * (doc, pos) int pairs; (3) per doc, the drop POSITIONS collect to an
-    * int list and the text filters IN PLACE (`filter` over the token
-    * array by index) — document text never rides any shuffle; only
-    * hashes, ids, and positions move. Returns
+    * Shape: the q71 gram stream plus (1) ONE aggregation per gram hash
+    * yielding both the repeat count AND the canonical occurrence
+    * (`min(struct(doc, pos))` — an aggregate with map-side partials, NOT a
+    * `row_number` window: a boilerplate gram with 10M occurrences piles a
+    * window's whole partition into one task, while the agg reduces it to
+    * one partial per input partition); (2) drop = repeated-coverage ANTI
+    * JOIN canonical-coverage on (doc, pos) int pairs; (3) per doc, the
+    * drop POSITIONS collect to an int list and the text filters IN PLACE
+    * (`zip_with` over the token array by index) — document text never
+    * rides any shuffle; only hashes, ids, and positions move. Returns
     * (doc_id, n_tokens, n_dropped, text_clean).
     */
   def removeSpans(docs: DataFrame, idCol: String = "doc_id",
@@ -108,18 +111,19 @@ object SpanDedup {
         xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
       .localCheckpoint()
 
-    val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("gh")
-    val occ = grams.join(repeated, Seq("gh"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
-          .orderBy(col("doc_id"), col("p"))))
+    // one aggregation: repeat count + canonical (min (doc, pos)) per gram
+    val cano = grams.groupBy("gh")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("p"))).as("m"))
+      .filter(col("c") >= 2)
 
     def coverage(df: DataFrame) = df
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (minLen - 1))).as("pos"))
       .distinct()
-    val keepCov = coverage(occ.filter(col("rn") === 1))
-    val dropPos = coverage(occ).join(keepCov, Seq("doc_id", "pos"), "left_anti")
+    val keepCov = coverage(
+      cano.select(col("m.doc_id").as("doc_id"), col("m.p").as("p")))
+    val allCov = coverage(grams.join(cano.select("gh"), Seq("gh"), "left_semi"))
+    val dropPos = allCov.join(keepCov, Seq("doc_id", "pos"), "left_anti")
 
     val drops = dropPos.groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos").cast("int"))).as("__drops"))
