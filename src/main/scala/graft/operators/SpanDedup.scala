@@ -111,17 +111,25 @@ object SpanDedup {
         xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
       .localCheckpoint()
 
-    // one aggregation: repeat count + canonical (min (doc, pos)) per gram
+    // One aggregation: repeat count + canonical (min (doc, pos)) per gram.
+    // The lexicographic min is over doc_id·2^24 + p packed into ONE long —
+    // `min(struct(...))` would be the obvious spelling, but struct
+    // aggregation buffers force a SortAggregate fallback (PlanSweep
+    // caught it); a long min stays in codegen'd HashAggregate. Contract:
+    // p < 2^24 tokens per doc and doc_id < 2^39 (5·10^11 — row-count ids,
+    // not hash ids; hash-keyed corpora should dense-rank first).
+    val packShift = 1L << 24
     val cano = grams.groupBy("gh")
       .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("p"))).as("m"))
+        min(col("doc_id") * packShift + col("p")).as("ck"))
       .filter(col("c") >= 2)
 
     def coverage(df: DataFrame) = df
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + (minLen - 1))).as("pos"))
       .distinct()
     val keepCov = coverage(
-      cano.select(col("m.doc_id").as("doc_id"), col("m.p").as("p")))
+      cano.select(expr(s"ck div ${packShift}L").as("doc_id"),
+        pmod(col("ck"), lit(packShift)).as("p")))
     val allCov = coverage(grams.join(cano.select("gh"), Seq("gh"), "left_semi"))
     val dropPos = allCov.join(keepCov, Seq("doc_id", "pos"), "left_anti")
 
