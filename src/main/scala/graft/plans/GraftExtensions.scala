@@ -92,5 +92,17 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
         }
         LshBuckets(args(0), intLit(args(1), "bits"), intLit(args(2), "tables"))
+      }),
+    (
+      FunctionIdentifier("sign_project"),
+      info("sign_project",
+        "sign_project(array<float>, out_dim) - JL ±1 sign projection on the exact 6-dp grid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sign_project takes (vector, out_dim)")
+        val outDim = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"out_dim must be an int literal, got $other")
+        }
+        SignProject(args(0), outDim)
       }))
 }

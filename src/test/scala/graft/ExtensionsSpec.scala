@@ -37,5 +37,14 @@ class ExtensionsSpec extends SparkTestBase {
         "array(CAST(3 AS TINYINT), CAST(4 AS TINYINT)), " +
         "array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS c").collect()(0).getDouble(0)
     assert(math.abs(c8 - 1.0) < 1e-12)
+
+    // sign_project: SQL path equals the DataFrame/kernel path
+    val p = spark.sql("SELECT sign_project(array(0.5f, -0.25f, 0.125f), 4) AS p")
+      .collect()(0).getSeq[Double](0)
+    assert(p.length == 4)
+    val ref = graft.plans.VectorKernels.signProject(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(0.5f, -0.25f, 0.125f)), 4).toDoubleArray().toSeq
+    assert(p == ref)
   }
 }
