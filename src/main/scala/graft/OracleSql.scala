@@ -1030,6 +1030,23 @@ object OracleSql {
         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
         |    doc_id) <= quota""".stripMargin,
 
+    // Deterministic split: id-hash to basis points, cumulative cuts.
+    "q79_train_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+        |       ELSE 'test' END split
+        |FROM (SELECT doc_id, source,
+        |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |    * 10000 // 2147483647 bp FROM documents)""".stripMargin,
+
+    // Reproducible global shuffle order: ordinal by (idHash, id).
+    "q80_shuffle_order" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |    doc_id) - 1 AS ordinal
+        |FROM documents""".stripMargin,
+
     // JL random projection: same deterministic ±1 sign formula, DECIMAL
     // accumulation (order-independent), unscaled 6-dp-exact output.
     "q75_random_projection" ->

@@ -425,6 +425,15 @@ object SparkEntry {
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 
+    "q79_train_split" -> ((s, dir) =>
+      operators.Sampling.assignSplits(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),
+
+    "q80_shuffle_order" -> ((s, dir) =>
+      operators.Sampling.shuffleOrder(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "ordinal")),
+
     "q73_doc_chunks" -> ((s, dir) =>
       operators.Chunking.chunks(Tables.documents(s, dir))),
 

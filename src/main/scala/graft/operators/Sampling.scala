@@ -137,6 +137,69 @@ object Sampling {
       col(idCol).cast("long") === col("__sample_id"), "left_semi")
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * run needs to be REPRODUCIBLE and leak-free: a document's split is a
+    * pure function of its id (not of partitioning, sampling order, or the
+    * rest of the corpus), so reruns, backfills, and incremental ingest
+    * can never move a doc across the eval boundary. The id-hash maps to a
+    * basis-point bucket (h·10⁴ div M ∈ [0, 10⁴)); cumulative fraction
+    * thresholds cut it. Zero shuffles — a per-row expression.
+    *
+    * `fractions` are (label, basis points) in assignment order and must
+    * sum to 10000 (exact integer bookkeeping, no float thresholds).
+    */
+  def assignSplits(
+      df: DataFrame, idCol: String,
+      fractions: Seq[(String, Int)] =
+        Seq(("train", 8000), ("val", 1000), ("test", 1000))): DataFrame = {
+    require(fractions.map(_._2).sum == 10000, "fractions must sum to 10000 bp")
+    val bp = expr(
+      s"(pmod(pmod(CAST(`$idCol` AS BIGINT), ${HashMod}L) * ${HashMulA}L + ${HashAddB}L, ${HashMod}L)" +
+        s" * 10000L) div ${HashMod}L")
+    val cuts = fractions.scanLeft(0)(_ + _._2).tail
+    val label = fractions.zip(cuts).init.foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cut), rest) => when(bp < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Reproducible GLOBAL shuffle order for training: each row's ordinal in
+    * the corpus ordered by (idHash, id) — "shuffle the corpus" as a pure
+    * function of ids, identical on any engine, partitioning, or day (the
+    * property `df.orderBy(rand())` can never give you back).
+    *
+    * The ordinal is a DISTRIBUTED PREFIX SUM over fixed-width hash-range
+    * buckets (the q64 Packing discipline — never a single-partition
+    * `Window.orderBy`): hash space [0, 2³¹−1) splits into `buckets` equal
+    * ranges (value-based, no sampled boundaries), one row_number window
+    * per bucket, bucket counts prefix-scanned on the driver (bounded: one
+    * row per bucket), starts broadcast back. Returns df + `ordinal`.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = HashMod / buckets + 1
+    val hashed = df.select(
+      col(idCol).cast("long").as("__id"), idHash(col(idCol)).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
+    val within = hashed.withColumn("__rn", row_number().over(w).cast("long"))
+    val totals = hashed.groupBy(col("__b")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (totals.isEmpty) // empty input: empty output, same shape
+      return df.withColumn("ordinal", lit(0L)).limit(0)
+    val starts = totals.toSeq
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).map(p => (p(1)._1, p(0)._2)).toSeq
+    val startDf = starts.toDF("__b", "__start")
+    df.join(
+      within.join(broadcast(startDf), Seq("__b"))
+        .select(col("__id"), (col("__start") + col("__rn") - 1).as("ordinal")),
+      col(idCol).cast("long") === col("__id"))
+      .drop("__id")
+  }
+
   def weightedN(
       df: DataFrame, strataCol: String, idCol: String, weightCol: String,
       n: Int): DataFrame = {

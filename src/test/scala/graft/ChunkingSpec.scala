@@ -63,4 +63,39 @@ class ChunkingSpec extends SparkTestBase {
       Sampling.mixtureResample(df, "source", "doc_id", 100L, temperature = 0.7)
     }
   }
+
+  test("split assignment is a total, disjoint, pure function of the id") {
+    val ids = (0L until 10000L).map(i => Tuple1(i * 7919L)).toDF("doc_id")
+    val out = Sampling.assignSplits(ids, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // every doc gets exactly one label; shares land near 80/10/10
+    assert(out.values.sum == 10000L)
+    assert(out("train") > 7800 && out("train") < 8200)
+    assert(out("val") > 850 && out("val") < 1150)
+    // same ids, any partitioning -> same assignment row-for-row
+    val a = Sampling.assignSplits(ids, "doc_id").as[(Long, String)].collect().toSet
+    val b = Sampling.assignSplits(ids.repartition(13), "doc_id").as[(Long, String)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "doc_id", Seq(("a", 5000), ("b", 4000)))
+    }
+  }
+
+  test("shuffle order equals the single-window reference and permutes 0..n-1") {
+    val ids = Seq(3L, 900000007L, 17L, 42L, 5L, 123456789L, 0L, 2147483646L)
+      .map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.shuffleOrder(ids, "doc_id", buckets = 4)
+      .select("doc_id", "ordinal").as[(Long, Long)].collect().toMap
+    val ref = ids.select(col("doc_id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(Sampling.idHash(col("doc_id")), col("doc_id"))) - 1).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == ref)
+    assert(out.values.toSeq.sorted == (0L until 8L))
+    // partitioning independence
+    val rep = Sampling.shuffleOrder(ids.repartition(5), "doc_id", buckets = 4)
+      .select("doc_id", "ordinal").as[(Long, Long)].collect().toMap
+    assert(rep == out)
+    assert(Sampling.shuffleOrder(ids.limit(0), "doc_id").count() == 0)
+  }
 }
