@@ -1002,6 +1002,27 @@ object OracleSql {
         |  n_samples::BIGINT n_samples,
         |  (n_samples * 1000 // sample_rate)::BIGINT duration_ms
         |FROM e""".stripMargin,
+    // MP4 container geometry: every output column is integer arithmetic
+    // over the payload length + id parity, mirroring encodeMp4 (clock pair
+    // by n%4, frames = n//64+1, fixed box sizes 144 + 176/track + optional
+    // 16-byte free box, stride-10 frame sampling).
+    "q81_video_meta" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT n FROM documents),
+        |d AS (SELECT doc_id, n,
+        |        ([600, 1000, 12288, 90000])[(n % 4 + 1)::INT]::INT timescale,
+        |        ([25, 40, 512, 3000])[(n % 4 + 1)::INT]::BIGINT frame_dur,
+        |        (1 + doc_id % 2)::INT n_tracks,
+        |        (n // 64 + 1)::BIGINT n_frames FROM b)
+        |SELECT doc_id, 'mp4' fmt,
+        |  (144 + 176 * n_tracks + n
+        |      + CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0 END)::BIGINT n_bytes,
+        |  timescale,
+        |  (n_frames * frame_dur)::BIGINT duration_units,
+        |  (n_frames * frame_dur * 1000 // timescale)::BIGINT duration_ms,
+        |  n_tracks, n_frames,
+        |  ((n_frames + 9) // 10)::BIGINT n_frames_sampled
+        |FROM d""".stripMargin,
+
     // Overlapping token-window chunks: integer chunk-count arithmetic,
     // slices truncate at the doc end in both engines.
     "q73_doc_chunks" ->

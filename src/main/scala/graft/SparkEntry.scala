@@ -422,6 +422,9 @@ object SparkEntry {
     "q72_audio_meta" -> ((s, dir) =>
       Multimodal.audioMetaFromDocuments(s, Tables.documents(s, dir))),
 
+    "q81_video_meta" -> ((s, dir) =>
+      Multimodal.videoMetaFromDocuments(s, Tables.documents(s, dir))),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 

@@ -17,6 +17,15 @@ case class MediaMeta(doc_id: Long, fmt: String, n_bytes: Long, width: Int, heigh
 case class AudioMeta(doc_id: Long, fmt: String, n_bytes: Long, sample_rate: Int,
     channels: Int, bits: Int, n_samples: Long, duration_ms: Long)
 
+/** Decoded video metadata from the real ISO-BMFF box tree: movie timescale
+  * and duration out of `mvhd`, track count from the `trak` children, frame
+  * count summed from each track's `stsz`, plus the stride-sampled frame
+  * count (the frame-sample step a vision pipeline feeds its encoder).
+  */
+case class VideoMeta(doc_id: Long, fmt: String, n_bytes: Long, timescale: Int,
+    duration_units: Long, duration_ms: Long, n_tracks: Int, n_frames: Long,
+    n_frames_sampled: Long)
+
 /** Multimodal column handling (SURVEY §2 q40).
   *
   * The payloads are REAL image containers — binary P6 PPM (Netpbm) and
@@ -231,6 +240,233 @@ object Multimodal {
       AudioMeta(r.doc_id, "wav", p.length.toLong, rate, channels, bits,
         nSamples, nSamples * 1000L / rate)
     }
+
+  // ---------------------------------------------------------------- video
+
+  /** (movie timescale, per-frame duration in timescale units) pairs the
+    * synthetic corpus cycles through — 24 fps at the classic 600 QuickTime
+    * timescale, 25 fps at 1000, 24 fps at 12288, 30 fps at 90000 (the MPEG
+    * transport timescale). Indexed by payload length so the decode is
+    * discriminating.
+    */
+  val Mp4Clocks: Array[(Int, Int)] = Array((600, 25), (1000, 40), (12288, 512), (90000, 3000))
+
+  /** Bytes of payload represented by one video frame in the synthetic
+    * container (drives `stsz.sample_count`, so frame count scales with the
+    * payload like a real clip's does with its duration).
+    */
+  val Mp4BytesPerFrame = 64
+
+  /** Every `Mp4SampleStride`-th frame survives frame sampling. */
+  val Mp4SampleStride = 10
+
+  private def putBox(buf: java.nio.ByteBuffer, size: Int, fourcc: String): Unit = {
+    buf.putInt(size); buf.put(fourcc.getBytes("US-ASCII")); ()
+  }
+
+  /** Real ISO-BMFF (MP4) container: `ftyp` (brand isom), an optional
+    * top-level `free` box every third id (so the parser must skip unknown
+    * boxes by size, not seek to fixed offsets), `moov` holding a version-0
+    * `mvhd` plus one full `trak`→`mdia`→`minf`→`stbl`→`stsz` chain per
+    * track (video track carries the frame table; the odd-id audio track's
+    * `stsz` is empty), then `mdat` with the payload. Box sizes are
+    * BIG-endian 32-bit — the opposite byte order from BMP/WAV, so the two
+    * decoders cannot share a lazily-written reader.
+    */
+  def encodeMp4(payload: Array[Byte], id: Long): Array[Byte] = {
+    val n = payload.length
+    val (timescale, frameDur) = Mp4Clocks(n % 4)
+    val nFrames = n / Mp4BytesPerFrame + 1
+    val nTracks = 1 + (id % 2).toInt
+    val withFree = id % 3 == 0
+    val trakSize = 176 // 8 + tkhd 92 + (mdia 8 + mdhd 32 + (minf 8 + (stbl 8 + stsz 20)))
+    val moovSize = 8 + 108 + trakSize * nTracks
+    val size = 20 + (if (withFree) 16 else 0) + moovSize + 8 + n
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.BIG_ENDIAN)
+    putBox(buf, 20, "ftyp")
+    buf.put("isom".getBytes("US-ASCII")).putInt(0x200).put("mp41".getBytes("US-ASCII"))
+    if (withFree) { putBox(buf, 16, "free"); buf.putLong(0L) }
+    putBox(buf, moovSize, "moov")
+    putBox(buf, 108, "mvhd")
+    buf.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(timescale).putInt(nFrames * frameDur)
+      .putInt(0x00010000).putShort(0x0100).putShort(0) // rate 1.0, volume, reserved
+      .putLong(0L) // reserved
+    putIdentityMatrix(buf)
+    var i = 0
+    while (i < 6) { buf.putInt(0); i += 1 } // pre_defined
+    buf.putInt(nTracks + 1) // next_track_ID
+    var track = 0
+    while (track < nTracks) {
+      val video = track == 0
+      putBox(buf, trakSize, "trak")
+      putBox(buf, 92, "tkhd")
+      buf.putInt(0x000007) // version 0, flags enabled|in-movie|in-preview
+        .putInt(0).putInt(0).putInt(track + 1).putInt(0) // times, track_ID, reserved
+        .putInt(nFrames * frameDur).putLong(0L) // duration, reserved
+        .putShort(0).putShort(0) // layer, alternate_group
+        .putShort(if (video) 0 else 0x0100) // volume (audio only)
+        .putShort(0)
+      putIdentityMatrix(buf)
+      buf.putInt(if (video) 320 << 16 else 0).putInt(if (video) 240 << 16 else 0)
+      putBox(buf, 76, "mdia")
+      putBox(buf, 32, "mdhd")
+      buf.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(nFrames * frameDur)
+        .putShort(0x55c4).putShort(0) // language 'und', pre_defined
+      putBox(buf, 36, "minf")
+      putBox(buf, 28, "stbl")
+      putBox(buf, 20, "stsz")
+      buf.putInt(0) // version + flags
+        .putInt(if (video) Mp4BytesPerFrame else 0) // uniform sample_size
+        .putInt(if (video) nFrames else 0) // sample_count
+      track += 1
+    }
+    putBox(buf, 8 + n, "mdat")
+    buf.put(payload, 0, n)
+    buf.array()
+  }
+
+  private def putIdentityMatrix(buf: java.nio.ByteBuffer): Unit = {
+    // 3x3 fixed-point unity matrix: 0x10000, 0, 0 / 0, 0x10000, 0 / 0, 0, 0x40000000
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    ()
+  }
+
+  /** Genuine ISO-BMFF walk: read each box's BIG-endian 32-bit size +
+    * fourcc (honoring the spec's two escape sizes — `1` = 64-bit largesize
+    * follows, `0` = box extends to end of file), verify the leading `ftyp`,
+    * then DESCEND: `moov` → `mvhd` (timescale/duration, version 0 or 1) and
+    * each `trak` → `mdia` → `minf` → `stbl` → `stsz` (summing
+    * `sample_count` across tracks). Unknown boxes (`free`, `udta`, …) skip
+    * by size at every level. Unlike WAV's flat chunk list this is a
+    * recursive container format — the parser is a tree walk, and a
+    * malformed tree (child overrunning its parent, missing `moov`/`mdat`,
+    * zero timescale) raises instead of decoding to zeros.
+    */
+  def decodeMp4(batch: Seq[MediaRecord]): Seq[VideoMeta] =
+    batch.map { r =>
+      val p = r.payload
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg (${p.length} bytes)")
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.BIG_ENDIAN)
+      // returns (bodyStart, boxEnd) for the box at `pos` bounded by `limit`
+      def boxBounds(pos: Long, limit: Long, fourcc: String): (Long, Long) = {
+        val size = buf.getInt(pos.toInt).toLong & 0xffffffffL
+        if (size == 0) (pos + 8, limit) // to end of enclosing scope
+        else if (size == 1) {
+          if (pos + 16 > limit) fail(s"box $fourcc: truncated largesize")
+          (pos + 16, pos + buf.getLong(pos.toInt + 8))
+        } else (pos + 8, pos + size)
+      }
+      def fourccAt(pos: Long): String = new String(p, pos.toInt + 4, 4, "US-ASCII")
+
+      var timescale = 0; var durationUnits = 0L; var nTracks = 0; var nFrames = 0L
+      var sawMoov = false; var sawMdat = false
+
+      def walkStbl(start: Long, end: Long): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val fc = fourccAt(pos)
+          val (body, boxEnd) = boxBounds(pos, end, fc)
+          if (boxEnd > end) fail(s"box $fc overruns stbl")
+          if (fc == "stsz") {
+            if (body + 12 > boxEnd) fail("stsz too short")
+            nFrames += buf.getInt(body.toInt + 8).toLong & 0xffffffffL
+          }
+          pos = boxEnd
+        }
+      }
+      def walkContainer(start: Long, end: Long, child: String, f: (Long, Long) => Unit): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val fc = fourccAt(pos)
+          val (body, boxEnd) = boxBounds(pos, end, fc)
+          if (boxEnd > end) fail(s"box $fc overruns parent")
+          if (fc == child) f(body, boxEnd)
+          pos = boxEnd
+        }
+      }
+      def walkTrak(start: Long, end: Long): Unit = {
+        nTracks += 1
+        walkContainer(start, end, "mdia", (ms, me) =>
+          walkContainer(ms, me, "minf", (fs, fe) =>
+            walkContainer(fs, fe, "stbl", walkStbl)))
+      }
+      def walkMoov(start: Long, end: Long): Unit = {
+        sawMoov = true
+        var pos = start
+        while (pos + 8 <= end) {
+          val fc = fourccAt(pos)
+          val (body, boxEnd) = boxBounds(pos, end, fc)
+          if (boxEnd > end) fail(s"box $fc overruns moov")
+          fc match {
+            case "mvhd" =>
+              val version = p(body.toInt) & 0xff
+              if (version == 1) { // 64-bit creation/modification times
+                timescale = buf.getInt(body.toInt + 20)
+                durationUnits = buf.getLong(body.toInt + 24)
+              } else {
+                timescale = buf.getInt(body.toInt + 12)
+                durationUnits = buf.getInt(body.toInt + 16).toLong & 0xffffffffL
+              }
+            case "trak" => walkTrak(body, boxEnd)
+            case _ => ()
+          }
+          pos = boxEnd
+        }
+      }
+
+      if (p.length < 16 || fourccAt(0) != "ftyp") fail("not an ISO-BMFF container")
+      var pos = 0L
+      while (pos + 8 <= p.length) {
+        val fc = fourccAt(pos)
+        val (body, boxEnd) = boxBounds(pos, p.length.toLong, fc)
+        if (boxEnd > p.length) fail(s"box $fc overruns container")
+        fc match {
+          case "moov" => walkMoov(body, boxEnd)
+          case "mdat" => sawMdat = true
+          case _ => () // ftyp, free, ...
+        }
+        pos = boxEnd
+      }
+      if (!sawMoov) fail("no moov box")
+      if (!sawMdat) fail("no mdat box")
+      if (timescale <= 0) fail(s"malformed mvhd (timescale=$timescale)")
+      if (nTracks == 0) fail("moov has no trak")
+      VideoMeta(r.doc_id, "mp4", p.length.toLong, timescale, durationUnits,
+        durationUnits * 1000L / timescale, nTracks, nFrames,
+        (nFrames + Mp4SampleStride - 1) / Mp4SampleStride)
+    }
+
+  /** Wrap the text corpus as MP4 records (utf-8 bytes as the `mdat`
+    * payload): one video track, plus an audio track for odd ids, a `free`
+    * box every third id.
+    */
+  def asVideo(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "mp4", encodeMp4(text.getBytes("UTF-8"), id))
+      }
+  }
+
+  /** q81: batched video-metadata extraction + stride frame sampling — the
+    * same mapPartitions batch shape as [[extractMeta]]/[[decodeWav]], so a
+    * real demuxer + frame decoder (which wants batches for codec reuse)
+    * slots in without plumbing changes.
+    */
+  def videoMetaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    asVideo(docs).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch => decodeMp4(batch))
+    }.toDF()
+  }
 
   /** Wrap the text corpus as WAV records: utf-8 bytes as PCM payload,
     * mono for even ids / stereo for odd, a LIST chunk every third id.

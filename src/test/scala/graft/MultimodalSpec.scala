@@ -110,6 +110,84 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("video pipeline: real ISO-BMFF containers round-trip through decode") {
+    val docs = Seq(
+      (0L, "abc"), (1L, "a longer document body")).toDF("doc_id", "text")
+    val media = Multimodal.asVideo(docs).collect().sortBy(_.doc_id)
+    // the payload IS a real container: ftyp magic, text embedded in mdat
+    assert(new String(media(0).payload, 4, 4, "US-ASCII") == "ftyp")
+    assert(new String(media(0).payload, "ISO-8859-1").contains("abc"))
+    // id 0: free box present (id%3==0); id 1: moov directly after ftyp
+    assert(new String(media(0).payload, 24, 4, "US-ASCII") == "free")
+    assert(new String(media(1).payload, 24, 4, "US-ASCII") == "moov")
+
+    val meta = Multimodal.videoMetaFromDocuments(spark, docs)
+      .as[(Long, String, Long, Int, Long, Long, Int, Long, Long)]
+      .collect().sortBy(_._1)
+    // doc 0: n=3, clock (90000,3000), 1 frame, 1 track, free box:
+    //   144 + 176 + 3 + 16 = 339 bytes, 3000 units = 33 ms
+    assert(meta(0) == ((0L, "mp4", 339L, 90000, 3000L, 33L, 1, 1L, 1L)))
+    // doc 1: n=22, clock (12288,512), 1 frame, 2 tracks (audio stsz empty):
+    //   144 + 352 + 22 = 518 bytes, 512 units = 41 ms
+    assert(meta(1) == ((1L, "mp4", 518L, 12288, 512L, 41L, 2, 1L, 1L)))
+    assert(meta.map(_._3).toSeq == media.map(_.payload.length.toLong).toSeq)
+  }
+
+  test("mp4 decode walks the box tree and honors the spec's size escapes") {
+    // 700-byte payload: 11 frames -> stride-10 sampling keeps 2
+    val long = Multimodal.encodeMp4(Array.fill[Byte](700)(3), 5L)
+    val m = Multimodal.decodeMp4(Seq(MediaRecord(5L, "mislabeled", long))).head
+    assert((m.timescale, m.n_tracks, m.n_frames, m.n_frames_sampled) == ((600, 2, 11L, 2L)))
+    assert(m.duration_ms == 275L * 1000 / 600)
+
+    // size=0 escape: mdat patched to "extends to end of file" still decodes
+    val zeroSize = long.clone()
+    val mdatOff = 20 + (116 + 352) // ftyp + moov (no free box for id 5)
+    assert(new String(zeroSize, mdatOff + 4, 4, "US-ASCII") == "mdat")
+    java.nio.ByteBuffer.wrap(zeroSize).putInt(mdatOff, 0)
+    assert(Multimodal.decodeMp4(Seq(MediaRecord(5L, "mp4", zeroSize))).head.n_frames == 11L)
+
+    // size=1 escape: rebuild the mdat with a 64-bit largesize header
+    val small = Multimodal.encodeMp4("payload-bytes-payload-".getBytes("US-ASCII"), 1L)
+    val cut = 20 + (116 + 352)
+    val buf = java.nio.ByteBuffer.allocate(cut + 16 + 22)
+    buf.put(small, 0, cut).putInt(1).put("mdat".getBytes("US-ASCII"))
+      .putLong(16L + 22).put(small, cut + 8, 22)
+    val big = Multimodal.decodeMp4(Seq(MediaRecord(1L, "mp4", buf.array()))).head
+    assert((big.n_tracks, big.n_frames) == ((2, 1L)))
+
+    // version-1 mvhd (64-bit duration): hand-built minimal tree
+    val v1 = java.nio.ByteBuffer.allocate(84)
+    v1.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).put("mp41".getBytes("US-ASCII"))
+    v1.putInt(56).put("moov".getBytes("US-ASCII"))
+    v1.putInt(40).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(700).putLong(1400L)
+    v1.putInt(8).put("trak".getBytes("US-ASCII"))
+    v1.putInt(8).put("mdat".getBytes("US-ASCII"))
+    val vm = Multimodal.decodeMp4(Seq(MediaRecord(2L, "mp4", v1.array()))).head
+    assert((vm.timescale, vm.duration_units, vm.duration_ms, vm.n_tracks) ==
+      ((700, 1400L, 2000L, 1)))
+
+    // malformed trees raise, never decode to zeros
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMp4(Seq(MediaRecord(3L, "mp4", "notaboxatall!!!!".getBytes("US-ASCII"))))
+    }
+    intercept[IllegalArgumentException] { // moov present, mdat missing
+      Multimodal.decodeMp4(Seq(MediaRecord(4L, "mp4", long.take(mdatOff))))
+    }
+    intercept[IllegalArgumentException] { // zero timescale
+      val bad = long.clone()
+      java.nio.ByteBuffer.wrap(bad).putInt(20 + 8 + 8 + 12, 0)
+      Multimodal.decodeMp4(Seq(MediaRecord(6L, "mp4", bad)))
+    }
+    intercept[IllegalArgumentException] { // child box overruns its parent
+      val bad = long.clone()
+      java.nio.ByteBuffer.wrap(bad).putInt(20 + 8, 1 << 20) // mvhd size
+      Multimodal.decodeMp4(Seq(MediaRecord(7L, "mp4", bad)))
+    }
+  }
+
   test("streaming sentiment twin matches batch pivot on the same rows") {
     import java.sql.Timestamp
     val docs = Seq(
