@@ -1023,6 +1023,35 @@ object OracleSql {
         |  ((n_frames + 9) // 10)::BIGINT n_frames_sampled
         |FROM d""".stripMargin,
 
+    // Okapi BM25 (k1=1.2, b=0.75): every double operation written in the
+    // same order as the Spark expression (incl. computing k1+1 as the SUM
+    // 1.2 + 1.0 — the two engines must run the identical IEEE add, not
+    // parse the literal 2.2); ln(1 + ...) keeps idf positive so 4-dp
+    // rounding can't straddle zero; ranking on the ROUNDED score with a
+    // doc_id tiebreak is engine-independent.
+    "q82_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, lang, len(toks)::BIGINT dl,
+        |        len(list_filter(toks, x -> x = 'spark'))::BIGINT tf0,
+        |        len(list_filter(toks, x -> x = 'vector'))::BIGINT tf1,
+        |        len(list_filter(toks, x -> x = 'customer'))::BIGINT tf2 FROM t),
+        |s AS (SELECT count(*)::BIGINT n, sum(dl)::BIGINT tt,
+        |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT df0,
+        |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT df1,
+        |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT df2 FROM b),
+        |sc AS (SELECT lang, doc_id, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n / tt)), 4) bm25
+        |  FROM b, s WHERE tf0 + tf1 + tf2 > 0)
+        |SELECT lang, doc_id, bm25,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY bm25 DESC, doc_id) AS INT) rk
+        |FROM sc QUALIFY rk <= 10""".stripMargin,
+
     // Overlapping token-window chunks: integer chunk-count arithmetic,
     // slices truncate at the doc end in both engines.
     "q73_doc_chunks" ->

@@ -425,6 +425,9 @@ object SparkEntry {
     "q81_video_meta" -> ((s, dir) =>
       Multimodal.videoMetaFromDocuments(s, Tables.documents(s, dir))),
 
+    "q82_bm25_topk" -> ((s, dir) =>
+      operators.Bm25.retrieve(Tables.documents(s, dir))),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 
