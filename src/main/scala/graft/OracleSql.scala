@@ -1023,6 +1023,20 @@ object OracleSql {
         |  ((n_frames + 9) // 10)::BIGINT n_frames_sampled
         |FROM d""".stripMargin,
 
+    // Length-bucketed batching: band/position/batch all integer arithmetic
+    // on the q80 id-hash order — exact on any engine and partitioning.
+    "q83_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |        len(string_split(text, ' '))::BIGINT dl
+        |      FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, dl, dl // 16 band,
+        |        ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 h FROM t),
+        |r AS (SELECT doc_id, dl, band,
+        |        row_number() OVER (PARTITION BY band ORDER BY h, doc_id) - 1 pos FROM b)
+        |SELECT doc_id, dl n_tokens, band,
+        |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
+        |FROM r""".stripMargin,
+
     // Okapi BM25 (k1=1.2, b=0.75): every double operation written in the
     // same order as the Spark expression (incl. computing k1+1 as the SUM
     // 1.2 + 1.0 — the two engines must run the identical IEEE add, not

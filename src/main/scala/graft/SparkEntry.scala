@@ -428,6 +428,9 @@ object SparkEntry {
     "q82_bm25_topk" -> ((s, dir) =>
       operators.Bm25.retrieve(Tables.documents(s, dir))),
 
+    "q83_length_batches" -> ((s, dir) =>
+      operators.Packing.lengthBatches(Tables.documents(s, dir))),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 

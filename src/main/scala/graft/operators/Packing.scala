@@ -74,4 +74,68 @@ object Packing {
         expr(s"(offset + greatest(n_tokens, 1L) - 1) div ${seqLen}L"))
       .withColumn("pos_in_seq", pmod(col("offset"), lit(seqLen)))
   }
+
+  /** Length-bucketed batch assignment (SURVEY §2 q83) — the padding
+    * minimizer between chunking (q73) and packing (q64): where packing
+    * concatenates documents into fixed token rows, padded-batch training
+    * (seq2seq, rerankers, encoders) instead groups documents of SIMILAR
+    * length so each batch pads to its own band, not the corpus max. Every
+    * doc gets (band, pos_in_band, batch_id): band = n_tokens div
+    * `bandWidth`; within a band docs are dealt in the reproducible q80
+    * shuffle order (id-hash, then id — so batch composition is a pure
+    * function of the ids, stable across reruns/engines, yet decorrelated
+    * from ingest order); batch_id = pos_in_band div `batchSize`.
+    *
+    * Same distributed-prefix-sum shape as [[tokenOffsets]], one level
+    * deeper: windows partition by (band, hash-bucket) — both bounded —
+    * and the driver prefix scan runs per band over one count per (band,
+    * bucket), resetting at each band boundary. The whole-band (let alone
+    * whole-corpus) single-partition window never happens.
+    */
+  def lengthBatches(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      bandWidth: Long = 16L, batchSize: Long = 32L, buckets: Int = 64): DataFrame = {
+    require(bandWidth > 0 && batchSize > 0, "positive band and batch sizes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = Sampling.HashMod / buckets + 1
+
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("band", expr(s"n_tokens div ${bandWidth}L"))
+      .withColumn("__h", Sampling.idHash(col("id")))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+    val w = Window.partitionBy(col("band"), col("__b")).orderBy(col("__h"), col("id"))
+    val within = base.withColumn("__rn", row_number().over(w).cast("long"))
+
+    // bounded driver scan: one count per (band, bucket); prefix resets per band
+    val totals = base.groupBy(col("band"), col("__b")).agg(count(lit(1)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val starts = {
+      var prevBand = Long.MinValue
+      var acc = 0L
+      totals.map { case (band, b, t) =>
+        if (band != prevBand) { prevBand = band; acc = 0L }
+        val s = acc; acc += t
+        (band, b, s)
+      }.toSeq
+    }
+    if (starts.isEmpty) // empty input: empty output, same shape
+      return docs
+        .select(col(idCol).cast("long").as(idCol))
+        .withColumn("n_tokens", lit(0L)).withColumn("band", lit(0L))
+        .withColumn("pos_in_band", lit(0L)).withColumn("batch_id", lit(0L))
+        .limit(0)
+    val startDf = starts.toDF("band", "__b", "__start")
+
+    within.join(broadcast(startDf), Seq("band", "__b"))
+      .select(
+        col("id").as(idCol), col("n_tokens"), col("band"),
+        (col("__start") + col("__rn") - 1).as("pos_in_band"))
+      .withColumn("batch_id", expr(s"pos_in_band div ${batchSize}L"))
+  }
 }

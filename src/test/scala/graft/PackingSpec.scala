@@ -55,4 +55,41 @@ class PackingSpec extends SparkTestBase {
     assert(out(0) == ((1L, 0L, 0L, 0L, 0L, 0L)))
     assert(out(1) == ((2L, 4L, 0L, 0L, 0L, 0L)))
   }
+
+  test("lengthBatches: bands by token count, full batches, reproducible deal") {
+    // 100 docs: ids 0-49 are 3 tokens (band 0 at width 4), 50-99 are
+    // 6 tokens (band 1) -> each band deals 50 docs into batches of 8
+    val docs = (0L until 100L)
+      .map(i => (i, if (i < 50) "a b c" else "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, bandWidth = 4, batchSize = 8, buckets = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+
+    assert(out.length == 100)
+    assert(out.filter(_._3 == 0).map(_._1).sorted.toSeq == (0L until 50L))
+    assert(out.filter(_._3 == 1).map(_._1).sorted.toSeq == (50L until 100L))
+    // positions within each band are exactly 0..49; batches of 8 with a
+    // ragged last batch of 2
+    for (band <- Seq(0L, 1L)) {
+      val b = out.filter(_._3 == band)
+      assert(b.map(_._4).sorted.toSeq == (0L until 50L))
+      val sizes = b.groupBy(_._5).map { case (k, v) => k -> v.length }
+      assert(sizes == Map(0L -> 8, 1L -> 8, 2L -> 8, 3L -> 8, 4L -> 8, 5L -> 8, 6L -> 2))
+    }
+    // the deal follows the q80 hash order, not ingest order
+    val ref = out.filter(_._3 == 0).sortBy(r =>
+      ((r._1 % 2147483647L * 1103515245L + 12345L) % 2147483647L, r._1))
+    assert(ref.map(_._4).toSeq == (0L until 50L), "hash-ordered positions")
+
+    // partitioning independence: same assignment from a different layout
+    val again = Packing.lengthBatches(docs.repartition(7), bandWidth = 4, batchSize = 8,
+      buckets = 16).as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+
+    // scale shape: per-window partitions are (band, hash-bucket), never a
+    // whole-band single partition
+    val plan = Packing.lengthBatches(docs, bandWidth = 4, batchSize = 8, buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"unpartitioned exchange:\n$plan")
+  }
 }
