@@ -1037,6 +1037,39 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Trained-in-query multinomial NB language classifier: the (doc x
+    // class) cross-join twin of the pivoted broadcast model; identical
+    // Laplace formula, prior-plus-sum shape, 4-dp rounding before the
+    // argmax, smallest-class tiebreak.
+    "q84_nb_langid" ->
+      """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') toks
+        |              FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+        |ct AS (SELECT lang, sum(len(toks))::BIGINT tokens_c,
+        |         count(*)::BIGINT docs_c FROM tr GROUP BY lang),
+        |n AS (SELECT sum(docs_c)::BIGINT n FROM ct),
+        |tok AS (SELECT lang, unnest(toks) t FROM tr),
+        |v AS (SELECT count(DISTINCT t)::BIGINT v FROM tok),
+        |cnt AS (SELECT lang, t, count(*)::BIGINT c FROM tok GROUP BY 1, 2),
+        |tfc AS (SELECT doc_id, lang actual, t, count(*)::BIGINT tf
+        |        FROM (SELECT doc_id, lang, unnest(toks) t FROM te)
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT tfc.doc_id, tfc.actual, ct.lang cls,
+        |         round(ln(ct.docs_c * 1.0 / n.n)
+        |           + sum(tfc.tf * ln((coalesce(cnt.c, 0) + 1.0)
+        |                             / (ct.tokens_c + v.v))), 4) s
+        |       FROM tfc CROSS JOIN ct CROSS JOIN n CROSS JOIN v
+        |       LEFT JOIN cnt ON cnt.lang = ct.lang AND cnt.t = tfc.t
+        |       GROUP BY tfc.doc_id, tfc.actual, ct.lang, ct.docs_c,
+        |                ct.tokens_c, n.n, v.v),
+        |rk AS (SELECT doc_id, actual, cls,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) rn
+        |       FROM sc)
+        |SELECT doc_id, actual lang, cls pred,
+        |  (CASE WHEN actual = cls THEN 1 ELSE 0 END)::INT correct
+        |FROM rk WHERE rn = 1""".stripMargin,
+
     // Okapi BM25 (k1=1.2, b=0.75): every double operation written in the
     // same order as the Spark expression (incl. computing k1+1 as the SUM
     // 1.2 + 1.0 — the two engines must run the identical IEEE add, not

@@ -431,6 +431,9 @@ object SparkEntry {
     "q83_length_batches" -> ((s, dir) =>
       operators.Packing.lengthBatches(Tables.documents(s, dir))),
 
+    "q84_nb_langid" -> ((s, dir) =>
+      operators.NaiveBayes.langClassifier(Tables.documents(s, dir))),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 
