@@ -47,11 +47,17 @@ object NaiveBayes {
       .sortBy(_._1)
     val classes = classTotals.map(_._1)
     val nDocs = classTotals.map(_._2._2).sum
-    val trainTok = train.select(col("lang"), explode(col("toks")).as("t"))
-    val vocab = trainTok.agg(count_distinct(col("t"))).head().getLong(0)
 
-    // (token -> per-class count) pivoted Zipf-small model, broadcast
-    val model = trainTok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    // ONE exploding pass over the train split: the Zipf-small (class,
+    // token) count table is materialized and serves both the vocabulary
+    // size and the pivoted model (no second corpus scan)
+    val counts = train.select(col("lang"), explode(col("toks")).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = counts.select(col("t")).distinct().count()
+
+    // (token -> per-class count) pivoted model, broadcast
+    val model = counts
       .groupBy(col("t"))
       .pivot("lang", classes)
       .agg(first(col("c")))
