@@ -434,6 +434,10 @@ object SparkEntry {
     "q84_nb_langid" -> ((s, dir) =>
       operators.NaiveBayes.langClassifier(Tables.documents(s, dir))),
 
+    "q85_hybrid_rrf" -> ((s, dir) =>
+      operators.HybridRetrieval.rrfFuse(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 

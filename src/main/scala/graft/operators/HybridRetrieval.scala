@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid dense + lexical retrieval fused by Reciprocal Rank Fusion
+  * (SURVEY §2 q85) — the standard two-leg RAG retrieval stack: an
+  * embedding-cosine leg and a BM25 more-like-this leg each rank the corpus
+  * for a query document, and RRF (Cormack et al.: score = Σ_leg
+  * 1/(k₀+rank), k₀=60) merges the two rankings without any score
+  * calibration between the legs (ranks, not raw scores, are what fuse —
+  * which is exactly why the operator is deterministic cross-engine: both
+  * legs already rank on ROUNDED scores with id tiebreaks, so the fused
+  * input is integer ranks).
+  *
+  * Scale shape:
+  *   - dense leg = q25's broadcast-queries brute-force scan (`Knn
+  *     .bruteForceTopK`) over the ids that have BOTH text and a vector —
+  *     swap in the LSH/IVF leg (q26/q27) at billion-vector scale, the
+  *     fusion is rank-only and doesn't change;
+  *   - lexical leg: each query's terms are idf-capped to the `termCap`
+  *     RAREST terms (the q63 prefix-filter discipline — rare terms carry
+  *     the signal and bound the posting fan-out), the tiny (query, term)
+  *     table broadcasts against one exploded-corpus posting pass, and
+  *     per-query candidates reduce through the q10 `BoundedTopK`
+  *     aggregator — at most `legK` rows leave each partition per query,
+  *     no per-query window sort over the corpus;
+  *   - fusion: a full-outer join of two ≤ (queries × legK) rank lists —
+  *     trivially small — then one more bounded top-k.
+  * A doc with text but no vector can still surface through the lexical
+  * leg (and vice versa) — that asymmetry is real hybrid-store behavior
+  * and the oracle mirrors it.
+  */
+object HybridRetrieval {
+
+  def rrfFuse(
+      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      rrfK: Double = 60.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // one tokenized pass feeds df table, query terms, stats and postings
+    val t = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint()
+
+    // ---- dense leg: cosine rank over ids with both text and vector
+    val corpus = emb.join(
+      t.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val dense = Knn
+      .bruteForceTopK(corpus, corpus.filter(col("vec_id") < nQueries), "vec_id", "embedding", legK)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+        col("rank").as("rank_d"))
+
+    // ---- lexical leg: BM25 more-like-this on the idf-capped rarest terms
+    val dfTbl = t.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("df"), col("term"))
+    val qTerms = t.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("term"))
+      .join(dfTbl, Seq("term")) // query-doc vocab only: a bounded frame
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= termCap)
+      .select(col("qid"), col("term"), col("df"))
+    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("toks"))).cast("long").as("tt"))
+
+    val postings = t
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val lexScored = postings
+      .join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") * col("n") / col("tt")))),
+        4).as("s"))
+    val topkLex = udaf(
+      new BoundedTopK[(Double, Long)](legK)((a, x) =>
+        a._1 > x._1 || (a._1 == x._1 && a._2 < x._2)),
+      Encoders.product[(Double, Long)])
+    val lex = lexScored
+      .groupBy(col("qid"))
+      .agg(topkLex(col("s"), col("doc_id")).as("w"))
+      .select(col("qid"), posexplode(col("w")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x._2").as("id"), (col("pos") + 1).as("rank_l"))
+
+    // ---- RRF fusion over the two (queries x legK) rank lists
+    val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_d")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("rank_l")), lit(0.0)), 6).as("rrf"))
+    val topkFuse = udaf(
+      new BoundedTopK[(Double, Long)](fuseK)((a, x) =>
+        a._1 > x._1 || (a._1 == x._1 && a._2 < x._2)),
+      Encoders.product[(Double, Long)])
+    fused
+      .groupBy(col("qid"))
+      .agg(topkFuse(col("rrf"), col("id")).as("w"))
+      .select(col("qid").as("query_id"), posexplode(col("w")).as(Seq("pos", "x")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("x._2").as("doc_id"), col("x._1").as("rrf"))
+  }
+}

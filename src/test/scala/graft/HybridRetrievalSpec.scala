@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.HybridRetrieval
+
+class HybridRetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // doc 5 has text but NO vector: it can only surface via the lexical leg
+  private val docs = Seq(
+    (0L, "apple banana"), (1L, "apple banana"), (2L, "cherry durian"),
+    (3L, "apple cherry"), (4L, "banana durian"), (5L, "apple banana extra"))
+    .toDF("doc_id", "text")
+  private val emb = Seq(
+    (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+    (3L, Array(-1f, 0f)), (4L, Array(0.5f, 0.5f)))
+    .toDF("vec_id", "embedding")
+
+  test("rrf fusion merges the dense and lexical rankings by rank alone") {
+    val out = HybridRetrieval
+      .rrfFuse(docs, emb, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+
+    // dense leg for query 0: cosine ranks [1 (0.994), 4 (0.707), 2 (0.0)]
+    // lexical leg (terms apple, banana): [1 (both, dl=2), 5 (both, dl=3),
+    //   3 (apple; ties doc 4 on score, id tiebreak)]
+    // rrf: doc1 = 2/61 = 0.032787; docs 4,5 = 1/62 = 0.016129 (id break);
+    //   doc2 = doc3 = 1/63 = 0.015873 (id break) -> fuseK=4 keeps doc 2
+    assert(out == Seq(
+      (0L, 1, 1L, 0.032787),
+      (0L, 2, 4L, 0.016129),
+      (0L, 3, 5L, 0.016129),
+      (0L, 4, 2L, 0.015873)))
+    // the text-only doc surfaced through the lexical leg
+    assert(out.map(_._3).contains(5L))
+  }
+
+  test("rrf plan: bounded top-k legs, broadcast term/stats tables") {
+    val df = HybridRetrieval.rrfFuse(docs, emb, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("partial_boundedtopk"),
+      s"legs must reduce through the bounded aggregator:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$s")
+  }
+}
