@@ -121,6 +121,43 @@ object OracleSql {
   private val cosineCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)"""
 
+  /** Unrolled deterministic Lloyd iterations on the 6-dp long grid (q86):
+    * c0 = the vectors of the k smallest ids (cluster = id rank); each
+    * iteration assigns by EXACT integer squared distance (ties to the
+    * smallest cluster) and re-rounds the per-dimension member mean back
+    * onto the grid; an emptied cluster keeps its previous centroid via
+    * the anti-join UNION — step for step the Spark driver loop.
+    * Leaves `f` (vec_id, dim, v grid longs) and `fw` (vec_id, cl, d =
+    * exact grid distance under the final centroids) in scope.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT)) v6
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |f AS (SELECT vec_id, generate_subscripts(v6,1) dim, unnest(v6) v FROM e),
+         |c0 AS (SELECT CAST(row_number() OVER (PARTITION BY dim ORDER BY vec_id) - 1 AS INT) cl,
+         |    dim, v c
+         |  FROM f WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT f.vec_id, c.cl, sum((f.v - c.c)*(f.v - c.c)) d
+         |  FROM f JOIN c${i - 1} c USING (dim) GROUP BY 1, 2),
+         |w$i AS (SELECT vec_id, cl FROM a$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1),
+         |m$i AS (SELECT w.cl, f.dim,
+         |    CAST(round(CAST(sum(f.v) AS DOUBLE)/count(*)) AS BIGINT) c
+         |  FROM w$i w JOIN f USING (vec_id) GROUP BY 1, 2),
+         |c$i AS (SELECT * FROM m$i UNION ALL
+         |  SELECT * FROM c${i - 1} WHERE cl NOT IN (SELECT cl FROM m$i))""".stripMargin
+    }
+    val fin =
+      s"""fa AS (SELECT f.vec_id, c.cl, sum((f.v - c.c)*(f.v - c.c)) d
+         |  FROM f JOIN c$iters c USING (dim) GROUP BY 1, 2),
+         |fw AS (SELECT vec_id, cl, d FROM fa
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1)""".stripMargin
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
   val sql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT doc_id, text, n_chars FROM documents
@@ -495,6 +532,17 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INT) rank,
          |  nid neighbor_id
          |FROM s QUALIFY rank <= 5""".stripMargin,
+
+    // Deterministic Lloyd k-means: the whole iteration chain unrolls into
+    // CTEs (init from the k smallest ids, exact grid distances, re-rounded
+    // means, empty-cluster carryover) — the clustering is a pure function
+    // of the input multiset, so it reproduces the Spark driver loop
+    // hash-exactly.
+    "q86_kmeans" ->
+      s"""${kmeansCtes(8, 3)}
+         |SELECT vec_id id, CAST(cl AS INT) AS "cluster",
+         |  round(CAST(d AS DOUBLE)/1e12, 6) dist_sq
+         |FROM fw""".stripMargin,
 
     // Hybrid RRF: both legs rank on rounded scores with id tiebreaks, so
     // the fusion input is integer ranks — 1/(60+rank) sums then rank again.

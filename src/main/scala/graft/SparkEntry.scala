@@ -438,6 +438,9 @@ object SparkEntry {
       operators.HybridRetrieval.rrfFuse(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    "q86_kmeans" -> ((s, dir) =>
+      operators.KMeans.cluster(Tables.embeddings(s, dir), k = 8, iters = 3)),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 
