@@ -544,6 +544,25 @@ object OracleSql {
          |  round(CAST(d AS DOUBLE)/1e12, 6) dist_sq
          |FROM fw""".stripMargin,
 
+    // SemDeDup: the q86 clustering CTEs verbatim, then q24's 4-dp cosine
+    // over within-cluster smaller-id pairs; dropped = any qualifying
+    // smaller-id neighbor exists.
+    "q87_semdedup" ->
+      s"""${kmeansCtes(8, 3)},
+         |ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |dp AS (SELECT b.vec_id id FROM fw fa JOIN fw fb
+         |    ON fa.cl = fb.cl AND fa.vec_id < fb.vec_id
+         |  JOIN ev a ON a.vec_id = fa.vec_id
+         |  JOIN ev b ON b.vec_id = fb.vec_id
+         |  WHERE round(list_dot_product(a.v,b.v)
+         |    /(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))),4)
+         |    >= 0.4
+         |  GROUP BY 1)
+         |SELECT w.vec_id id, CAST(w.cl AS INT) AS "cluster",
+         |  dp.id IS NULL AS is_kept
+         |FROM fw w LEFT JOIN dp ON dp.id = w.vec_id""".stripMargin,
+
     // Hybrid RRF: both legs rank on rounded scores with id tiebreaks, so
     // the fusion input is integer ranks — 1/(60+rank) sums then rank again.
     // The lexical BM25 term expression is written operation-for-operation

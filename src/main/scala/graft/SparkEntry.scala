@@ -441,6 +441,10 @@ object SparkEntry {
     "q86_kmeans" -> ((s, dir) =>
       operators.KMeans.cluster(Tables.embeddings(s, dir), k = 8, iters = 3)),
 
+    "q87_semdedup" -> ((s, dir) =>
+      operators.SemDedup.semDedup(
+        Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 
