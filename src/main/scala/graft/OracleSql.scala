@@ -563,6 +563,22 @@ object OracleSql {
          |  dp.id IS NULL AS is_kept
          |FROM fw w LEFT JOIN dp ON dp.id = w.vec_id""".stripMargin,
 
+    // Snapshot diff: digests computed per side, full join, churn only.
+    // concat_ws skips NULLs in both engines; NULL text digests as ''.
+    "q88_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(coalesce(text,'')) dg
+        |  FROM documents WHERE doc_id % 11 != 3),
+        |n AS (SELECT doc_id, md5(coalesce(
+        |    CASE WHEN doc_id % 7 = 1 THEN concat_ws(' ', text, 'v2')
+        |         ELSE text END, '')) dg
+        |  FROM documents WHERE doc_id % 13 != 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END change_type
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.dg != n.dg""".stripMargin,
+
     // Hybrid RRF: both legs rank on rounded scores with id tiebreaks, so
     // the fusion input is integer ranks — 1/(60+rank) sums then rank again.
     // The lexical BM25 term expression is written operation-for-operation

@@ -445,6 +445,19 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    // Synthetic-but-deterministic day-over-day churn carved out of the one
+    // documents table: yesterday misses ids ≡3 (mod 11) (today's adds),
+    // today misses ids ≡5 (mod 13) (deletes) and rewrites ids ≡1 (mod 7).
+    "q88_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val yesterday = d.filter(col("doc_id") % 11 =!= 3)
+      val today = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1,
+            concat_ws(" ", col("text"), lit("v2"))).otherwise(col("text")))
+      operators.SnapshotDiff.diff(yesterday, today, "doc_id", Seq("text"))
+    }),
+
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
 

@@ -43,5 +43,9 @@ class KMeansSpec extends SparkTestBase {
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.isEmpty,
       s"assignment must not shuffle the corpus:\n$plan")
+    // collect can be blind inside an AQE wrapper — assert on the rendered
+    // tree too so the check can't pass vacuously
+    assert(!plan.toString.contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n$plan")
   }
 }
