@@ -563,6 +563,31 @@ object OracleSql {
          |  dp.id IS NULL AS is_kept
          |FROM fw w LEFT JOIN dp ON dp.id = w.vec_id""".stripMargin,
 
+    // PMI collocations: one ln of one quotient, multiplied in the same
+    // fixed double order as the Spark side, rounded 4 dp, bigram tiebreak.
+    "q89_collocations" ->
+      """WITH t AS (SELECT lang, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |st AS (SELECT lang, sum(len(toks))::BIGINT n,
+        |    sum(greatest(len(toks)-1,0))::BIGINT nb FROM t GROUP BY 1),
+        |cx AS (SELECT lang, unnest(toks) tok FROM t),
+        |u AS (SELECT lang, tok, count(*)::BIGINT c FROM cx GROUP BY 1, 2),
+        |bgs AS (SELECT lang,
+        |    unnest([toks[i] || ' ' || toks[i+1]
+        |            for i in range(1, greatest(len(toks),1))]) bg FROM t),
+        |cb AS (SELECT lang, bg, count(*)::BIGINT cxy FROM bgs GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |sc AS (SELECT cb.lang, cb.bg,
+        |    round(ln(cxy::DOUBLE * n * n / (nb::DOUBLE * ux.c * uy.c)), 4) pmi
+        |  FROM cb
+        |  JOIN u ux ON ux.lang = cb.lang AND ux.tok = string_split(cb.bg,' ')[1]
+        |  JOIN u uy ON uy.lang = cb.lang AND uy.tok = string_split(cb.bg,' ')[2]
+        |  JOIN st ON st.lang = cb.lang)
+        |SELECT lang, CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY pmi DESC, bg) AS INT) AS "rank",
+        |  bg bigram, pmi
+        |FROM sc QUALIFY "rank" <= 20""".stripMargin,
+
     // Snapshot diff: digests computed per side, full join, churn only.
     // concat_ws skips NULLs in both engines; NULL text digests as ''.
     "q88_snapshot_diff" ->

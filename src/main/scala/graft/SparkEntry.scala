@@ -445,6 +445,10 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q89_collocations" -> ((s, dir) =>
+      operators.Collocations.pmiTopK(
+        Tables.documents(s, dir), k = 20, minCount = 5)),
+
     // Synthetic-but-deterministic day-over-day churn carved out of the one
     // documents table: yesterday misses ids ≡3 (mod 11) (today's adds),
     // today misses ids ≡5 (mod 13) (deletes) and rewrites ids ≡1 (mod 7).
