@@ -563,6 +563,35 @@ object OracleSql {
          |  dp.id IS NULL AS is_kept
          |FROM fw w LEFT JOIN dp ON dp.id = w.vec_id""".stripMargin,
 
+    // DSIR importance weights: the same polynomial gram hash as the
+    // simhash CTEs, add-one smoothed target/raw bucket distributions,
+    // per-bucket log-ratio rounded 6 dp, per-doc decimal sum rounded 4 dp.
+    "q90_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+        |    [toks[i] || ' ' || toks[i+1]
+        |     for i in range(1, greatest(len(toks),1))])) gram FROM t),
+        |fx AS (SELECT doc_id, lang,
+        |    CAST(list_reduce(list_transform(string_split(gram,''),
+        |        c -> ascii(c)::BIGINT), (a,b) -> (a*31+b)%1000000007)
+        |      % 64 AS INT) b FROM g),
+        |dc AS (SELECT doc_id, lang, b, count(*)::BIGINT cnt
+        |       FROM fx GROUP BY 1, 2, 3),
+        |tc AS (SELECT b, sum(cnt)::BIGINT tc FROM dc WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, sum(cnt)::BIGINT rc FROM dc GROUP BY 1),
+        |tot AS (SELECT sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT tt,
+        |    sum(cnt)::BIGINT rt FROM dc),
+        |sp AS (SELECT unnest(range(0, 64))::INT b),
+        |lr AS (SELECT sp.b,
+        |    round(ln((coalesce(tc,0)+1)::DOUBLE / (tt+64))
+        |        - ln((coalesce(rc,0)+1)::DOUBLE / (rt+64)), 6) lr
+        |  FROM sp LEFT JOIN tc ON tc.b = sp.b LEFT JOIN rc ON rc.b = sp.b
+        |  CROSS JOIN tot)
+        |SELECT doc_id, sum(cnt)::BIGINT n_feats,
+        |  round(sum(CAST(lr AS DECIMAL(12,6)) * cnt), 4)::DOUBLE log_weight
+        |FROM dc JOIN lr USING (b) GROUP BY 1""".stripMargin,
+
     // PMI collocations: one ln of one quotient, multiplied in the same
     // fixed double order as the Spark side, rounded 4 dp, bigram tiebreak.
     "q89_collocations" ->

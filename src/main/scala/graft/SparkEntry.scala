@@ -445,6 +445,10 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q90_dsir_weights" -> ((s, dir) =>
+      operators.Dsir.importanceWeights(
+        Tables.documents(s, dir), targetLang = "en", buckets = 64)),
+
     "q89_collocations" -> ((s, dir) =>
       operators.Collocations.pmiTopK(
         Tables.documents(s, dir), k = 20, minCount = 5)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code.
@@ -113,6 +113,37 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Hashed bag-of-ngrams featurizer (DSIR, q90): every word n-gram of
+    * the text for n ∈ [nMin, nMax], NON-distinct (importance weights are
+    * count-weighted), each hashed to `polyHash(gram, 31, 10⁹+7) mod
+    * buckets`. One pass, one StringBuilder — the same single-pass shape
+    * as [[shingleSet]]; the polynomial hash is what keeps the ANSI-SQL
+    * twin exact (per-char `ascii()` reduce on ASCII text).
+    */
+  def ngramBuckets(text: UTF8String, nMin: Int, nMax: Int, buckets: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var n = nMin
+    while (n <= nMax) {
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out += (polyHash(UTF8String.fromString(sb.toString), 31L, PolyMod1)
+          % buckets).toInt
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** 60-bit SimHash over tokens (duplicates weighted): bit i of the result
     * is 1 iff more than half of the token occurrences have bit i set.
     */
@@ -190,6 +221,24 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed bag-of-ngrams features: `string` text → `array<int>` bucket ids
+  * (non-distinct). See [[HashKernels.ngramBuckets]].
+  */
+case class NgramBuckets(child: Expression, nMin: Int, nMax: Int, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.ngramBuckets(input.asInstanceOf[UTF8String], nMin, nMax, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.ngramBuckets($c, $nMin, $nMax, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def minHashSignature(shingles: Column): Column =
     GraftColumnShim.column(MinHashSignature(GraftColumnShim.expression(shingles)))
@@ -199,4 +248,8 @@ object HashFunctions {
 
   def shingleSet(text: Column, n: Int): Column =
     GraftColumnShim.column(ShingleSet(GraftColumnShim.expression(text), n))
+
+  def ngramBuckets(text: Column, nMin: Int, nMax: Int, buckets: Int): Column =
+    GraftColumnShim.column(
+      NgramBuckets(GraftColumnShim.expression(text), nMin, nMax, buckets))
 }
