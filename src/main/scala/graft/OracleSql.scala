@@ -563,6 +563,32 @@ object OracleSql {
          |  dp.id IS NULL AS is_kept
          |FROM fw w LEFT JOIN dp ON dp.id = w.vec_id""".stripMargin,
 
+    // Gopher rule gate: per-row list folds, integer-count ratios round 4.
+    "q91_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |    len(toks)::BIGINT n_words,
+        |    round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+        |      / len(toks), 4) mean_word_len,
+        |    round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+        |      / len(toks), 4) alpha_ratio,
+        |    len(list_filter(toks, t -> t IN
+        |      ('the','a','of','to','and','in','is','on')))::BIGINT n_stopwords,
+        |    round(len(list_filter(toks, t -> contains(t, '#')
+        |      OR contains(t, '...')))::DOUBLE / len(toks), 4) symbol_ratio
+        |  FROM t)
+        |SELECT *,
+        |  n_words BETWEEN 20 AND 80 AS r_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+        |  alpha_ratio >= 0.8 AS r_alpha,
+        |  n_stopwords >= 2 AS r_stopwords,
+        |  symbol_ratio <= 0.1 AS r_symbols,
+        |  (n_words BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_ratio >= 0.8 AND n_stopwords >= 2
+        |    AND symbol_ratio <= 0.1 AS passes
+        |FROM s""".stripMargin,
+
     // DSIR importance weights: the same polynomial gram hash as the
     // simhash CTEs, add-one smoothed target/raw bucket distributions,
     // per-bucket log-ratio rounded 6 dp, per-doc decimal sum rounded 4 dp.

@@ -445,6 +445,9 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q91_gopher_rules" -> ((s, dir) =>
+      operators.QualityRules.gopherRules(Tables.documents(s, dir))),
+
     "q90_dsir_weights" -> ((s, dir) =>
       operators.Dsir.importanceWeights(
         Tables.documents(s, dir), targetLang = "en", buckets = 64)),
