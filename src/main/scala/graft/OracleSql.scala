@@ -544,6 +544,25 @@ object OracleSql {
          |  round(CAST(d AS DOUBLE)/1e12, 6) dist_sq
          |FROM fw""".stripMargin,
 
+    // Cluster profile: the q86 CTEs, then k×|labels|-sized diagnostics;
+    // the mean accumulates the 6-dp rounded dist as DECIMAL like Spark.
+    "q93_cluster_profile" ->
+      s"""${kmeansCtes(8, 3)},
+         |j AS (SELECT w.cl, round(CAST(w.d AS DOUBLE)/1e12, 6) ds, lb.label
+         |  FROM fw w JOIN (SELECT vec_id, label FROM embeddings
+         |    WHERE embedding IS NOT NULL) lb USING (vec_id)),
+         |sz AS (SELECT cl, count(*)::BIGINT n_vectors,
+         |    round(CAST(sum(CAST(ds AS DECIMAL(20,6))) AS DOUBLE)/count(*), 6)
+         |      mean_dist_sq
+         |  FROM j GROUP BY 1),
+         |mj AS (SELECT cl, label, count(*)::BIGINT c FROM j GROUP BY 1, 2
+         |       QUALIFY row_number() OVER
+         |         (PARTITION BY cl ORDER BY count(*) DESC, label) = 1)
+         |SELECT CAST(sz.cl AS INT) AS "cluster", n_vectors, mean_dist_sq,
+         |  mj.label majority_label,
+         |  round(c::DOUBLE / n_vectors, 4) purity
+         |FROM sz JOIN mj USING (cl)""".stripMargin,
+
     // SemDeDup: the q86 clustering CTEs verbatim, then q24's 4-dp cosine
     // over within-cluster smaller-id pairs; dropped = any qualifying
     // smaller-id neighbor exists.

@@ -445,6 +445,16 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q93_cluster_profile" -> ((s, dir) =>
+      operators.KMeans.clusterProfile(
+        Tables.embeddings(s, dir), k = 8, iters = 3)),
+
+    "q92_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Bpe.fertility(s, docs, "doc_id", "text", "source",
+        graft.functions.Bpe.trainFromCorpus(docs, "text", k = 50))
+    }),
+
     "q91_gopher_rules" -> ((s, dir) =>
       operators.QualityRules.gopherRules(Tables.documents(s, dir))),
 

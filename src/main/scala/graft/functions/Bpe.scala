@@ -134,4 +134,28 @@ object Bpe {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
   }
+
+  /** q92: tokenizer FERTILITY report per corpus slice — BPE tokens per
+    * whitespace word, the standard metric for how well a tokenizer fits a
+    * corpus slice (multilingual tokenizer papers report exactly this;
+    * fertility ≫ 1 on a source means its text fragments into char-level
+    * pieces and trains poorly). Pure rollup of [[tokenCounts]] joined back
+    * to the slice column — the BPE work is the q76 machinery unchanged,
+    * so cost is one dictionary segmentation + two bounded aggregations.
+    * Returns (slice, n_docs, n_words, n_bpe_tokens, fertility 4 dp).
+    */
+  def fertility(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, sliceCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    tokenCounts(spark, docs, idCol, textCol, merges)
+      .join(docs.select(col(idCol).as("doc_id"),
+        coalesce(col(sliceCol), lit("(null)")).as("slice")), Seq("doc_id"))
+      .groupBy(col("slice"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")).cast("double")
+          / sum(col("n_tokens")), 4).as("fertility"))
+  }
 }

@@ -106,4 +106,42 @@ object KMeans {
         col("id"), col("cluster"),
         round(col("d").cast("double") / lit(1e12), 6).as("dist_sq"))
   }
+
+  /** Cluster DIAGNOSTICS over [[cluster]]'s assignment (SURVEY §2 q93):
+    * per cluster, its size, mean squared distance (compactness — the
+    * per-cluster inertia an elbow analysis reads), majority label and
+    * purity (agreement with an external labeling — the standard external
+    * clustering-quality check). Everything downstream of the assignment
+    * is k×|labels|-sized: the label histogram reduces with map-side
+    * combine, the majority pick is a window over k×|labels| rows, and
+    * the mean accumulates the 6-dp dist_sq as DECIMAL (order-independent)
+    * before one rounded double division. Returns
+    * (cluster, n_vectors, mean_dist_sq, majority_label, purity).
+    */
+  def clusterProfile(
+      emb: DataFrame, k: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = cluster(emb, k, iters, idCol, vecCol)
+    val j = a.join(
+      emb.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(labelCol).as("label")),
+      "id")
+    val sz = j.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_vectors"),
+      round(sum(col("dist_sq").cast("decimal(20,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_dist_sq"))
+    val mj = j.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"), col("c"))
+    sz.join(mj, "cluster")
+      .select(col("cluster"), col("n_vectors"), col("mean_dist_sq"),
+        col("majority_label"),
+        round(col("c").cast("double") / col("n_vectors"), 4).as("purity"))
+  }
 }

@@ -49,4 +49,23 @@ class BpeSpec extends SparkTestBase {
     out.zip(expected).foreach { case ((_, n, b), _) =>
       assert(b >= n, "a word is at least one BPE token") }
   }
+
+  test("fertility: char-level without merges; the fitted slice beats the alien slice") {
+    val docs = Seq(
+      (1L, "low low lower", "fit"), (2L, "low lowest", "fit"),
+      (3L, "zzq qqz zqq", "alien"))
+      .toDF("doc_id", "text", "source")
+    // no merges -> every word splits to characters: fertility == chars/words
+    val none = Bpe.fertility(spark, docs, "doc_id", "text", "source", Seq.empty)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(none("fit") == (("fit", 2L, 5L, 20L, 4.0)))
+    assert(none("alien") == (("alien", 1L, 3L, 9L, 3.0)))
+    // merges trained on the corpus compress the slice they fit
+    val merges = Bpe.trainFromCorpus(docs, "text", k = 6)
+    val fert = Bpe.fertility(spark, docs, "doc_id", "text", "source", merges)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(fert("fit") < none("fit")._5, s"$fert")
+  }
 }

@@ -36,6 +36,23 @@ class KMeansSpec extends SparkTestBase {
     assert(byGen.forall(_ == 1), s"generator split across clusters: $a")
   }
 
+  test("clusterProfile: generator-pure clusters report purity 1.0 and their label") {
+    val pts = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array(3f * c + (i % 7) * 0.01f, -2f * c + (i % 5) * 0.01f), c)
+    }
+    val out = KMeans
+      .clusterProfile(pts.toDF("vec_id", "embedding", "label"), k = 3, iters = 3)
+      .as[(Int, Long, Double, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out.size == 3)
+    assert(out.map(_._2).sum == 60L)
+    out.foreach { r =>
+      assert(r._5 == 1.0, s"expected pure clusters: $out")
+      assert(r._3 < 0.01, s"compact clusters expected: $out")
+    }
+    assert(out.map(_._4).toSet == Set(0, 1, 2))
+  }
+
   test("final assignment is scan-shaped: centroids are literals, no shuffle") {
     val emb = (0L until 40L).map(i => (i, Array(i.toFloat, (i % 4).toFloat)))
       .toDF("vec_id", "embedding")
