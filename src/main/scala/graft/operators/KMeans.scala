@@ -72,20 +72,21 @@ object KMeans {
       .map(_.getSeq[Long](1).toArray)
     require(centroids.nonEmpty, "empty input")
 
-    def assign(cs: Array[Array[Long]]): DataFrame =
+    // one scan computes the assignment NEXT TO the vector — the update
+    // must never re-join assignment to vectors by id (that join is a
+    // full-corpus shuffle per iteration at scale)
+    def assigned(cs: Array[Array[Long]]): DataFrame =
       quantized
         .withColumn("dists", array(cs.toSeq.map(distSq(col("v6"), _)): _*))
-        .select(
-          col("id"),
+        .withColumn("cluster",
           (array_position(col("dists"), array_min(col("dists"))) - 1)
-            .cast("int").as("cluster"),
-          array_min(col("dists")).as("d"))
+            .cast("int"))
+        .withColumn("d", array_min(col("dists")))
 
     for (_ <- 0 until iters) {
       // (cluster, dim) long partial sums; mean re-rounded onto the grid
       // IN the aggregation so the driver only ever sees k×d final longs.
-      val updated = assign(centroids)
-        .join(quantized, "id")
+      val updated = assigned(centroids)
         .select(col("cluster"), posexplode(col("v6")).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg(round(sum(col("v")).cast("double") / count(lit(1)), 0)
@@ -101,7 +102,7 @@ object KMeans {
       }
     }
 
-    assign(centroids)
+    assigned(centroids)
       .select(
         col("id"), col("cluster"),
         round(col("d").cast("double") / lit(1e12), 6).as("dist_sq"))
