@@ -121,6 +121,43 @@ object OracleSql {
   private val cosineCte =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)"""
 
+  /** The q85/q94 retrieval legs (shared): dense cosine rank list `dr`
+    * (qid, id, rank_d) and lexical BM25 rank list `lr` (qid, id, s,
+    * rank_l), both top-20 per query with rounded-score + id tiebreak
+    * ranking. The BM25 term expression is written operation-for-operation
+    * like q82's; n/tt ride the one-row cross join into the GROUP BY.
+    */
+  private val hybridLegsCte =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+      |           FROM embeddings),
+      |co AS (SELECT e.vec_id, e.v FROM e
+      |       JOIN documents d ON d.doc_id = e.vec_id AND d.text IS NOT NULL),
+      |ds AS (SELECT q.vec_id qid, c.vec_id id,
+      |    round(list_dot_product(q.v, c.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) score
+      |  FROM co q JOIN co c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+      |dr AS (SELECT qid, id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) rank_d
+      |       FROM ds QUALIFY rank_d <= 20),
+      |t AS (SELECT doc_id, string_split(text, ' ') toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |dq AS (SELECT doc_id, unnest(list_distinct(toks)) term FROM t),
+      |dft AS (SELECT term, count(*)::BIGINT df FROM dq GROUP BY 1),
+      |qt AS (SELECT doc_id qid, term, df,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY df, term) rn
+      |       FROM dq JOIN dft USING (term) WHERE doc_id < 10 QUALIFY rn <= 16),
+      |st AS (SELECT count(*)::BIGINT n, sum(len(toks))::BIGINT tt FROM t),
+      |po AS (SELECT doc_id, len(toks)::BIGINT dl, unnest(toks) term FROM t),
+      |pc AS (SELECT doc_id, term, count(*)::BIGINT tf, max(dl) dl FROM po GROUP BY 1, 2),
+      |ls AS (SELECT qt.qid, pc.doc_id id,
+      |    round(sum(ln(1.0 + (n - qt.df + 0.5) / (qt.df + 0.5))
+      |      * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * dl * n / tt))), 4) s
+      |  FROM pc JOIN qt USING (term) CROSS JOIN st
+      |  WHERE pc.doc_id != qt.qid GROUP BY qt.qid, pc.doc_id, n, tt),
+      |lr AS (SELECT qid, id, s,
+      |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) rank_l
+      |       FROM ls QUALIFY rank_l <= 20)""".stripMargin
+
   /** Unrolled deterministic Lloyd iterations on the 6-dp long grid (q86):
     * c0 = the vectors of the k smallest ids (cluster = id rank); each
     * iteration assigns by EXACT integer squared distance (ties to the
@@ -680,37 +717,8 @@ object OracleSql {
 
     // Hybrid RRF: both legs rank on rounded scores with id tiebreaks, so
     // the fusion input is integer ranks — 1/(60+rank) sums then rank again.
-    // The lexical BM25 term expression is written operation-for-operation
-    // like q82's; n/tt ride the one-row cross join into the GROUP BY.
     "q85_hybrid_rrf" ->
-      s"""$cosineCte,
-         |co AS (SELECT e.vec_id, e.v FROM e
-         |       JOIN documents d ON d.doc_id = e.vec_id AND d.text IS NOT NULL),
-         |ds AS (SELECT q.vec_id qid, c.vec_id id,
-         |    round(list_dot_product(q.v, c.v)
-         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) score
-         |  FROM co q JOIN co c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
-         |dr AS (SELECT qid, id,
-         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) rank_d
-         |       FROM ds QUALIFY rank_d <= 20),
-         |t AS (SELECT doc_id, string_split(text, ' ') toks
-         |      FROM documents WHERE text IS NOT NULL),
-         |dq AS (SELECT doc_id, unnest(list_distinct(toks)) term FROM t),
-         |dft AS (SELECT term, count(*)::BIGINT df FROM dq GROUP BY 1),
-         |qt AS (SELECT doc_id qid, term, df,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY df, term) rn
-         |       FROM dq JOIN dft USING (term) WHERE doc_id < 10 QUALIFY rn <= 16),
-         |st AS (SELECT count(*)::BIGINT n, sum(len(toks))::BIGINT tt FROM t),
-         |po AS (SELECT doc_id, len(toks)::BIGINT dl, unnest(toks) term FROM t),
-         |pc AS (SELECT doc_id, term, count(*)::BIGINT tf, max(dl) dl FROM po GROUP BY 1, 2),
-         |ls AS (SELECT qt.qid, pc.doc_id id,
-         |    round(sum(ln(1.0 + (n - qt.df + 0.5) / (qt.df + 0.5))
-         |      * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * dl * n / tt))), 4) s
-         |  FROM pc JOIN qt USING (term) CROSS JOIN st
-         |  WHERE pc.doc_id != qt.qid GROUP BY qt.qid, pc.doc_id, n, tt),
-         |lr AS (SELECT qid, id,
-         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) rank_l
-         |       FROM ls QUALIFY rank_l <= 20),
+      s"""$hybridLegsCte,
          |f AS (SELECT coalesce(dr.qid, lr.qid) qid, coalesce(dr.id, lr.id) id,
          |    round(coalesce(1.0 / (60.0 + rank_d), 0)
          |        + coalesce(1.0 / (60.0 + rank_l), 0), 6) rrf
@@ -719,6 +727,17 @@ object OracleSql {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS INT) rank,
          |  id doc_id, rrf
          |FROM f QUALIFY rank <= 10""".stripMargin,
+
+    // Hard negatives: the q85 legs subtracted instead of fused — lexical
+    // top-k not present in the dense top-k, re-ranked by BM25 order.
+    "q94_hard_negatives" ->
+      s"""$hybridLegsCte
+         |SELECT lr.qid query_id,
+         |  CAST(row_number() OVER (PARTITION BY lr.qid ORDER BY rank_l) AS INT)
+         |    AS "rank",
+         |  lr.id doc_id, lr.s bm25
+         |FROM lr ANTI JOIN dr ON dr.qid = lr.qid AND dr.id = lr.id
+         |QUALIFY "rank" <= 10""".stripMargin,
 
     // ANN recall gates: n_queries is recomputed; recall_ok must be TRUE
     // (recall@5 vs the exact reference over the same queries clears the

@@ -445,6 +445,10 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q94_hard_negatives" -> ((s, dir) =>
+      operators.HybridRetrieval.hardNegatives(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     "q93_cluster_profile" -> ((s, dir) =>
       operators.KMeans.clusterProfile(
         Tables.embeddings(s, dir), k = 8, iters = 3)),

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * legs already rank on ROUNDED scores with id tiebreaks, so the fused
   * input is integer ranks).
   *
+  * The same two legs subtracted instead of fused are the HARD-NEGATIVE
+  * miner (q94, [[hardNegatives]]): documents the lexical leg ranks high
+  * that the dense leg does NOT — BM25-similar but embedding-far, the
+  * negatives DPR-style contrastive training mines for (Karpukhin et al.
+  * 2020 use exactly "top BM25 results that don't contain the answer").
+  *
   * Scale shape:
   *   - dense leg = q25's broadcast-queries brute-force scan (`Knn
   *     .bruteForceTopK`) over the ids that have BOTH text and a vector —
@@ -26,20 +32,21 @@ import org.apache.spark.sql.functions._
   *     per-query candidates reduce through the q10 `BoundedTopK`
   *     aggregator — at most `legK` rows leave each partition per query,
   *     no per-query window sort over the corpus;
-  *   - fusion: a full-outer join of two ≤ (queries × legK) rank lists —
-  *     trivially small — then one more bounded top-k.
+  *   - fusion / subtraction: joins of two ≤ (queries × legK) rank lists —
+  *     trivially small — then one more bounded ranking.
   * A doc with text but no vector can still surface through the lexical
   * leg (and vice versa) — that asymmetry is real hybrid-store behavior
   * and the oracle mirrors it.
   */
 object HybridRetrieval {
 
-  def rrfFuse(
-      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
-      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      rrfK: Double = 60.0): DataFrame = {
+  /** The two rank lists: dense (qid, id, rank_d) and lexical
+    * (qid, id, rank_l, s) — both ≤ legK rows per query by construction.
+    */
+  private def legs(
+      docs: DataFrame, emb: DataFrame, nQueries: Int, legK: Int,
+      termCap: Int, k1: Double, b: Double): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    import spark.implicits._
 
     // one tokenized pass feeds df table, query terms, stats and postings
     val t = docs
@@ -90,10 +97,19 @@ object HybridRetrieval {
       .groupBy(col("qid"))
       .agg(topkLex(col("s"), col("doc_id")).as("w"))
       .select(col("qid"), posexplode(col("w")).as(Seq("pos", "x")))
-      .select(col("qid"), col("x._2").as("id"), (col("pos") + 1).as("rank_l"))
+      .select(col("qid"), col("x._2").as("id"), (col("pos") + 1).as("rank_l"),
+        col("x._1").as("s"))
+    (dense, lex)
+  }
+
+  def rrfFuse(
+      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      rrfK: Double = 60.0): DataFrame = {
+    val (dense, lex) = legs(docs, emb, nQueries, legK, termCap, k1, b)
 
     // ---- RRF fusion over the two (queries x legK) rank lists
-    val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
+    val fused = dense.join(lex.drop("s"), Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         round(
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_d")), lit(0.0)) +
@@ -108,5 +124,24 @@ object HybridRetrieval {
       .select(col("qid").as("query_id"), posexplode(col("w")).as(Seq("pos", "x")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("x._2").as("doc_id"), col("x._1").as("rrf"))
+  }
+
+  /** q94: hard negatives = lexical top-legK MINUS dense top-legK per
+    * query, re-ranked by their BM25 order. The anti-join runs over two
+    * bounded rank lists (≤ queries × legK rows each), so the window after
+    * it is bounded too. Returns (query_id, rank, doc_id, bm25).
+    */
+  def hardNegatives(
+      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (dense, lex) = legs(docs, emb, nQueries, legK, termCap, k1, b)
+    lex
+      .join(dense, Seq("qid", "id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rank_l"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("id").as("doc_id"),
+        col("s").as("bm25"))
   }
 }

@@ -34,6 +34,17 @@ class HybridRetrievalSpec extends SparkTestBase {
     assert(out.map(_._3).contains(5L))
   }
 
+  test("hard negatives = lexical top-k minus dense top-k, in BM25 order") {
+    // query 0: dense top-3 = [1, 4, 2]; lexical top-3 = [1, 5, 3]
+    // -> negatives [5, 3] (doc 5 is text-only: embedding-far by absence)
+    val out = HybridRetrieval
+      .hardNegatives(docs, emb, nQueries = 1, legK = 3, termCap = 2, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((0L, 1, 5L), (0L, 2, 3L)))
+    // BM25 order is preserved through the subtraction
+    assert(out.head._4 >= out.last._4)
+  }
+
   test("rrf plan: bounded top-k legs, broadcast term/stats tables") {
     val df = HybridRetrieval.rrfFuse(docs, emb, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
     val s = df.queryExecution.executedPlan.toString
