@@ -1280,6 +1280,30 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Padding-waste report: q83's banded batches vs naive id-blocks,
+    // padded cost = n_docs × max_len per batch, 2-row rollup.
+    "q95_padding_waste" ->
+      """WITH t AS (SELECT doc_id,
+        |        len(string_split(text, ' '))::BIGINT dl
+        |      FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, dl, dl // 16 band,
+        |        ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 h FROM t),
+        |r AS (SELECT doc_id, dl, band,
+        |        row_number() OVER (PARTITION BY band ORDER BY h, doc_id) - 1 pos FROM b),
+        |bb AS (SELECT band, pos // 32 batch_id, count(*)::BIGINT n,
+        |        max(dl) mx, sum(dl)::BIGINT "real" FROM r GROUP BY 1, 2),
+        |nb AS (SELECT doc_id // 32 batch_id, count(*)::BIGINT n,
+        |        max(dl) mx, sum(dl)::BIGINT "real" FROM t GROUP BY 1),
+        |u AS (SELECT 'banded' strategy, count(*)::BIGINT n_batches,
+        |        sum(n)::BIGINT n_docs, sum("real")::BIGINT real_tokens,
+        |        sum(n*mx)::BIGINT padded_tokens FROM bb
+        |      UNION ALL
+        |      SELECT 'naive', count(*)::BIGINT, sum(n)::BIGINT,
+        |        sum("real")::BIGINT, sum(n*mx)::BIGINT FROM nb)
+        |SELECT strategy, n_batches, n_docs, real_tokens, padded_tokens,
+        |  round(1.0 - real_tokens::DOUBLE / padded_tokens, 6) waste
+        |FROM u""".stripMargin,
+
     // Trained-in-query multinomial NB language classifier: the (doc x
     // class) cross-join twin of the pivoted broadcast model; identical
     // Laplace formula, prior-plus-sum shape, 4-dp rounding before the

@@ -445,6 +445,9 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q95_padding_waste" -> ((s, dir) =>
+      operators.Packing.paddingWaste(Tables.documents(s, dir))),
+
     "q94_hard_negatives" -> ((s, dir) =>
       operators.HybridRetrieval.hardNegatives(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),

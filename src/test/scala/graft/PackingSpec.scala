@@ -92,4 +92,25 @@ class PackingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"unpartitioned exchange:\n$plan")
   }
+
+  test("paddingWaste: banded batching strictly beats naive on length-skewed data") {
+    // ids interleave short (2-token) and long (40-token) docs, so naive
+    // id-blocks mix lengths (pad to 40) while banding separates them
+    val docs = (0L until 64L)
+      .map(i => (i, if (i % 2 == 0) "a b" else Seq.fill(40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.paddingWaste(docs, bandWidth = 16, batchSize = 8)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // both strategies account every doc and every real token exactly once
+    assert(out("banded")._3 == 64L && out("naive")._3 == 64L)
+    assert(out("banded")._4 == out("naive")._4)
+    assert(out("banded")._4 == 32L * 2 + 32L * 40)
+    // naive: every 8-block has both lengths -> pads everything to 40
+    assert(out("naive")._5 == 64L * 40)
+    // banded: shorts pad to 2, longs to 40 -> zero waste here
+    assert(out("banded")._5 == 32L * 2 + 32L * 40)
+    assert(out("banded")._6 == 0.0)
+    assert(out("banded")._6 < out("naive")._6)
+  }
 }
