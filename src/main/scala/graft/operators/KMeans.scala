@@ -52,18 +52,46 @@ object KMeans {
       zip_with(v6, array(c.map(lit).toSeq: _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  def cluster(
-      emb: DataFrame, k: Int = 8, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
-
-    val quantized = emb
+  /** Quantize the vector column onto the 6-dp long grid. */
+  private def quantize(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
       .filter(col(vecCol).isNotNull)
       .select(
         col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => round(x.cast("double") * lit(1e6), 0).cast("long"))
           .as("v6"))
-      .localCheckpoint()
+
+  /** Assign (id, vector) rows to FIXED grid centroids — the model-SERVING
+    * path: a pure per-row expression (centroids as literals), no shuffle,
+    * no state, so it runs unchanged over a stream
+    * ([[graft.streaming.StreamCluster]]) or any batch frame. Returns
+    * (id, cluster, dist_sq) with [[cluster]]'s exact semantics.
+    */
+  def assignTo(
+      df: DataFrame, centroids: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    quantize(df, idCol, vecCol)
+      .withColumn("dists", array(centroids.toSeq.map(distSq(col("v6"), _)): _*))
+      .select(
+        col("id"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("cluster"),
+        round(array_min(col("dists")).cast("double") / lit(1e12), 6)
+          .as("dist_sq"))
+  }
+
+  /** Run the Lloyd loop and return the trained GRID centroids (k×d longs,
+    * driver-side) — the model [[assignTo]] serves. See [[cluster]] for
+    * the full semantics; this is its training half.
+    */
+  def trainCentroids(
+      emb: DataFrame, k: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+
+    val quantized = quantize(emb, idCol, vecCol).localCheckpoint()
 
     // Seed centroids: vectors of the k smallest ids, cluster j = rank.
     var centroids: Array[Array[Long]] = quantized
@@ -102,11 +130,13 @@ object KMeans {
       }
     }
 
-    assigned(centroids)
-      .select(
-        col("id"), col("cluster"),
-        round(col("d").cast("double") / lit(1e12), 6).as("dist_sq"))
+    centroids
   }
+
+  def cluster(
+      emb: DataFrame, k: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(emb, trainCentroids(emb, k, iters, idCol, vecCol), idCol, vecCol)
 
   /** Cluster DIAGNOSTICS over [[cluster]]'s assignment (SURVEY §2 q93):
     * per cluster, its size, mean squared distance (compactness — the
