@@ -1280,6 +1280,17 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // JSON props summary: typed extraction then plain aggregation; both
+    // engines count only rows where the field parses (NULL otherwise).
+    "q96_json_props" ->
+      """WITH x AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) k FROM events)
+        |SELECT event_type, count(*)::BIGINT n_events,
+        |  count(k)::BIGINT n_with_k, sum(k)::BIGINT sum_k,
+        |  round(sum(k)::DOUBLE / count(k), 4) avg_k,
+        |  min(k) min_k, max(k) max_k
+        |FROM x GROUP BY 1""".stripMargin,
+
     // Padding-waste report: q83's banded batches vs naive id-blocks,
     // padded cost = n_docs × max_len per batch, 2-row rollup.
     "q95_padding_waste" ->

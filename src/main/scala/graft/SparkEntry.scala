@@ -445,6 +445,9 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q96_json_props" -> ((s, dir) =>
+      operators.JsonOps.propsSummary(Tables.events(s, dir))),
+
     "q95_padding_waste" -> ((s, dir) =>
       operators.Packing.paddingWaste(Tables.documents(s, dir))),
 
