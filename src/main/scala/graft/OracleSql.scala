@@ -1280,6 +1280,48 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Retention cohorts: distinct (user, day), first day = cohort, one
+    // count per (cohort, offset), rate vs the cohort's size.
+    "q98_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),
+        |fd AS (SELECT user_id, min(d) cohort_date FROM ud GROUP BY 1),
+        |sz AS (SELECT cohort_date, count(*)::BIGINT cohort_size FROM fd GROUP BY 1),
+        |a AS (SELECT cohort_date, (d - cohort_date)::INT day_offset,
+        |        count(*)::BIGINT n_users
+        |      FROM ud JOIN fd USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_date, day_offset, n_users, cohort_size,
+        |  round(n_users::DOUBLE / cohort_size, 4) retention
+        |FROM a JOIN sz USING (cohort_date)""".stripMargin,
+
+    // Session funnel: q12's session labeling at event grain, then each
+    // step = conditional min bounded by the previous step's first time.
+    "q97_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END new_sess FROM l),
+        |s AS (SELECT user_id, event_type, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_seq FROM f),
+        |s0 AS (SELECT user_id, session_seq,
+        |         min(CASE WHEN event_type = 'view' THEN us END) t0
+        |       FROM s GROUP BY 1, 2),
+        |s1 AS (SELECT s.user_id, s.session_seq, min(t0) t0,
+        |         min(CASE WHEN event_type = 'click' AND us >= t0 THEN us END) t1
+        |       FROM s JOIN s0 USING (user_id, session_seq) GROUP BY 1, 2),
+        |s2 AS (SELECT s.user_id, s.session_seq, min(t0) t0, min(t1) t1,
+        |         min(CASE WHEN event_type = 'purchase' AND us >= t1 THEN us END) t2
+        |       FROM s JOIN s1 USING (user_id, session_seq) GROUP BY 1, 2),
+        |r AS (SELECT count(*)::BIGINT n_sessions, count(t0)::BIGINT r0,
+        |        count(t1)::BIGINT r1, count(t2)::BIGINT r2 FROM s2)
+        |SELECT step, event_type, n_sessions, n_reached,
+        |  round(n_reached::DOUBLE / n_sessions, 4) rate_from_start,
+        |  round(n_reached::DOUBLE / prev, 4) rate_from_prev
+        |FROM (
+        |  SELECT 1 step, 'view' event_type, n_sessions, r0 n_reached, n_sessions prev FROM r
+        |  UNION ALL SELECT 2, 'click', n_sessions, r1, r0 FROM r
+        |  UNION ALL SELECT 3, 'purchase', n_sessions, r2, r1 FROM r)""".stripMargin,
+
     // JSON props summary: typed extraction then plain aggregation; both
     // engines count only rows where the field parses (NULL otherwise).
     "q96_json_props" ->

@@ -445,6 +445,12 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q98_retention" -> ((s, dir) =>
+      operators.Funnel.retentionCohorts(Tables.events(s, dir))),
+
+    "q97_session_funnel" -> ((s, dir) =>
+      operators.Funnel.sessionFunnel(Tables.events(s, dir))),
+
     "q96_json_props" -> ((s, dir) =>
       operators.JsonOps.propsSummary(Tables.events(s, dir))),
 
