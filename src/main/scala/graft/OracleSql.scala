@@ -1280,6 +1280,38 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Epoch-capped token-budget water-fill (all LONG arithmetic): sorted-
+    // prefix capping condition, equal integer shares, LCG-ordered partial
+    // epoch — Budget.scala's closed form written as windows.
+    "q100_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT n_tokens
+        |           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |ls AS (SELECT lang, sum(n_tokens)::BIGINT tok FROM t GROUP BY 1
+        |       HAVING sum(n_tokens) > 0),
+        |p AS (SELECT count(*)::BIGINT s, (sum(tok) * 16) // 10 b FROM ls),
+        |o AS (SELECT lang, tok, 2*tok cap,
+        |        row_number() OVER (ORDER BY 2*tok, lang) i,
+        |        sum(2*tok) OVER (ORDER BY 2*tok, lang ROWS UNBOUNDED PRECEDING) c
+        |      FROM ls),
+        |f AS (SELECT o.*, s, b,
+        |        CASE WHEN cap*(s - i + 1) <= b - (c - cap) THEN 1 ELSE 0 END capped
+        |      FROM o CROSS JOIN p),
+        |kk AS (SELECT sum(capped)::BIGINT k,
+        |         coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)::BIGINT ck
+        |       FROM f),
+        |q AS (SELECT lang, tok,
+        |        CASE WHEN capped = 1 THEN cap
+        |             ELSE (b - ck) // NULLIF(s - k, 0) END quota
+        |      FROM f CROSS JOIN kk),
+        |d AS (SELECT doc_id, lang, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |            doc_id ROWS UNBOUNDED PRECEDING) cs
+        |      FROM t)
+        |SELECT d.doc_id, d.lang, d.n_tokens,
+        |  (quota // tok + CASE WHEN cs <= quota % tok THEN 1 ELSE 0 END)::BIGINT n_repeats
+        |FROM d JOIN q USING (lang)""".stripMargin,
+
     // Margin-based bitext mining: 6-dp cosines, top-4 ranked (c DESC, id),
     // neighborhood means as exact DECIMAL sums cast to DOUBLE, 6-dp margin,
     // mutual argmax with id tie-break — the Bitext.scala disciplines 1:1.

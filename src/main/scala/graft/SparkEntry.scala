@@ -445,6 +445,9 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q100_token_budget" -> ((s, dir) =>
+      operators.Budget.epochCappedAllocation(Tables.documents(s, dir))),
+
     "q99_bitext_margin" -> ((s, dir) =>
       operators.Bitext.mineOnLabels(Tables.embeddings(s, dir))),
 
