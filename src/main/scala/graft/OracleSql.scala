@@ -1280,6 +1280,55 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Chunk-level language mixture: the q84 NB model scored at q73 chunk
+    // grain (window = stride = 16), votes re-aggregated per doc; majority
+    // pick packs (votes, classIndex) into one long like NaiveBayes.scala.
+    "q101_lang_mixture" ->
+      """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') toks
+        |              FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, toks FROM base WHERE doc_id % 2 = 1),
+        |ct AS (SELECT lang, sum(len(toks))::BIGINT tokens_c,
+        |         count(*)::BIGINT docs_c FROM tr GROUP BY lang),
+        |ci AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 idx FROM ct),
+        |n AS (SELECT sum(docs_c)::BIGINT n FROM ct),
+        |tok AS (SELECT lang, unnest(toks) t FROM tr),
+        |v AS (SELECT count(DISTINCT t)::BIGINT v FROM tok),
+        |cnt AS (SELECT lang, t, count(*)::BIGINT c FROM tok GROUP BY 1, 2),
+        |ch AS (SELECT doc_id, toks, len(toks)::BIGINT L,
+        |        CASE WHEN len(toks) <= 16 THEN 1
+        |             ELSE (len(toks) - 16 + 15) // 16 + 1 END nc
+        |      FROM te),
+        |ck AS (SELECT doc_id, unnest(range(0, nc)) k, toks FROM ch),
+        |ctok AS (SELECT doc_id, k chunk_id, unnest(toks[k*16+1 : k*16+16]) t FROM ck),
+        |tfc AS (SELECT doc_id, chunk_id, t, count(*)::BIGINT tf
+        |        FROM ctok GROUP BY 1, 2, 3),
+        |sc AS (SELECT tfc.doc_id, tfc.chunk_id, ct.lang cls,
+        |         round(ln(ct.docs_c * 1.0 / n.n)
+        |           + sum(tfc.tf * ln((coalesce(cnt.c, 0) + 1.0)
+        |                             / (ct.tokens_c + v.v))), 4) s
+        |       FROM tfc CROSS JOIN ct CROSS JOIN n CROSS JOIN v
+        |       LEFT JOIN cnt ON cnt.lang = ct.lang AND cnt.t = tfc.t
+        |       GROUP BY tfc.doc_id, tfc.chunk_id, ct.lang, ct.docs_c,
+        |                ct.tokens_c, n.n, v.v),
+        |pr AS (SELECT doc_id, chunk_id, cls pred,
+        |        row_number() OVER (PARTITION BY doc_id, chunk_id
+        |          ORDER BY s DESC, cls) rn
+        |      FROM sc),
+        |vo AS (SELECT doc_id, pred, count(*)::BIGINT c
+        |       FROM pr WHERE rn = 1 GROUP BY 1, 2),
+        |vi AS (SELECT vo.*, ci.idx FROM vo JOIN ci ON ci.lang = vo.pred),
+        |ag AS (SELECT doc_id, sum(c)::BIGINT n_chunks, count(*)::BIGINT n_langs,
+        |        max(c*16 + (15 - idx))::BIGINT mk,
+        |        sum(c * ln(c)) clnc
+        |       FROM vi GROUP BY 1),
+        |cl AS (SELECT list(lang ORDER BY lang) ls FROM ci)
+        |SELECT doc_id, n_chunks, n_langs,
+        |  ls[(16 - (mk % 16))::INT] major_pred,
+        |  round(ln(n_chunks) - clnc / n_chunks, 4) + 0.0 mix_entropy,
+        |  (CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)::INT is_mixed
+        |FROM ag CROSS JOIN cl""".stripMargin,
+
     // Epoch-capped token-budget water-fill (all LONG arithmetic): sorted-
     // prefix capping condition, equal integer shares, LCG-ordered partial
     // epoch — Budget.scala's closed form written as windows.

@@ -445,6 +445,9 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q101_lang_mixture" -> ((s, dir) =>
+      operators.NaiveBayes.chunkMixture(Tables.documents(s, dir))),
+
     "q100_token_budget" -> ((s, dir) =>
       operators.Budget.epochCappedAllocation(Tables.documents(s, dir))),
 
