@@ -1280,6 +1280,16 @@ object OracleSql {
         |  pos::BIGINT pos_in_band, (pos // 32)::BIGINT batch_id
         |FROM r""".stripMargin,
 
+    // Asymmetric containment pairs: directed brute-force twin of the
+    // prefix-filtered candidate path (losslessness proven in Dedup.scala).
+    "q102_containment" ->
+      s"""WITH ${shingleCtesOver("documents")},
+         |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 4) c
+         |  FROM s a JOIN s b ON a.doc_id != b.doc_id)
+         |SELECT id_a contained_id, id_b container_id, c containment
+         |FROM p WHERE c >= 0.8""".stripMargin,
+
     // Chunk-level language mixture: the q84 NB model scored at q73 chunk
     // grain (window = stride = 16), votes re-aggregated per doc; majority
     // pick packs (votes, classIndex) into one long like NaiveBayes.scala.

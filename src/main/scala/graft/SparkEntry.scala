@@ -445,6 +445,10 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    "q102_containment" -> ((s, dir) =>
+      operators.Dedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     "q101_lang_mixture" -> ((s, dir) =>
       operators.NaiveBayes.chunkMixture(Tables.documents(s, dir))),
 

@@ -379,6 +379,58 @@ object Dedup {
     verifyPairs(candidates, d.select("id", "sh"), threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — quote/inclusion detection
+    * (SURVEY §2 q102). Jaccard (q23) is symmetric and VANISHES when a
+    * small document is quoted inside a much larger one (inter/union ≈
+    * |A|/|B|); containment C(A⊆B) = |A∩B|/|A| stays ≈ 1 — the signal for
+    * aggregator pages, quote farms and template inclusion that
+    * near-dup passes structurally miss. Returns DIRECTED rows
+    * (contained_id, container_id, containment ≥ t); a true duplicate
+    * pair emits both directions by design.
+    *
+    * Candidate generation is the q23 PPJoin prefix adapted to the
+    * asymmetric bound: C(A⊆B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so if ALL of A's
+    * ℓ_A = |A| − ⌈t·|A|⌉ + 1 rarest-first shingles missed B then
+    * |A∩B| ≤ ⌈t·|A|⌉ − 1 — contradiction; hence the CONTAINED side's
+    * prefix must hit the container's FULL shingle set, and prefix ⋈
+    * full-index is lossless. Two asymmetries vs q23: no size-ratio
+    * pruning is sound (a 10-shingle quote can live in a 10⁶-shingle
+    * page), and only one side pays a prefix (the full side is the
+    * existing inverted index). Hot shingles still collapse: the prefix
+    * keeps globally RAREST shingles, so f_prefix(hot) ≈ 0 bounds the
+    * Σ f_pref·f_full candidate count (the q23 rarity argument).
+    * Candidates verify exactly against the full shingle sets — false
+    * positives impossible.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = shingled(docs, idCol, textCol, n).withColumn("sz", size(col("sh")))
+    val occ = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val dfPerShingle = occ.groupBy("s").agg(count(lit(1)).as("df"))
+
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = occ.join(dfPerShingle, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("s"))
+
+    val candidates = prefix.as("a")
+      .join(occ.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(d.select(col("id"), col("sh"), col("sz")).as("da"), col("id_a") === col("da.id"))
+      .join(d.select(col("id"), col("sh")).as("db"), col("id_b") === col("db.id"))
+      .select(
+        col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        round(size(array_intersect(col("da.sh"), col("db.sh"))).cast("double")
+          / col("da.sz"), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** All-pairs reference implementation of [[ngramJaccardPairs]] (the
     * semantic spec; O(n²), tests and small sides only).
     */
