@@ -195,7 +195,45 @@ object OracleSql {
     (init +: steps :+ fin).mkString(",\n")
   }
 
+  /** q103's twin: the purchase-graph PageRank unrolled per iteration (the
+    * q86 Lloyd discipline — the all-LONG fixpoint is a pure function of
+    * the edge multiset, so the unrolled SQL reproduces every iterate
+    * bit-for-bit). MATERIALIZED because DuckDB re-evaluates plain CTEs
+    * per reference (the q34 trap) — each r_k feeds both c_{k+1} and
+    * r_{k+1}.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |d AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS deg
+        |  FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM d),
+        |r0 AS MATERIALIZED (SELECT node, (1000000000000 // nn.n)::BIGINT AS pr
+        |  FROM d, nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, sum(r.pr // d.deg)::BIGINT AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN d ON e.src = d.node
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT d.node,
+         |    ((15000000000000 // (100*nn.n))
+         |      + (85*coalesce(c.s, 0)) // 100)::BIGINT AS pr
+         |  FROM d CROSS JOIN nn LEFT JOIN c$k c ON d.node = c.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node // 2 AS entity_key,
+         |  CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+         |  pr AS pr_e12, ((pr // 1000000)::DOUBLE / 1000000.0) AS pr
+         |FROM r$iters""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
   val sql: Map[String, String] = Map(
+    "q103_pagerank" -> pageRankSql(5),
+
     "q01_filter_project" ->
       """SELECT doc_id, text, n_chars FROM documents
         |WHERE lang = 'en' AND NOT starts_with(text, 'the ')""".stripMargin,

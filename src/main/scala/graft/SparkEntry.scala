@@ -445,6 +445,11 @@ object SparkEntry {
       operators.SemDedup.semDedup(
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
+    // PageRank over the bidirected customer<->supplier purchase graph:
+    // all-LONG damped fixpoint (engine-exact by construction), 5 iters
+    "q103_pagerank" -> ((s, dir) =>
+      operators.Graph.purchaseRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     "q102_containment" -> ((s, dir) =>
       operators.Dedup.containmentPairs(
         Tables.documents(s, dir), "doc_id", "text")),

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative GRAPH analytics (SURVEY §2 q103) — PageRank, the canonical
+  * Pregel-shaped workload the library lacked: importance scoring over a
+  * link graph (domain authority for crawl prioritization, the
+  * quality-signal family CommonCrawl/FineWeb pipelines weigh URLs by).
+  *
+  * Determinism: the WHOLE iteration runs in LONG arithmetic on a fixed
+  * 1e-12 grid (the q100 token-budget discipline) — rank mass starts as
+  * `scale div N` per node, each edge carries `pr div deg` (integer
+  * division, truncation documented as part of the operator's spec, not a
+  * float approximation), the damped update is
+  * `(15·scale) div (100·N) + (85·Σ contrib) div 100`. No float touches
+  * the fixpoint, so any engine/partitioning reproduces every iterate
+  * bit-for-bit. The div-floor mass leak (< N·iters·1 grid units, i.e.
+  * < 1e-6 of total mass at any realistic N) is deterministic and
+  * documented — NOT redistributed, exactly like q100's unspent slack.
+  * Overflow-safe: contributions per node sum to ≤ scale = 1e12; the
+  * damped product peaks at 85·1e12 ≪ 2^63.
+  *
+  * Scale shape (the 100 TB story): edges materialize ONCE
+  * (localCheckpoint) as (src, dst) longs — 16 bytes/row, text/payload
+  * never enters the loop. Each iteration is the classic 2-shuffle round:
+  * one join keyed src (ranks ⋈ edges; ranks and degrees share the node
+  * key so Catalyst reuses one partitioning), one count-free aggregation
+  * keyed dst carrying (dst, long partial) with map-side combine. The
+  * driver holds ONE scalar (N). At cluster scale, store edges bucketed by
+  * src and the join shuffle disappears; skewed hubs are AQE-splittable
+  * because contributions combine associatively. Ranks localCheckpoint per
+  * round (q34's lineage bound).
+  *
+  * Sink-free by construction here: [[purchaseRank]] feeds the BIDIRECTED
+  * purchase graph (random walk alternates customer/supplier), so every
+  * node with an edge has out-degree ≥ 1 and the dangling-mass term is
+  * structurally zero. For general directed graphs, add the standard
+  * dangling redistribution before reusing [[pageRank]] on a graph with
+  * sinks — it `require`s none exist rather than silently leaking their
+  * mass.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // 1.0 of rank mass, 1e-12 grid
+
+  /** PageRank over an edge list. `edges` must be (srcCol, dstCol) long
+    * pairs, deduplicated, with every src also appearing as a dst side
+    * effect of bidirection — more precisely: every node must have
+    * out-degree ≥ 1 (checked). Returns (node, pr_e12, pr).
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "need 1 <= iters <= 50")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // a dst that never occurs as src is a sink: its mass would vanish
+    val sinks = e.join(deg, e("dst") === deg("node"), "left_anti").limit(1).count()
+    require(sinks == 0L,
+      "pageRank: graph has sink nodes (dst never appears as src) - " +
+        "bidirect the edges or add dangling-mass handling first")
+
+    val n = deg.count() // the ONE driver scalar
+    require(n > 0, "pageRank: empty graph")
+    val base = (15L * Scale) / (100L * n)
+
+    var ranks = deg.select(col("node"), lit(Scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = deg
+        .join(contribs, deg("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85L * coalesce(s, 0L) div 100L")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr").as("pr_e12"),
+      (expr("pr div 1000000L").cast("double") / lit(1000000.0)).as("pr"))
+  }
+
+  /** q103's driver row: PageRank over the customer↔supplier purchase
+    * graph — who-bought-from-whom, bidirected so the walk alternates
+    * sides (and the graph is sink-free). Node encoding packs both key
+    * spaces into one long: customer c → 2c, supplier s → 2s+1. Returns
+    * (entity_key, kind, pr_e12, pr) ordered nowhere — the driver hash is
+    * order-insensitive.
+    */
+  def purchaseRank(orders: DataFrame, lineitem: DataFrame, iters: Int = 5): DataFrame = {
+    val pairs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val bidirected = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    pageRank(bidirected, "src", "dst")
+      .select(
+        expr("node div 2L").as("entity_key"),
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer")).as("kind"),
+        col("pr_e12"), col("pr"))
+  }
+}
