@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the test star schema (TESTDATA.md).
@@ -25,17 +25,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`,
-    * so the column arrives as a raw nanos long; normalize it here to a
-    * micros-precision timestamp (integer `div`, no double round-trip — a
-    * double mantissa can't hold epoch-nanos exactly).
+  /** `events.ts` arrives in whatever physical form the generator last wrote;
+    * normalize every observed variant to a session-TZ `TIMESTAMP`:
+    *
+    *  - parquet TIMESTAMP(NANOS): the vectorized reader rejects it, so
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong` and the column
+    *    arrives as a raw nanos long; convert with integer `div` (a double
+    *    mantissa can't hold epoch-nanos exactly).
+    *  - tz-less `timestamp[us]` (`isAdjustedToUTC=false`, pandas-written):
+    *    Spark >=3.4 reads it as TIMESTAMP_NTZ; cast to TIMESTAMP. The
+    *    session timezone is pinned to UTC (GraftSession), so the cast is an
+    *    exact reinterpretation, not a wall-clock shift.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
