@@ -396,15 +396,28 @@ object Dedup {
     * full-index is lossless. Two asymmetries vs q23: no size-ratio
     * pruning is sound (a 10-shingle quote can live in a 10⁶-shingle
     * page), and only one side pays a prefix (the full side is the
-    * existing inverted index). Hot shingles still collapse: the prefix
+    * existing inverted index). Hot shingles mostly collapse: the prefix
     * keeps globally RAREST shingles, so f_prefix(hot) ≈ 0 bounds the
-    * Σ f_pref·f_full candidate count (the q23 rarity argument).
+    * Σ f_pref·f_full candidate count (the q23 rarity argument) — but
+    * SHORT docs defeat rarity (a 5-shingle doc at t=0.8 has a 2-shingle
+    * prefix that may be forced onto a boilerplate shingle with df = 10⁶),
+    * so the candidate join is additionally CHUNK-RECTANGLE capped: per
+    * shingle, the prefix side splits into ⌈pdf/maxPostings⌉ hash chunks
+    * and the full side into ⌈df/maxPostings⌉, each (a, b) pair meeting
+    * exactly once on key (s, ga, gb). No task handles more than
+    * maxPostings² candidates regardless of skew — the rectangular
+    * analogue of q63's chunk-triangle guard (self-join there, bipartite
+    * prefix×index here). The cap is lossless: chunking only re-keys the
+    * join, it never drops a co-occurrence. A second win falls out of the
+    * cap's stats join: the full index inner-joins the per-shingle chunk
+    * table, which prunes `occ` to shingles present in at least one
+    * prefix before the explode.
     * Candidates verify exactly against the full shingle sets — false
     * positives impossible.
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxPostings: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = shingled(docs, idCol, textCol, n).withColumn("sz", size(col("sh")))
     val occ = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
@@ -415,10 +428,27 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("id"), col("s"))
+      .localCheckpoint()
 
-    val candidates = prefix.as("a")
-      .join(occ.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Per-shingle chunk counts for both sides; inner join ⇒ only shingles
+    // that survive into some prefix reach the candidate join at all.
+    val caps = prefix.groupBy("s").agg(count(lit(1)).as("pdf"))
+      .join(dfPerShingle, Seq("s"))
+      .select(col("s"),
+        ceil(col("pdf") / lit(maxPostings)).cast("int").as("ca"),
+        ceil(col("df") / lit(maxPostings)).cast("int").as("cb"))
+
+    val aSide = prefix.join(caps, Seq("s"))
+      .select(col("s"), col("id").as("id_a"),
+        pmod(xxhash64(col("id")), col("ca")).cast("int").as("ga"),
+        explode(sequence(lit(0), col("cb") - 1)).as("gb"))
+    val bSide = occ.join(caps, Seq("s"))
+      .select(col("s"), col("id").as("id_b"),
+        explode(sequence(lit(0), col("ca") - 1)).as("ga"),
+        pmod(xxhash64(col("id")), col("cb")).cast("int").as("gb"))
+    val candidates = aSide.join(bSide, Seq("s", "ga", "gb"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
 
     candidates

@@ -60,4 +60,40 @@ class ContainmentSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
     assert(a == mine())
   }
+
+  test("chunk-rectangle cap is lossless (maxPostings = 1 forces full chunking)") {
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, maxPostings = 1)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(capped == mine())
+  }
+
+  test("degenerate hot posting list: shared boilerplate shingle, capped join stays exact") {
+    // Every doc opens with the same boilerplate trigram (df = n_docs) and a
+    // short unique tail — short docs force the boilerplate shingle INTO the
+    // prefix, the scenario that defeats the rarity argument. doc 0's full
+    // text reappears inside doc 1.
+    val boiler = text(Seq(0, 1, 2))
+    val hot = (0L to 19L).map { i =>
+      val tail = i match {
+        case 0L => text(Seq(3, 4, 5, 6))
+        case 1L => text(Seq(3, 4, 5, 6)) + " " + text(Seq(4, 8))
+        case _  => text(Seq((i % 7 + 3).toInt, (i % 5 + 2).toInt, (i % 3 + 6).toInt))
+      }
+      (i, boiler + " " + tail)
+    }.toDF("doc_id", "text")
+    for (thr <- Seq(0.5, 0.8)) {
+      val shingle = hot.select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      val brute = shingle.as("a").join(shingle.as("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("contained_id"), col("b.id").as("container_id"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+            / size(col("a.sh")), 4).as("containment"))
+        .filter(col("containment") >= thr)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      val capped = Dedup.containmentPairs(hot, "doc_id", "text", 3, thr, maxPostings = 4)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(capped == brute, s"threshold $thr")
+      assert(brute.exists(p => p._1 == 0L && p._2 == 1L), s"hot corpus lost the planted pair: $brute")
+    }
+  }
 }
