@@ -18,6 +18,44 @@ object OracleSql {
   private val pos = sqlList(TextFunctions.positiveWords)
   private val neg = sqlList(TextFunctions.negativeWords)
 
+  /** The exact q99 bitext pipeline — shared verbatim by q99's oracle and
+    * q99b's `n_exact` recount (a `def`: the map literal below must not
+    * race object-init order).
+    */
+  private def q99BitextSql: String =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) v
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |x AS (SELECT vec_id xid, v FROM e WHERE label < 5),
+      |y AS (SELECT vec_id yid, v FROM e WHERE label >= 5),
+      |s AS (SELECT xid, yid,
+      |        round(list_dot_product(x.v, y.v)
+      |          /(sqrt(list_dot_product(x.v,x.v))*sqrt(list_dot_product(y.v,y.v))),6) c
+      |      FROM x CROSS JOIN y),
+      |fk AS (SELECT * FROM (SELECT xid, yid, c,
+      |         row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) r FROM s)
+      |       WHERE r <= 4),
+      |bk AS (SELECT * FROM (SELECT xid, yid, c,
+      |         row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) r FROM s)
+      |       WHERE r <= 4),
+      |mx AS (SELECT xid, CAST(sum(CAST(c AS DECIMAL(9,6))) AS DOUBLE)/count(*) m
+      |       FROM fk GROUP BY 1),
+      |my AS (SELECT yid, CAST(sum(CAST(c AS DECIMAL(9,6))) AS DOUBLE)/count(*) m
+      |       FROM bk GROUP BY 1),
+      |cand AS (SELECT DISTINCT xid, yid, c FROM
+      |          (SELECT xid, yid, c FROM fk UNION ALL SELECT xid, yid, c FROM bk)),
+      |mg AS (SELECT xid, yid, round(c/((mx.m+my.m)/2),6) margin
+      |       FROM cand JOIN mx USING (xid) JOIN my USING (yid)
+      |       WHERE mx.m > 0 AND my.m > 0),
+      |bx AS (SELECT * FROM (SELECT xid, yid, margin,
+      |         row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) r
+      |       FROM mg) WHERE r = 1),
+      |by2 AS (SELECT * FROM (SELECT xid, yid,
+      |         row_number() OVER (PARTITION BY yid ORDER BY margin DESC, xid) r
+      |       FROM mg) WHERE r = 1)
+      |SELECT bx.xid x_id, bx.yid y_id, bx.margin
+      |FROM bx JOIN by2 ON bx.xid = by2.xid AND bx.yid = by2.yid
+      |WHERE bx.margin >= 1.0""".stripMargin
+
   /** q56's twin, generated per (column, kind) exactly like Profile builds
     * its aggregates: every "val" a DOUBLE, fractional means through
     * DECIMAL(28,6), integral/length sums exact.
@@ -1412,39 +1450,13 @@ object OracleSql {
     // Margin-based bitext mining: 6-dp cosines, top-4 ranked (c DESC, id),
     // neighborhood means as exact DECIMAL sums cast to DOUBLE, 6-dp margin,
     // mutual argmax with id tie-break — the Bitext.scala disciplines 1:1.
-    "q99_bitext_margin" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) v
-        |           FROM embeddings WHERE embedding IS NOT NULL),
-        |x AS (SELECT vec_id xid, v FROM e WHERE label < 5),
-        |y AS (SELECT vec_id yid, v FROM e WHERE label >= 5),
-        |s AS (SELECT xid, yid,
-        |        round(list_dot_product(x.v, y.v)
-        |          /(sqrt(list_dot_product(x.v,x.v))*sqrt(list_dot_product(y.v,y.v))),6) c
-        |      FROM x CROSS JOIN y),
-        |fk AS (SELECT * FROM (SELECT xid, yid, c,
-        |         row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid) r FROM s)
-        |       WHERE r <= 4),
-        |bk AS (SELECT * FROM (SELECT xid, yid, c,
-        |         row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid) r FROM s)
-        |       WHERE r <= 4),
-        |mx AS (SELECT xid, CAST(sum(CAST(c AS DECIMAL(9,6))) AS DOUBLE)/count(*) m
-        |       FROM fk GROUP BY 1),
-        |my AS (SELECT yid, CAST(sum(CAST(c AS DECIMAL(9,6))) AS DOUBLE)/count(*) m
-        |       FROM bk GROUP BY 1),
-        |cand AS (SELECT DISTINCT xid, yid, c FROM
-        |          (SELECT xid, yid, c FROM fk UNION ALL SELECT xid, yid, c FROM bk)),
-        |mg AS (SELECT xid, yid, round(c/((mx.m+my.m)/2),6) margin
-        |       FROM cand JOIN mx USING (xid) JOIN my USING (yid)
-        |       WHERE mx.m > 0 AND my.m > 0),
-        |bx AS (SELECT * FROM (SELECT xid, yid, margin,
-        |         row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) r
-        |       FROM mg) WHERE r = 1),
-        |by2 AS (SELECT * FROM (SELECT xid, yid,
-        |         row_number() OVER (PARTITION BY yid ORDER BY margin DESC, xid) r
-        |       FROM mg) WHERE r = 1)
-        |SELECT bx.xid x_id, bx.yid y_id, bx.margin
-        |FROM bx JOIN by2 ON bx.xid = by2.xid AND bx.yid = by2.yid
-        |WHERE bx.margin >= 1.0""".stripMargin,
+    "q99_bitext_margin" -> q99BitextSql,
+
+    // q99b gate: n_exact is the FULL exact q99 pipeline re-counted by the
+    // oracle; recall_ok is the Spark-side LSH-vs-exact bound (see
+    // Bitext.marginMineGate).
+    "q99b_bitext_margin_lsh" ->
+      s"SELECT count(*)::BIGINT n_exact, TRUE recall_ok FROM ($q99BitextSql)",
 
     // Retention cohorts: distinct (user, day), first day = cohort, one
     // count per (cohort, offset), rate vs the cohort's size.

@@ -463,6 +463,11 @@ object SparkEntry {
     "q99_bitext_margin" -> ((s, dir) =>
       operators.Bitext.mineOnLabels(Tables.embeddings(s, dir))),
 
+    // the registered LSH-candidate scale path for q99, recall-gated
+    // against the exact cartesian twin (the q24 -> q24b pattern)
+    "q99b_bitext_margin_lsh" -> ((s, dir) =>
+      operators.Bitext.marginMineGate(Tables.embeddings(s, dir))),
+
     "q98_retention" -> ((s, dir) =>
       operators.Funnel.retentionCohorts(Tables.events(s, dir))),
 

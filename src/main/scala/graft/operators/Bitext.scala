@@ -44,13 +44,49 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders}
   */
 object Bitext {
 
+  /** Cross-collection LSH candidate generator for [[marginMine]] — the
+    * registered 100 TB scale path (q99b). Both collections explode to
+    * (id, bucket) sign-bit keys — `tables` ints per vector, never the
+    * vector itself — and candidates are the bucket colliders, exactly the
+    * q26 machinery turned bipartite: the X side hashes into exact buckets,
+    * the Y side additionally probes `probes` flip-1-bit neighbor buckets
+    * per table (multiprobe recall without re-exploding the X side).
+    *
+    * Candidate-volume bound: |cand| ≤ Σ_buckets f_X(b)·f_Y(b). With b
+    * sign-bits per table the expected per-table bucket load is |X|/2^b ×
+    * |Y|/2^b × 2^b collisions, so E|cand| ≤ L·(1+probes)·|X|·|Y|/2^b —
+    * at b = 6, L = 12, probes = 2 that is |X|·|Y|/1.8, and on CLUSTERED
+    * real bitext (where LSH buckets align with clusters) far below it;
+    * the join is bucket-keyed, so no single task exceeds the hottest
+    * bucket product, AQE-splittable.
+    */
+  def lshCandidates(bits: Int = 6, tables: Int = 12, probes: Int = 2)(
+      x: DataFrame, y: DataFrame): DataFrame = {
+    val xb = x.select(col("xid"),
+      explode(VectorFunctions.lshBuckets(col("xv"), bits, tables)).as("bucket"))
+    val yb = y.select(col("yid"),
+      explode(VectorFunctions.lshProbeBuckets(col("yv"), bits, tables, probes))
+        .as("bucket"))
+    xb.join(yb, Seq("bucket")).select("xid", "yid").distinct()
+  }
+
   /** Mine mutual-best margin pairs between `xs` and `ys`.
     * Returns (x_id, y_id, margin) with margin ≥ threshold, 6-dp rounded.
+    *
+    * `candidates` swaps the scored stream's pair source: `None` is the
+    * declared-exact all-pairs baseline (the q24/q25 contract); `Some(gen)`
+    * scores only the generator's (xid, yid) pairs — [[lshCandidates]] is
+    * the production generator — with everything downstream (top-k,
+    * neighborhood means, margins, mutual argmax) unchanged. Approximate
+    * top-k neighborhoods are the standard CCMatrix trade: the margin
+    * denominator is then the mean over the RETRIEVED neighborhood, gated
+    * against the exact path by [[marginMineGate]].
     */
   def marginMine(
       xs: DataFrame, ys: DataFrame,
       idCol: String, vecCol: String,
-      k: Int = 4, threshold: Double = 1.0): DataFrame = {
+      k: Int = 4, threshold: Double = 1.0,
+      candidates: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
     val x = xs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("xid"), col(vecCol).as("xv")).localCheckpoint()
     val y = ys.filter(col(vecCol).isNotNull)
@@ -59,9 +95,16 @@ object Bitext {
     // One logical scored stream, consumed twice (see scaladoc: recomputing
     // two broadcast-join passes over checkpointed inputs is the scale-safe
     // choice vs materializing the quadratic pair set).
-    val scored = x.join(broadcast(y))
-      .select(col("xid"), col("yid"),
-        round(VectorFunctions.cosineSimilarity(col("xv"), col("yv")), 6).as("c"))
+    val scored = candidates match {
+      case None =>
+        x.join(broadcast(y))
+          .select(col("xid"), col("yid"),
+            round(VectorFunctions.cosineSimilarity(col("xv"), col("yv")), 6).as("c"))
+      case Some(gen) =>
+        gen(x, y).join(x, Seq("xid")).join(y, Seq("yid"))
+          .select(col("xid"), col("yid"),
+            round(VectorFunctions.cosineSimilarity(col("xv"), col("yv")), 6).as("c"))
+    }
 
     val topk = udaf(
       new BoundedTopK[Scored](k)((a, b) =>
@@ -123,5 +166,32 @@ object Bitext {
     val xs = emb.filter(col("label") < 5)
     val ys = emb.filter(col("label") >= 5)
     marginMine(xs, ys, "vec_id", "embedding", k, threshold)
+  }
+
+  /** q99b: the LSH-candidate scale path, gated against the exact twin —
+    * one driver-checkable row (n_exact, recall_ok), the q26/q24b gate
+    * shape. `n_exact` is genuinely recomputed by the oracle (the full q99
+    * SQL pipeline counted); `recall_ok` asserts the LSH-candidate mine
+    * recovers ≥ `floor` of the exact path's mutual-best pairs. The floor
+    * is calibrated on the near-uniform synthetic embeddings — the angular
+    * LSH worst case; clustered real bitext sits far above it (BitextSpec
+    * pins 1.0 recall on a clustered corpus).
+    */
+  def marginMineGate(
+      emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
+      floor: Double = 0.6): DataFrame = {
+    val xs = emb.filter(col("label") < 5)
+    val ys = emb.filter(col("label") >= 5)
+    val exact = marginMine(xs, ys, "vec_id", "embedding", k, threshold)
+      .select("x_id", "y_id").localCheckpoint()
+    val approx = marginMine(xs, ys, "vec_id", "embedding", k, threshold,
+      candidates = Some(lshCandidates()))
+      .select("x_id", "y_id")
+    val hits = exact.join(approx, Seq("x_id", "y_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(col("n_exact"),
+        (col("n_hit") >= col("n_exact") * floor).as("recall_ok"))
   }
 }

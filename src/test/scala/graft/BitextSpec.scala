@@ -65,4 +65,46 @@ class BitextSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(!out.exists(_._1 == 9L))
   }
+
+  test("candidates plumbing is lossless: an all-pairs generator equals the exact path") {
+    val allPairs = (x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =>
+      x.select("xid").crossJoin(y.select("yid"))
+    val viaCand = Bitext.marginMine(xs, ys, "vec_id", "embedding", 2, 1.0,
+      candidates = Some(allPairs))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaCand == mine())
+  }
+
+  // 8 tight clusters split across the two collections — the shape real
+  // bitext has (translations are near-identical directions). LSH buckets
+  // align with clusters, so the candidate mine must recover every exact
+  // pair and the gate must pass.
+  private def clustered = {
+    val rows = for (c <- 0 until 8) yield {
+      val center = (0 until 16).map(j => math.sin(c * 16 + j + 1).toFloat).toArray
+      val jittered = center.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * math.cos(j + c).toFloat }
+      Seq((c * 10L, (c % 5).longValue, center),
+        (c * 10L + 1, 5L + c % 5, jittered))
+    }
+    rows.flatten.toDF("vec_id", "label", "embedding")
+  }
+
+  test("clustered corpus: LSH candidates recover the exact mine (recall 1.0)") {
+    val emb = clustered
+    val xsC = emb.filter($"label" < 5)
+    val ysC = emb.filter($"label" >= 5)
+    val exact = Bitext.marginMine(xsC, ysC, "vec_id", "embedding", 4, 1.0)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val lsh = Bitext.marginMine(xsC, ysC, "vec_id", "embedding", 4, 1.0,
+      candidates = Some(Bitext.lshCandidates()))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(exact.nonEmpty, "clustered corpus must mine at least one pair")
+    assert(exact.map(p => (p._1, p._2)).toSet.subsetOf(
+      lsh.map(p => (p._1, p._2)).toSet), s"exact=$exact lsh=$lsh")
+    val gate = Bitext.marginMineGate(emb, 4, 1.0, floor = 1.0)
+      .as[(Long, Boolean)].collect()
+    assert(gate.length == 1 && gate.head._2, s"${gate.toSeq}")
+    assert(gate.head._1 == exact.size)
+  }
 }
