@@ -116,7 +116,17 @@ object Bpe {
   /** q76: per-doc real-tokenizer budget — whitespace tokens vs BPE tokens.
     * Segments each DISTINCT word once, broadcasts the (word, n_bpe)
     * dictionary, joins occurrences back. Returns
-    * (doc_id, n_tokens, n_bpe_tokens).
+    * (doc_id, n_tokens, n_bpe_tokens, roundtrip_ok, join_ok, fertility_ok).
+    *
+    * The three `_ok` columns are IN-QUERY SELF-GATES (the q17/q44/q46 gate
+    * discipline): BPE's greedy fixpoint has no SQL form, so the driver's
+    * oracle can only count rows — these booleans carry the invariants the
+    * value check can't, and BpeSpec asserts them all-true:
+    *   - `roundtrip_ok`: every word's BPE segments concatenate back to the
+    *     word (lossless segmentation),
+    *   - `join_ok`: the dictionary-join occurrence count equals a direct
+    *     scan-side word count (the broadcast join lost/duplicated nothing),
+    *   - `fertility_ok`: n_bpe_tokens ≥ n_tokens (a word is ≥ 1 token).
     */
   def tokenCounts(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, merges: Seq[(String, String)]): DataFrame = {
@@ -128,11 +138,22 @@ object Bpe {
     val dict = occ.select("w").distinct().as[String]
       .mapPartitions { it =>
         val r = bc.value
-        it.map(w => (w, segmentWord(w, r).size.toLong))
-      }.toDF("w", "n_bpe")
+        it.map { w =>
+          val segs = segmentWord(w, r)
+          (w, segs.size.toLong, segs.mkString == w)
+        }
+      }.toDF("w", "n_bpe", "rt_ok")
+    val direct = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), w => w =!= lit("")))
+        .cast("long").as("n_words_direct"))
     occ.join(broadcast(dict), Seq("w"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"),
+        bool_and(col("rt_ok")).as("roundtrip_ok"))
+      .join(direct, Seq("doc_id"))
+      .withColumn("join_ok", col("n_tokens") === col("n_words_direct"))
+      .withColumn("fertility_ok", col("n_bpe_tokens") >= col("n_tokens"))
+      .drop("n_words_direct")
   }
 
   /** q92: tokenizer FERTILITY report per corpus slice — BPE tokens per
@@ -142,7 +163,10 @@ object Bpe {
     * pieces and trains poorly). Pure rollup of [[tokenCounts]] joined back
     * to the slice column — the BPE work is the q76 machinery unchanged,
     * so cost is one dictionary segmentation + two bounded aggregations.
-    * Returns (slice, n_docs, n_words, n_bpe_tokens, fertility 4 dp).
+    * Returns (slice, n_docs, n_words, n_bpe_tokens, fertility 4 dp,
+    * roundtrip_ok, fertility_ok) — the `_ok` pair rolls up q76's per-doc
+    * self-gates (all-true in BpeSpec; `fertility_ok` additionally pins the
+    * slice-level fertility ≥ 1 invariant the rows-only oracle can't check).
     */
   def fertility(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, sliceCol: String,
@@ -156,6 +180,9 @@ object Bpe {
         sum(col("n_tokens")).cast("long").as("n_words"),
         sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"),
         round(sum(col("n_bpe_tokens")).cast("double")
-          / sum(col("n_tokens")), 4).as("fertility"))
+          / sum(col("n_tokens")), 4).as("fertility"),
+        bool_and(col("roundtrip_ok") && col("join_ok")).as("roundtrip_ok"),
+        bool_and(col("fertility_ok")).as("fertility_ok"))
+      .withColumn("fertility_ok", col("fertility_ok") && col("fertility") >= 1.0)
   }
 }

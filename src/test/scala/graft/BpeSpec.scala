@@ -35,7 +35,13 @@ class BpeSpec extends SparkTestBase {
       (3L, "low")).toDF("doc_id", "text")
     val merges = Bpe.trainFromCorpus(docs, "text", k = 4)
     val ranks = merges.zipWithIndex.toMap
-    val out = Bpe.tokenCounts(spark, docs, "doc_id", "text", merges)
+    val full = Bpe.tokenCounts(spark, docs, "doc_id", "text", merges)
+    // in-query self-gates: segmentation round-trips, the dictionary join
+    // lost nothing, and no word compressed below one token
+    assert(full.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_bpe_tokens", "roundtrip_ok", "join_ok", "fertility_ok"))
+    assert(full.filter(!$"roundtrip_ok" || !$"join_ok" || !$"fertility_ok").count() == 0)
+    val out = full.select("doc_id", "n_tokens", "n_bpe_tokens")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     // reference: segment every occurrence directly on the driver
     val expected = Seq(
@@ -56,7 +62,12 @@ class BpeSpec extends SparkTestBase {
       (3L, "zzq qqz zqq", "alien"))
       .toDF("doc_id", "text", "source")
     // no merges -> every word splits to characters: fertility == chars/words
-    val none = Bpe.fertility(spark, docs, "doc_id", "text", "source", Seq.empty)
+    val noneDf = Bpe.fertility(spark, docs, "doc_id", "text", "source", Seq.empty)
+    assert(noneDf.columns.toSeq == Seq("slice", "n_docs", "n_words",
+      "n_bpe_tokens", "fertility", "roundtrip_ok", "fertility_ok"))
+    assert(noneDf.filter(!$"roundtrip_ok" || !$"fertility_ok").count() == 0)
+    val none = noneDf
+      .select("slice", "n_docs", "n_words", "n_bpe_tokens", "fertility")
       .as[(String, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(none("fit") == (("fit", 2L, 5L, 20L, 4.0)))
@@ -64,6 +75,7 @@ class BpeSpec extends SparkTestBase {
     // merges trained on the corpus compress the slice they fit
     val merges = Bpe.trainFromCorpus(docs, "text", k = 6)
     val fert = Bpe.fertility(spark, docs, "doc_id", "text", "source", merges)
+      .select("slice", "n_docs", "n_words", "n_bpe_tokens", "fertility")
       .as[(String, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> r._5).toMap
     assert(fert("fit") < none("fit")._5, s"$fert")
