@@ -1,9 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump every query's result to `outDir/<name>` parquet. A query that
+    * THROWS still gets a dump dir — a single `{err: "Class: message"}` row —
+    * so the downstream comparer sees a red row (schema/hash mismatch vs the
+    * oracle) instead of a silently missing one: in round 7 six crashed
+    * queries vanished from the correctness denominator because only
+    * `_meta.json` recorded them. Returns the (name → error) failures.
+    */
+  def dumpAll(
+      spark: SparkSession, sfDir: String, outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, String)] = {
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    queries.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name"); None }
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        try Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name: err-row dump also failed: $e2") }
+        Some(name -> msg)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional third arg (local debugging only): run just the named queries
@@ -12,17 +40,8 @@ object Verify {
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    val failures = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name"); None }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        Some(name -> String.valueOf(e.getMessage))
-      }
-    }
+    val failures = dumpAll(spark, sfDir, outDir,
+      SparkEntry.queries.toSeq.filter { case (name, _) => only.isEmpty || only(name) })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
