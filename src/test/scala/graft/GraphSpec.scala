@@ -49,6 +49,54 @@ class GraphSpec extends SparkTestBase {
     assert(ex.getMessage.contains("sink"))
   }
 
+  test("bucketed edges: identical ranks, zero Exchange above the edge scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    // larger bidirected ring + chords so the join is non-trivial
+    val ring = (0L until 40L).flatMap { i =>
+      val j = (i + 1) % 40
+      val c = (i + 7) % 40
+      Seq((i, j), (j, i), (i, c), (c, i))
+    }.toDF("src", "dst")
+
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny sides would broadcast and trivially skip the Exchange; force
+      // the planner to choose shuffle vs bucket co-location
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Graph.pageRankBucketed(spark, ring, "src", "dst",
+        table = "graft_pr_edges_spec", buckets = 4, iters = 3)
+
+      // the segment between the consuming join and the bucketed edge scan
+      // must be Exchange-free (downstream aggregation shuffles are fine —
+      // they move rank rows, not edges)
+      def path(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => Some(List(s))
+        case a: AdaptiveSparkPlanExec => path(a.executedPlan).map(a :: _)
+        case o => o.children.iterator.map(path)
+          .collectFirst { case Some(l) => o :: l }
+      }
+      val pth = path(bucketed.queryExecution.executedPlan)
+      assert(pth.isDefined, "expected the bucketed edge scan in the final iteration plan")
+      val scanUpToJoin = pth.get.reverse
+        .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(scanUpToJoin.nonEmpty && scanUpToJoin.size < pth.get.size,
+        s"expected a join consuming the edge scan:\n${bucketed.queryExecution.executedPlan}")
+      assert(scanUpToJoin.forall(!_.isInstanceOf[ShuffleExchangeExec]),
+        s"Exchange between the edge scan and its join:\n${bucketed.queryExecution.executedPlan}")
+
+      val plain = Graph.pageRank(ring, "src", "dst", iters = 3)
+        .select("node", "pr_e12").as[(Long, Long)].collect().toSet
+      val buck = bucketed.select("node", "pr_e12").as[(Long, Long)].collect().toSet
+      assert(buck == plain && buck.size == 40)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pr_edges_spec")
+    }
+  }
+
   test("purchaseRank: hub supplier outranks leaf customers") {
     // two customers each buy only from supplier 10; one customer buys
     // from supplier 11 too -> supplier 10 must outrank supplier 11, and
