@@ -245,6 +245,61 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.count() == 2)
   }
 
+  test("StreamFunnel: finalized sessions match the batch funnel, incl. out-of-order delivery") {
+    import graft.streaming.{FunnelEvent, StreamFunnel}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.funnelize(spark, input.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    // user 1 session A: full in-order funnel; session B (after gap): click only.
+    // user 2: purchase BEFORE the first view (must not count), then the
+    // view arrives LATE (next micro-batch, within watermark) followed by
+    // an already-seen click unlocking retroactively -> reached = 2.
+    // user 3: view only.
+    // batch1 caps at t(10) so the watermark (max - 1h) stays below t(5)
+    // and batch2's late view is genuinely within-watermark
+    val batch1 = Seq(
+      FunnelEvent(1L, 1L, "view", t(0)), FunnelEvent(1L, 2L, "click", t(5)),
+      FunnelEvent(1L, 3L, "purchase", t(10)),
+      FunnelEvent(2L, 5L, "purchase", t(3)), FunnelEvent(2L, 6L, "click", t(10)),
+      FunnelEvent(3L, 7L, "view", t(8)))
+    val batch2 = Seq(
+      FunnelEvent(2L, 8L, "view", t(5)),
+      FunnelEvent(1L, 4L, "click", t(120)))
+    val push1 = Seq(FunnelEvent(99L, 9L, "view", t(3000)))
+    val push2 = Seq(FunnelEvent(99L, 10L, "view", t(6000)))
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      input.addData(push1)
+      q.processAllAvailable()
+      input.addData(push2)
+      q.processAllAvailable()
+
+      // the pusher user's own sessions can never finalize (nothing advances
+      // the watermark past them), so compare the real users only
+      val streamed = StreamFunnel.funnelRollup(
+        spark.table("funnel_test").filter($"user_id" < 99))
+        .as[(Int, String, Long, Long, Double, Double)].collect().toSet
+
+      // the batch operator over the same (real) events
+      val batchDf = (batch1 ++ batch2).map(e => (e.user_id, e.event_id, e.event_type, e.ts))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val expected = graft.operators.Funnel.sessionFunnel(batchDf)
+        .as[(Int, String, Long, Long, Double, Double)].collect().toSet
+      assert(streamed == expected, s"streamed=$streamed expected=$expected")
+
+      // the retroactive unlock really happened: user 2's session reached 2
+      val u2 = spark.table("funnel_test").filter($"user_id" === 2L)
+        .select($"reached").as[Int].collect().toSeq
+      assert(u2 == Seq(2), s"$u2")
+    } finally q.stop()
+  }
+
   test("SessionState closes sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
