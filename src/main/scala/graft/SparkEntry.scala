@@ -141,6 +141,21 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.8)
     }),
 
+    // product-quantized kNN (8 bytes/vector): ADC shortlist over PQ codes
+    // + exact refine of the shortlist; recall@5 vs the float reference.
+    // ProbePq sweep on the near-uniform embeddings (PQ's worst case):
+    // m=8 k=32 refine=200 measures 1.0 / 1.0 / 0.92 recall@5 at
+    // sf0.001/0.01/0.1 (refine=50 bottoms at 0.6) -> floor 0.7.
+    "q105_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        operators.Pq.topK(emb, q, "vec_id", "embedding", 5,
+          operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32),
+          refine = 200),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.7)
+    }),
+
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel
     // cosine over symmetric codes — no dequantize): recall@5 vs float
     "q60_knn_int8" -> ((s, dir) => {
@@ -449,6 +464,11 @@ object SparkEntry {
     // all-LONG damped fixpoint (engine-exact by construction), 5 iters
     "q103_pagerank" -> ((s, dir) =>
       operators.Graph.purchaseRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    // the KEEP decision after near-dup clustering: one canonical member
+    // per q34 cluster by (token count desc, id), churn-sized output
+    "q104_canonical_picks" -> ((s, dir) =>
+      operators.Dedup.canonicalPicks(Tables.documents(s, dir), "doc_id", "text")),
 
     "q102_containment" -> ((s, dir) =>
       operators.Dedup.containmentPairs(

@@ -762,4 +762,44 @@ object Dedup {
         (col("n_found") >= ceil(col("n_true") * floor)).as("recall_ok"),
         col("fp_count"))
   }
+
+  /** Canonical-representative selection per near-dup cluster (SURVEY §2
+    * q104) — the KEEP decision that follows clustering in a dedup pass
+    * (RefinedWeb/FineWeb keep one member per duplicate cluster rather
+    * than dropping all): cluster via [[minHashPairs]] →
+    * [[connectedComponents]], then keep each cluster's best member by a
+    * deterministic quality order (token count desc — longer supersets
+    * win, the usual heuristic for near-dup families — ties to the
+    * smallest id). Returns one DECISION row per CLUSTERED doc
+    * (doc_id, component, canonical_id, keep); unclustered docs are
+    * implicitly kept and emit nothing — the output is churn-sized
+    * (q88's discipline), not corpus-sized.
+    *
+    * Shape: the cluster table is near-dup-sized, the quality join is
+    * id-keyed, and the per-cluster argmax is a [[BoundedTopK]] k = 1
+    * aggregation — map-side partial, O(1) rows per cluster per
+    * partition, never a per-cluster window sort.
+    */
+  def canonicalPicks(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val clusters = connectedComponents(
+      minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b")
+    val quality = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val scored = clusters.join(quality, Seq("id"))
+    val best1 = udaf(
+      new BoundedTopK[Scored](1)((a, b) =>
+        a.score > b.score || (a.score == b.score && a.id < b.id)),
+      Encoders.product[Scored])
+    val canon = scored.groupBy(col("component"))
+      .agg(best1(col("id"), col("n_tokens").cast("double")).as("b"))
+      .select(col("component"), col("b")(0).getField("id").as("canonical_id"))
+    // no broadcast hint: the canonical table is cluster-count-sized, which
+    // AQE broadcasts when small but may legitimately be huge at 100 TB
+    scored.join(canon, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
 }

@@ -33,6 +33,26 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("canonical picks: longest member wins per cluster, ties to smallest id") {
+    // cluster A: 0 and 1 near-identical, 1 is longer -> 1 canonical;
+    // cluster B: 10/11/12 identical text (tie) -> smallest id 10 wins;
+    // 20 is unrelated -> no decision row at all
+    val w = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, w), (1L, w + " extra trailing words"),
+      (10L, "same same same words here repeated thrice over"),
+      (11L, "same same same words here repeated thrice over"),
+      (12L, "same same same words here repeated thrice over"),
+      (20L, "completely different text about nothing at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalPicks(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 10L, 11L, 12L), s"$out")
+    val keep = out.filter(_._4).map(_._1)
+    assert(keep == Seq(1L, 10L), s"$out")
+    assert(out.forall(r => r._3 == (if (r._1 <= 1L) 1L else 10L)), s"$out")
+  }
+
   test("prefix-filtered jaccard equals all-pairs, including on boilerplate-heavy text") {
     // the adversarial input for an inverted index: a stop-shingle in every
     // doc. Prefix filtering must still find exactly the true pairs while
