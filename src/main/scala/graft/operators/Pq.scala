@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.plans.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Product-quantized ANN (SURVEY §2 q105; Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search" — the FAISS `PQx` index
+  * family): split each d-dim vector into `m` subvectors, k-means each
+  * subspace into `k` codes, and store every vector as `m` small ints —
+  * 64-dim floats (256 B) become 8 bytes/vector, the memory step beyond
+  * q57/q60's int8 (64 B).
+  *
+  * Search is ADC (asymmetric distance computation) + EXACT REFINE — the
+  * production IVFPQ+refine shape:
+  *   1. per (query, subspace, code), the inner product of the query
+  *      subvector with that code's centroid is a LUT entry; the
+  *      approximate dot of query×vector is the sum of m LUT lookups on
+  *      the vector's codes — a SCAN over the 8-byte codes, no vector
+  *      arithmetic;
+  *   2. the top `refine` candidates per query by ADC score join back to
+  *      the original vectors for exact cosine, and the top k of THAT is
+  *      returned. Refine buys back the PQ distortion (16 codes per
+  *      8-dim subspace is coarse on near-uniform data) for the cost of
+  *      `refine` exact distances per query instead of |corpus|.
+  *
+  * Determinism (the q86 grid discipline end-to-end): codebooks train on
+  * the 6-dp long grid via [[KMeans]]'s deterministic Lloyd (pinned init,
+  * smallest-id ties, grid re-rounding), encoding is exact-long argmin
+  * with first-index ties, LUT entries are exact long dots of grid
+  * vectors, ADC scores are exact long sums ranked (score desc, id asc),
+  * and the refine stage reuses the codegen'd
+  * [[graft.plans.CosineSimilarity]] kernel 6-dp-rounded. Every stage is
+  * a pure function of the input multiset.
+  *
+  * Scale shape (100 TB): training collects only m×k×(d/m) grid longs
+  * (the bounded-model-collect discipline; the corpus never leaves the
+  * executors — each Lloyd iteration is a scan of one localCheckpointed
+  * quantized projection). Queries (a bounded set, q25's contract)
+  * collect to the driver to become LUT literals in the plan — the scan
+  * side reads codes only. Both top-k stages are [[BoundedTopK]]
+  * aggregations: O(refine or k) rows per query per partition on the
+  * shuffle, never a window sort. The refine join touches `refine`
+  * vectors per query by id — at 100 TB that is the only stage that
+  * reads full vectors, and it reads O(queries × refine) of them.
+  */
+object Pq {
+
+  /** Trained PQ model: `books(s)(c)` = subspace s's code-c centroid on
+    * the 6-dp long grid, each of dimension d/m.
+    */
+  final case class PqModel(books: Array[Array[Array[Long]]]) {
+    def m: Int = books.length
+    def k: Int = books.headOption.map(_.length).getOrElse(0)
+    def subDim: Int = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+  }
+
+  /** Train all m codebooks in ONE grouped Lloyd loop — the subspaces are
+    * mathematically independent, so per iteration a single scan assigns
+    * every subvector to its subspace's argmin centroid and a single
+    * (subspace, cluster, dim)-keyed aggregation (map-side combined; the
+    * driver collects m·k·(d/m) grid longs — the whole model) updates all
+    * codebooks at once: iters+1 corpus passes TOTAL, not m·(iters+1)
+    * separate Lloyd runs. Semantics are exactly [[KMeans.trainCentroids]]
+    * per subspace (same k-smallest-ids init sliced, same exact-long
+    * argmin with first-index ties, same grid re-round, empty cluster
+    * keeps its centroid) — the grouping changes the job count, not one
+    * bit of the model.
+    */
+  def train(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 3): PqModel = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val q6 = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vf"), grid(col(vecCol)).as("v6"))
+      .localCheckpoint()
+    val d = q6.select(size(col("v6"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val sub = d / m
+
+    // init: the k smallest ids' vectors, sliced per subspace
+    val seed = q6.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Long](2).toArray)
+    require(seed.nonEmpty, "empty input")
+    var books: Array[Array[Array[Long]]] = (0 until m).toArray.map { s =>
+      seed.map(v => v.slice(s * sub, (s + 1) * sub))
+    }
+
+    for (_ <- 0 until iters) {
+      // one scan: the PqEncode kernel assigns all m subspaces at once
+      // (its grid6 rounding is the Spark round() twin, so assignment and
+      // the v6-derived update see the same grid longs); the update is a
+      // single (subspace, cluster, dim)-keyed map-side-combined agg
+      val perSub = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          element_at(col("codes"), s + 1).as("c"),
+          slice(col("v6"), s * sub + 1, sub).as("sv"))
+      }
+      val updated = q6
+        .select(VectorFunctions.pqEncode(col("vf"), books).as("codes"), col("v6"))
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.c").as("c"),
+          posexplode(col("e.sv")).as(Seq("dim", "v")))
+        .groupBy(col("s"), col("c"), col("dim"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("cv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, c), rows) =>
+          (s, c) -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+        }
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, c) => updated.getOrElse((s, c), old) }
+      }
+    }
+    PqModel(books)
+  }
+
+  private def grid(vecCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") * lit(1e6), 0).cast("long"))
+
+  /** Encode vectors as m-code arrays via the [[graft.plans.PqEncode]]
+    * kernel: per subspace, the exact-long argmin over the k codebook
+    * centroids (first index on ties — the [[KMeans.assignTo]] rule), one
+    * tight codegen'd loop per row. The first cut of this operator built
+    * the argmin from m×k HOF distance folds (codegen-fallback, ~13 s at
+    * sf0.1) and then from inline per-dim arithmetic (an expression tree
+    * Janino could not compile — OOM in buildLocalVariableMap); the
+    * reference-object kernel is the pattern that scales, exactly like
+    * [[graft.plans.NearestCells]]. Pure scan, no shuffle. Returns
+    * (id, codes array<int>).
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
+
+  /** ADC + exact-refine top-k. Queries collect to the driver (bounded,
+    * q25's small-query-set contract) and become per-query LUT literals;
+    * the corpus side scans codes for the shortlist and re-scores only
+    * the shortlist exactly. Returns (query_id, rank, neighbor_id).
+    */
+  def topK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      model: PqModel, refine: Int = 50): DataFrame = {
+    require(refine >= k, "refine shortlist must be at least k")
+    val codes = encode(corpus, idCol, vecCol, model).localCheckpoint()
+
+    // bounded collect: the query vectors become plan literals
+    val qRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "empty query set")
+
+    val sub = model.subDim
+    // lut(q)(s)(c) = exact long dot of query-subvector and code centroid
+    def lut(qv: Array[Double]): Array[Array[Long]] =
+      model.books.zipWithIndex.map { case (book, s) =>
+        val q6 = (0 until sub).map(j => math.round(qv(s * sub + j) * 1e6)).toArray
+        book.map(c => (0 until sub).map(j => q6(j) * c(j)).sum)
+      }
+
+    // ADC score per (query literal, corpus row): the PqAdc kernel sums
+    // the m LUT lookups inside whole-stage codegen
+    val topR = udaf(new TopKAggregator(refine), Encoders.product[Scored])
+    val adcPerQuery = qRows.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        VectorFunctions.pqAdc(col("codes"), lut(qv)).cast("double").as("adc"))
+    }
+    val shortlist = codes
+      .select(col("id"), explode(array(adcPerQuery.toSeq: _*)).as("q"))
+      .filter(col("q.qid") =!= col("id"))
+      .groupBy(col("q.qid").as("qid"))
+      .agg(topR(col("id"), col("q.adc")).as("ids"))
+      .select(col("qid"), explode(col("ids")).as("id"))
+
+    // exact refine: cosine on the original vectors, top-k of the shortlist
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    shortlist
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6).as("score"))
+      .groupBy("qid")
+      .agg(topk(col("id"), col("score")).as("ids"))
+      .select(col("qid").as("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"), col("neighbor_id"))
+  }
+}

@@ -217,6 +217,61 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Spark `round(x, 0)` twin for the 6-dp grid: BigDecimal HALF_UP on a
+    * double rounds .5 AWAY FROM ZERO — `Math.round` (floor(x+0.5)) differs
+    * on negative .5 boundaries, and the PQ encode kernel must land on the
+    * exact grid longs the `grid()` column produced at training time.
+    */
+  private def grid6(x: Double): Long = {
+    val y = x * 1e6
+    if (y >= 0) Math.floor(y + 0.5).toLong else Math.ceil(y - 0.5).toLong
+  }
+
+  /** PQ encode: per subspace, the exact-long argmin over that subspace's
+    * grid codebook (first index on ties — the KMeans.assignTo rule).
+    * `books(s)(c)` is subspace s's code-c centroid on the 6-dp grid.
+    * Returns the m code indices. One tight loop replaces m·k HOF folds
+    * (codegen fallback) or an inline expansion Janino cannot compile.
+    */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Long]]]): ArrayData = {
+    val m = books.length
+    val sub = if (m > 0 && books(0).nonEmpty) books(0)(0).length else 0
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * sub
+      val book = books(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dsum = 0L
+        var j = 0
+        while (j < sub) {
+          val d = grid6(v.getFloat(base + j).toDouble) - cent(j)
+          dsum += d * d
+          j += 1
+        }
+        if (dsum < bestD) { bestD = dsum; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup sum: Σ_s lut(s)(codes(s)) — the per-row work of a PQ
+    * scan, m array loads and adds inside whole-stage codegen.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Array[Long]]): Long = {
+    var s = 0
+    var sum = 0L
+    while (s < lut.length) { sum += lut(s)(codes.getInt(s)); s += 1 }
+    sum
+  }
+
   /** Multi-table random-hyperplane sign hash: returns `tables` bucket ids,
     * one per table, each over `bits` hyperplanes (table t uses planes
     * [t*bits, (t+1)*bits)). Bucket ids are table-tagged (t << bits | hash)
@@ -444,6 +499,55 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprob
     copy(child = newChild)
 }
 
+/** PQ code assignment of an `array<float>` vector against literal grid
+  * codebooks (see [[VectorKernels.pqEncode]]); the codebooks travel as an
+  * expression reference object (the [[NearestCells]] pattern). Returns
+  * `array<int>` of length m.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Long]]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.pqEncode($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC lookup-sum of an `array<int>` PQ code row against one query's
+  * literal LUT (see [[VectorKernels.pqAdc]]). Returns the exact long
+  * approximate dot product.
+  */
+case class PqAdc(child: Expression, lut: Array[Array[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqAdc(input.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.pqAdc($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -477,4 +581,12 @@ object VectorFunctions {
   /** Column API for [[NearestCells]]. */
   def nearestCells(v: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     GraftColumnShim.column(NearestCells(GraftColumnShim.expression(v), centroids, nprobe))
+
+  /** Column API for [[PqEncode]]. */
+  def pqEncode(v: Column, books: Array[Array[Array[Long]]]): Column =
+    GraftColumnShim.column(PqEncode(GraftColumnShim.expression(v), books))
+
+  /** Column API for [[PqAdc]]. */
+  def pqAdc(codes: Column, lut: Array[Array[Long]]): Column =
+    GraftColumnShim.column(PqAdc(GraftColumnShim.expression(codes), lut))
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Knn, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 5 tight clusters of near-identical 16-dim directions, 8 members each —
+  // the regime PQ codes preserve (subspace centroids land on the clusters)
+  private lazy val clustered = {
+    val rows = for (c <- 0 until 5; i <- 0 until 8) yield {
+      val base = (0 until 16).map(j => math.sin(c * 37 + j + 1))
+      val jit = base.zipWithIndex.map { case (v, j) =>
+        (v + 0.005 * math.cos(i * 13 + j)).toFloat }
+      val norm = math.sqrt(jit.map(x => x.toDouble * x).sum)
+      (c * 10L + i, jit.map(x => (x / norm).toFloat).toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("model shape: m codebooks of k grid centroids of d/m dims") {
+    val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(model.m == 4 && model.k == 8 && model.subDim == 4)
+  }
+
+  test("codes are in range and identical vectors encode identically") {
+    val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val withDup = clustered.unionByName(
+      clustered.filter($"vec_id" === 0L).select(lit(999L).as("vec_id"), $"embedding"))
+    val codes = Pq.encode(withDup, "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 8)))
+    assert(codes(999L) == codes(0L))
+  }
+
+  test("clustered corpus: PQ+refine recall@5 is 1.0 vs brute force") {
+    val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val q = clustered.filter($"vec_id" < 3)
+    val pq = Pq.topK(clustered, q, "vec_id", "embedding", 5, model, refine = 10)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(pq.map(t => (t._1, t._3)) == brute.map(t => (t._1, t._3)),
+      s"pq=$pq brute=$brute")
+  }
+
+  test("refine floor: shortlist below k is rejected") {
+    val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.topK(clustered, clustered.limit(1), "vec_id", "embedding", 5, model, refine = 3)
+    }
+    assert(ex.getMessage.contains("refine"))
+  }
+
+  test("determinism: same model and ranks under different partitioning") {
+    val a = Pq.train(clustered.repartition(7), "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val b = Pq.train(clustered.repartition(2), "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(a.books.map(_.map(_.toSeq).toSeq).toSeq == b.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
