@@ -300,6 +300,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamRetention: increment rollup equals the batch cohorts, re-delivery folds away") {
+    import graft.streaming.{RetentionEvent, StreamRetention}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RetentionEvent]
+    val q = StreamRetention.hits(spark, input.toDS())
+      .writeStream.format("memory").queryName("retention_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    def d(day: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day}%02d ${min / 60}%02d:${min % 60}%02d:00")
+    // user 1 active days 1,2,4; user 2 days 1,1 (dup), 3; user 3 day 2 only
+    val batch1 = Seq(
+      RetentionEvent(1L, d(1, 10)), RetentionEvent(2L, d(1, 20)),
+      RetentionEvent(2L, d(1, 50)), RetentionEvent(1L, d(2, 5)),
+      RetentionEvent(3L, d(2, 30)))
+    val batch2 = Seq(
+      RetentionEvent(1L, d(2, 40)), // re-delivered day for user 1: no increment
+      RetentionEvent(2L, d(3, 10)), RetentionEvent(1L, d(4, 10)))
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+
+      val streamed = StreamRetention.rollup(spark.table("retention_test"))
+        .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSet
+      val batchDf = (batch1 ++ batch2).map(e => (e.user_id, e.ts)).toDF("user_id", "ts")
+      val expected = graft.operators.Funnel.retentionCohorts(batchDf)
+        .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSet
+      assert(streamed == expected, s"streamed=$streamed expected=$expected")
+
+      // exactly-once increments: user 1 emitted one row per distinct day
+      val u1 = spark.table("retention_test").filter($"user_id" === 1L).count()
+      assert(u1 == 3, s"$u1")
+    } finally q.stop()
+  }
+
   test("SessionState closes sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
