@@ -20,11 +20,14 @@ object OracleSql {
 
   /** The exact q99 bitext pipeline — shared verbatim by q99's oracle and
     * q99b's `n_exact` recount (a `def`: the map literal below must not
-    * race object-init order).
+    * race object-init order). `pred` narrows the input for q99b's
+    * id-bounded gate subsample.
     */
-  private def q99BitextSql: String =
-    """WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) v
-      |           FROM embeddings WHERE embedding IS NOT NULL),
+  private def q99BitextSql: String = q99BitextSqlWhere("")
+
+  private def q99BitextSqlWhere(pred: String): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) v
+      |           FROM embeddings WHERE embedding IS NOT NULL$pred),
       |x AS (SELECT vec_id xid, v FROM e WHERE label < 5),
       |y AS (SELECT vec_id yid, v FROM e WHERE label >= 5),
       |s AS (SELECT xid, yid,
@@ -930,6 +933,28 @@ object OracleSql {
          |  (r.doc_id = cn.canonical_id) keep
          |FROM ranked r JOIN canon cn USING (component)""".stripMargin,
 
+    // Leakage-safe split: components (same recursive CTE), split key =
+    // coalesce(component, own id), then q79's exact hash-bucket split.
+    "q106_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+         |  pr AS MATERIALIZED (SELECT * FROM ($jaccardPairs) q),
+         |  edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |            UNION ALL SELECT id_b, id_a FROM pr),
+         |  cc(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b
+         |  ),
+         |  comp AS (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |  k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) split_key
+         |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+         |       ELSE 'test' END split
+         |FROM (SELECT doc_id, split_key,
+         |  ((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |    * 10000 // 2147483647 bp FROM k)""".stripMargin,
+
     "q35_stratified_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
@@ -1481,11 +1506,12 @@ object OracleSql {
     // mutual argmax with id tie-break — the Bitext.scala disciplines 1:1.
     "q99_bitext_margin" -> q99BitextSql,
 
-    // q99b gate: n_exact is the FULL exact q99 pipeline re-counted by the
-    // oracle; recall_ok is the Spark-side LSH-vs-exact bound (see
-    // Bitext.marginMineGate).
+    // q99b gate: n_exact = the exact q99 pipeline recounted over the same
+    // id-bounded subsample both Spark paths use; recall_ok is the
+    // Spark-side LSH-vs-exact bound (see Bitext.marginMineGate).
     "q99b_bitext_margin_lsh" ->
-      s"SELECT count(*)::BIGINT n_exact, TRUE recall_ok FROM ($q99BitextSql)",
+      ("SELECT count(*)::BIGINT n_exact, TRUE recall_ok FROM (" +
+        q99BitextSqlWhere(" AND vec_id < 2000") + ")"),
 
     // Retention cohorts: distinct (user, day), first day = cohort, one
     // count per (cohort, offset), rate vs the cohort's size.

@@ -470,6 +470,11 @@ object SparkEntry {
     "q104_canonical_picks" -> ((s, dir) =>
       operators.Dedup.canonicalPicks(Tables.documents(s, dir), "doc_id", "text")),
 
+    // q79's split keyed by the near-dup cluster: no near-duplicate of a
+    // test doc can land in train (leakage-safe by construction)
+    "q106_leakage_safe_split" -> ((s, dir) =>
+      operators.Dedup.leakageSafeSplits(Tables.documents(s, dir), "doc_id", "text")),
+
     "q102_containment" -> ((s, dir) =>
       operators.Dedup.containmentPairs(
         Tables.documents(s, dir), "doc_id", "text")),

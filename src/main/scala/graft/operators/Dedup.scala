@@ -802,4 +802,35 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component"), col("canonical_id"),
         (col("id") === col("canonical_id")).as("keep"))
   }
+
+  /** Near-dup-aware LEAKAGE-SAFE train/val/test split (SURVEY §2 q106):
+    * q79's deterministic id-hash split, keyed by the near-dup CLUSTER
+    * instead of the document — every cluster member shares its
+    * component's hash, so a near-duplicate of a test document can never
+    * land in train (the train/eval contamination channel a per-doc split
+    * leaves wide open and decontamination papers measure). Unclustered
+    * docs key by their own id — for them this IS q79's split bit-for-bit.
+    *
+    * Returns (doc_id, split_key, split) for every doc; `split_key` is
+    * the audited hash key (component for clustered docs, own id
+    * otherwise), so leak-freedom is checkable downstream by joining any
+    * pair table against the split. Shape: the cluster table is
+    * near-dup-sized (left join onto the corpus — AQE broadcasts when
+    * small); the split itself stays a per-row expression, zero extra
+    * shuffles past the clustering.
+    */
+  def leakageSafeSplits(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7,
+      fractions: Seq[(String, Int)] =
+        Seq(("train", 8000), ("val", 1000), ("test", 1000))): DataFrame = {
+    val comp = connectedComponents(
+      minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_key"))
+    Sampling.assignSplits(keyed, "split_key", fractions)
+      .select(col("doc_id"), col("split_key"), col("split"))
+  }
 }

@@ -33,6 +33,27 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("leakage-safe split: cluster members share a split; singletons match q79") {
+    val out = Dedup.leakageSafeSplits(corpus, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == corpus.count())
+    // every near-dup pair ends up on the same side
+    val bySplit = out.map(r => r._1 -> r._3).toMap
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(bySplit(a) == bySplit(b), s"pair ($a, $b) split across ${bySplit(a)}/${bySplit(b)}")
+    }
+    // unclustered docs: split_key = own id and the label equals q79's
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val q79 = graft.operators.Sampling.assignSplits(corpus.select("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    out.filterNot(r => clustered(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._3 == q79(r._1), s"$r")
+    }
+  }
+
   test("canonical picks: longest member wins per cluster, ties to smallest id") {
     // cluster A: 0 and 1 near-identical, 1 is longer -> 1 canonical;
     // cluster B: 10/11/12 identical text (tie) -> smallest id 10 wins;
