@@ -170,18 +170,31 @@ object Bitext {
 
   /** q99b: the LSH-candidate scale path, gated against the exact twin —
     * one driver-checkable row (n_exact, recall_ok), the q26/q24b gate
-    * shape. `n_exact` is genuinely recomputed by the oracle (the full q99
-    * SQL pipeline counted); `recall_ok` asserts the LSH-candidate mine
-    * recovers ≥ `floor` of the exact path's mutual-best pairs. The floor
-    * is calibrated on the near-uniform synthetic embeddings — the angular
-    * LSH worst case; clustered real bitext sits far above it (BitextSpec
-    * pins 1.0 recall on a clustered corpus).
+    * shape. `n_exact` is genuinely recomputed by the oracle (the q99
+    * SQL pipeline counted over the same subsample); `recall_ok` asserts
+    * the LSH-candidate mine recovers ≥ `floor` of the exact path's
+    * mutual-best pairs. The floor is calibrated on the near-uniform
+    * synthetic embeddings — the angular LSH worst case; clustered real
+    * bitext sits far above it (BitextSpec pins 1.0 recall on a
+    * clustered corpus).
+    *
+    * BOTH paths run over the `sampleIds` id-bounded subsample: mutual-
+    * best-margin is a GLOBAL property (a full-corpus LSH mine restricted
+    * to a subset is not comparable to an exact mine of the subset — the
+    * true partner may sit outside it), so unlike q24b's local pair gate
+    * the exact side cannot be subset-only against a full approx side.
+    * Bounding both keeps the gate O(sampleIds²) at ANY corpus scale —
+    * at driver scale (sf0.01, 2000 vectors) the bound is not binding and
+    * the gate covers the whole table. Production mining calls
+    * [[marginMine]] with [[lshCandidates]] directly; this entry is the
+    * calibration gate.
     */
   def marginMineGate(
       emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
-      floor: Double = 0.6): DataFrame = {
-    val xs = emb.filter(col("label") < 5)
-    val ys = emb.filter(col("label") >= 5)
+      floor: Double = 0.6, sampleIds: Int = 2000): DataFrame = {
+    val sub = emb.filter(col("vec_id") < sampleIds)
+    val xs = sub.filter(col("label") < 5)
+    val ys = sub.filter(col("label") >= 5)
     val exact = marginMine(xs, ys, "vec_id", "embedding", k, threshold)
       .select("x_id", "y_id").localCheckpoint()
     val approx = marginMine(xs, ys, "vec_id", "embedding", k, threshold,
