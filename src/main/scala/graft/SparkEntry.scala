@@ -156,6 +156,22 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.7)
     }),
 
+    // IVF-PQ: coarse cells prune the scan to nprobe/nlist of the corpus
+    // BEFORE the ADC pass; same gate discipline as q105. ProbePq sweep
+    // (near-uniform, the IVF worst case — q27's regime): nprobe 4/8/16 ->
+    // recall@5 0.38-0.46 / 0.58-0.64 / 0.84-0.88; registered nprobe=8,
+    // floor 0.4 (the q27 margin style; clustered corpora gate 1.0 in
+    // PqSpec).
+    "q107_knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Knn.recallGate(
+        operators.Pq.ivfTopK(emb, q, "vec_id", "embedding", 5,
+          operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32),
+          nlist = 32, nprobe = 8, refine = 200),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
+    }),
+
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel
     // cosine over symmetric codes — no dequantize): recall@5 vs float
     "q60_knn_int8" -> ((s, dir) => {

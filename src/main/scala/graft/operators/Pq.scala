@@ -147,28 +147,14 @@ object Pq {
       model: PqModel, refine: Int = 50): DataFrame = {
     require(refine >= k, "refine shortlist must be at least k")
     val codes = encode(corpus, idCol, vecCol, model).localCheckpoint()
-
-    // bounded collect: the query vectors become plan literals
-    val qRows = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(qRows.nonEmpty, "empty query set")
-
-    val sub = model.subDim
-    // lut(q)(s)(c) = exact long dot of query-subvector and code centroid
-    def lut(qv: Array[Double]): Array[Array[Long]] =
-      model.books.zipWithIndex.map { case (book, s) =>
-        val q6 = (0 until sub).map(j => math.round(qv(s * sub + j) * 1e6)).toArray
-        book.map(c => (0 until sub).map(j => q6(j) * c(j)).sum)
-      }
+    val qRows = collectQueries(queries, idCol, vecCol)
 
     // ADC score per (query literal, corpus row): the PqAdc kernel sums
     // the m LUT lookups inside whole-stage codegen
     val topR = udaf(new TopKAggregator(refine), Encoders.product[Scored])
     val adcPerQuery = qRows.map { case (qid, qv) =>
       struct(lit(qid).as("qid"),
-        VectorFunctions.pqAdc(col("codes"), lut(qv)).cast("double").as("adc"))
+        VectorFunctions.pqAdc(col("codes"), lutFor(model, qv)).cast("double").as("adc"))
     }
     val shortlist = codes
       .select(col("id"), explode(array(adcPerQuery.toSeq: _*)).as("q"))
@@ -177,7 +163,110 @@ object Pq {
       .agg(topR(col("id"), col("q.adc")).as("ids"))
       .select(col("qid"), explode(col("ids")).as("id"))
 
-    // exact refine: cosine on the original vectors, top-k of the shortlist
+    refineExact(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ top-k (the faiss `IVFx,PQy` shape, `by_residual=false` —
+    * codes quantize the RAW vectors with the globally-trained codebooks,
+    * a documented simplification that keeps one code table valid across
+    * every cell): the coarse quantizer routes each corpus vector to its
+    * nearest cell ([[IvfKnn.trainCentroids]] — the existing q27
+    * machinery), queries probe their `nprobe` nearest cells, and the ADC
+    * scan runs only over the probed cells' rows — the candidate set
+    * shrinks ~nlist/nprobe versus q105's full-code scan BEFORE any
+    * vector arithmetic happens, which is the billion-vector memory
+    * story: the persisted index row is (id, cell, m codes) ≈ 12 bytes,
+    * partition/bucket it by cell at scale and probing prunes partitions.
+    * Everything downstream (bounded ADC shortlist → exact refine) is
+    * [[topK]] unchanged. Returns (query_id, rank, neighbor_id).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      model: PqModel, nlist: Int = 32, nprobe: Int = 8,
+      refine: Int = 200): DataFrame = {
+    require(refine >= k, "refine shortlist must be at least k")
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    val centroids = IvfKnn.trainCentroids(corpus, idCol, vecCol, nlist)
+    val index = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+        VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
+      .localCheckpoint()
+
+    val qRows = collectQueries(queries, idCol, vecCol)
+    val luts = qRows.map { case (_, qv) => lutFor(model, qv) }
+    // driver-side probe cells, mirroring VectorKernels.nearestCells'
+    // order (dot desc, first index on ties)
+    val probeRows = qRows.zipWithIndex.flatMap { case ((qid, qv), qidx) =>
+      val dots = centroids.map { ctr =>
+        var dot = 0.0
+        var i = 0
+        val n = math.min(qv.length, ctr.length)
+        while (i < n) { dot += qv(i) * ctr(i); i += 1 }
+        dot
+      }
+      val taken = new Array[Boolean](centroids.length)
+      (0 until nprobe).map { _ =>
+        var best = -1
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+          c += 1
+        }
+        taken(best) = true
+        (qidx, qid, best)
+      }
+    }
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val probes = probeRows.toSeq.toDF("qidx", "qid", "cell")
+
+    val topR = udaf(new TopKAggregator(refine), Encoders.product[Scored])
+    val shortlist = index
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.pqAdcIdx(col("codes"), col("qidx"), luts)
+          .cast("double").as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("id"), col("adc")).as("ids"))
+      .select(col("qid"), explode(col("ids")).as("id"))
+
+    refineExact(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Bounded collect of the query set (q25's small-query contract): the
+    * vectors become LUT/plan literals.
+    */
+  private def collectQueries(
+      queries: DataFrame, idCol: String, vecCol: String): Array[(Long, Array[Double])] = {
+    val qRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.nonEmpty, "empty query set")
+    qRows
+  }
+
+  /** lut(s)(c) = exact long dot of the query's grid subvector with
+    * subspace s's code-c centroid.
+    */
+  private def lutFor(model: PqModel, qv: Array[Double]): Array[Array[Long]] = {
+    val sub = model.subDim
+    model.books.zipWithIndex.map { case (book, s) =>
+      val q6 = (0 until sub).map(j => math.round(qv(s * sub + j) * 1e6)).toArray
+      book.map(c => (0 until sub).map(j => q6(j) * c(j)).sum)
+    }
+  }
+
+  /** Exact-cosine re-rank of an (qid, id) shortlist — the shared tail of
+    * both search paths. Returns (query_id, rank, neighbor_id).
+    */
+  private def refineExact(
+      shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])

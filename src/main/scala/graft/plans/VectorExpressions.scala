@@ -272,6 +272,18 @@ object VectorKernels {
     sum
   }
 
+  /** ADC lookup sum against the LUT selected by the row's query index:
+    * Σ_s luts(qidx)(s)(codes(s)) — the per-row work of an IVF-pruned PQ
+    * scan where each row carries which probing query it matched.
+    */
+  def pqAdcIdx(codes: ArrayData, qidx: Int, luts: Array[Array[Array[Long]]]): Long = {
+    val lut = luts(qidx)
+    var s = 0
+    var sum = 0L
+    while (s < lut.length) { sum += lut(s)(codes.getInt(s)); s += 1 }
+    sum
+  }
+
   /** Multi-table random-hyperplane sign hash: returns `tables` bucket ids,
     * one per table, each over `bits` hyperplanes (table t uses planes
     * [t*bits, (t+1)*bits)). Bucket ids are table-tagged (t << bits | hash)
@@ -548,6 +560,33 @@ case class PqAdc(child: Expression, lut: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** ADC lookup-sum where the LUT is picked by the row's query-index column
+  * (see [[VectorKernels.pqAdcIdx]]); all queries' LUTs travel as ONE
+  * reference object. Returns the exact long approximate dot product.
+  */
+case class PqAdcIdx(codes: Expression, qidx: Expression, luts: Array[Array[Array[Long]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = codes
+  override def right: Expression = qidx
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType), IntegerType)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(c: Any, q: Any): Any =
+    VectorKernels.pqAdcIdx(c.asInstanceOf[ArrayData], q.asInstanceOf[Int], luts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.plans.VectorKernels.pqAdcIdx($c, $q, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, qidx = r)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -589,4 +628,9 @@ object VectorFunctions {
   /** Column API for [[PqAdc]]. */
   def pqAdc(codes: Column, lut: Array[Array[Long]]): Column =
     GraftColumnShim.column(PqAdc(GraftColumnShim.expression(codes), lut))
+
+  /** Column API for [[PqAdcIdx]]. */
+  def pqAdcIdx(codes: Column, qidx: Column, luts: Array[Array[Array[Long]]]): Column =
+    GraftColumnShim.column(PqAdcIdx(
+      GraftColumnShim.expression(codes), GraftColumnShim.expression(qidx), luts))
 }

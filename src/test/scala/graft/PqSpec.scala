@@ -45,6 +45,25 @@ class PqSpec extends SparkTestBase {
       s"pq=$pq brute=$brute")
   }
 
+  test("clustered corpus: IVF-PQ with full probing equals brute force") {
+    val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val q = clustered.filter($"vec_id" < 3)
+    // nprobe == nlist: no cell can be missed, so recall is pure PQ+refine
+    val ivfpq = Pq.ivfTopK(clustered, q, "vec_id", "embedding", 5, model,
+      nlist = 4, nprobe = 4, refine = 10)
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Knn.bruteForceTopK(clustered, q, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivfpq.map(t => (t._1, t._3)) == brute.map(t => (t._1, t._3)),
+      s"ivfpq=$ivfpq brute=$brute")
+    // cell pruning really prunes: nprobe=1 on clustered data still finds
+    // same-cluster neighbors (clusters align with cells)
+    val pruned = Pq.ivfTopK(clustered, q, "vec_id", "embedding", 5, model,
+      nlist = 4, nprobe = 1, refine = 10)
+      .as[(Long, Int, Long)].collect()
+    assert(pruned.nonEmpty)
+  }
+
   test("refine floor: shortlist below k is rejected") {
     val model = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 1)
     val ex = intercept[IllegalArgumentException] {

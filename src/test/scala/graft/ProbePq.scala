@@ -17,14 +17,22 @@ object ProbePq {
       val q = emb.filter(col("vec_id") < 10)
       val bruteK = Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5).cache()
       val denom = bruteK.count()
-      for (k <- Seq(16, 32); refine <- Seq(50, 200, 500)) {
-        val model = Pq.train(emb, "vec_id", "embedding", m = 8, k = k)
-        val ann = Pq.topK(emb, q, "vec_id", "embedding", 5, model, refine = refine)
+      def recall(ann: org.apache.spark.sql.DataFrame): String = {
         val hits = bruteK.select("query_id", "neighbor_id")
           .join(ann.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi").count()
+        s"$hits / $denom = ${hits.toDouble / denom}"
+      }
+      for (k <- Seq(16, 32); refine <- Seq(50, 200, 500)) {
+        val model = Pq.train(emb, "vec_id", "embedding", m = 8, k = k)
         println(s"PQ-RECALL sf$sf m=8 k=$k refine=$refine: " +
-          s"$hits / $denom = ${hits.toDouble / denom}")
+          recall(Pq.topK(emb, q, "vec_id", "embedding", 5, model, refine = refine)))
+      }
+      val m32 = Pq.train(emb, "vec_id", "embedding", m = 8, k = 32)
+      for (nprobe <- Seq(4, 8, 16)) {
+        println(s"IVFPQ-RECALL sf$sf nlist=32 nprobe=$nprobe refine=200: " +
+          recall(Pq.ivfTopK(emb, q, "vec_id", "embedding", 5, m32,
+            nlist = 32, nprobe = nprobe, refine = 200)))
       }
       bruteK.unpersist()
     }
