@@ -262,7 +262,11 @@ object Pq {
   }
 
   /** Exact-cosine re-rank of an (qid, id) shortlist — the shared tail of
-    * both search paths. Returns (query_id, rank, neighbor_id).
+    * both search paths. The shortlist is BOUNDED (O(queries × refine)),
+    * so it broadcasts explicitly and the corpus side is probed in place:
+    * full vectors never shuffle for the refine (PlanAuditSpec asserts no
+    * float array on any PQ-path shuffle). Returns
+    * (query_id, rank, neighbor_id).
     */
   private def refineExact(
       shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
@@ -270,8 +274,7 @@ object Pq {
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    shortlist
-      .join(c, Seq("id"))
+    c.join(broadcast(shortlist), Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("id"),
         round(VectorFunctions.cosineSimilarity(col("v"), col("qv")), 6).as("score"))

@@ -168,6 +168,31 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q104 canonical picks: bounded k=1 argmax, no per-cluster Window sort") {
+    audited {
+      val df = SparkEntry.queries("q104_canonical_picks")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "canonical pick must not window-sort clusters")
+      assert(plan.contains("partial_boundedtopk"),
+        "the canonical member must come from the map-side bounded aggregator")
+    }
+  }
+
+  test("q105/q107 PQ scans: codes ride the ADC shuffle, never float vectors") {
+    audited {
+      for (name <- Seq("q105_knn_pq", "q107_knn_ivfpq")) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val floatArrays = shuffles(df).flatMap(_.child.output).filter(a =>
+          a.dataType match {
+            case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+            case _ => false
+          })
+        assert(floatArrays.isEmpty,
+          s"$name: float vectors must never shuffle (codes/ids only): $floatArrays")
+      }
+    }
+  }
+
   test("q54 weighted sample: bounded aggregator, no Window sort") {
     audited {
       val df = SparkEntry.queries("q54_weighted_sample")(spark, dir)
