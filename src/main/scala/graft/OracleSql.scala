@@ -1695,6 +1695,15 @@ object OracleSql {
         |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
         |    * 10000 // 2147483647 bp FROM documents)""".stripMargin,
 
+    // Curriculum order: (difficulty, idHash, id) global ordinal.
+    "q108_curriculum_order" ->
+      """SELECT doc_id, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens,
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |    doc_id) - 1 AS ordinal
+        |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
+        |      FROM documents)""".stripMargin,
+
     // Reproducible global shuffle order: ordinal by (idHash, id).
     "q80_shuffle_order" ->
       """SELECT doc_id, source,

@@ -571,6 +571,15 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "ordinal")),
 
+    // length-curriculum ordinal: short (easy) docs first, deterministic
+    // hash shuffle within each length band
+    "q108_curriculum_order" -> ((s, dir) =>
+      operators.Sampling.curriculumOrder(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens")
+        .select("doc_id", "n_tokens", "ordinal")),
+
     "q73_doc_chunks" -> ((s, dir) =>
       operators.Chunking.chunks(Tables.documents(s, dir))),
 

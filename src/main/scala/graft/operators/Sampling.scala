@@ -200,6 +200,48 @@ object Sampling {
       .drop("__id")
   }
 
+  /** CURRICULUM order (SURVEY §2 q108): global easy-first ordinal by a
+    * difficulty score, with a deterministic hash-shuffle WITHIN each
+    * difficulty band — the "sequence-length warmup" / curriculum-learning
+    * prep step (train on easy docs first, but never in id order inside a
+    * band, which would correlate adjacent batches with ingest order).
+    *
+    * Same distributed-prefix-sum shape as [[shuffleOrder]], with the
+    * bucket = the score VALUE instead of a hash range: one window per
+    * band ordered (idHash, id), band counts prefix-scanned on the driver,
+    * starts broadcast back. The driver collect is one row per DISTINCT
+    * score — the caller's contract is a bounded-cardinality integer
+    * difficulty (token counts, perplexity bands, quantized deciles, all
+    * ≤ a few thousand values at any corpus size); a continuous score
+    * must be quantized first (q68's banding, or `round(score, 2)`).
+    * NULL scores order LAST (hardest), after every real band.
+    * Returns df + `ordinal` (0-based).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(
+      col(idCol).cast("long").as("__id"),
+      coalesce(col(scoreCol).cast("long"), lit(Long.MaxValue)).as("__s"),
+      idHash(col(idCol)).as("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__h"), col("__id"))
+    val within = hashed.withColumn("__rn", row_number().over(w).cast("long"))
+    val totals = hashed.groupBy(col("__s")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    if (totals.isEmpty)
+      return df.withColumn("ordinal", lit(0L)).limit(0)
+    val starts = totals.toSeq
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (s, t)) => (s, acc + t) }
+      .sliding(2).map(p => (p(1)._1, p(0)._2)).toSeq
+    val startDf = starts.toDF("__s", "__start")
+    df.join(
+      within.join(broadcast(startDf), Seq("__s"))
+        .select(col("__id"), (col("__start") + col("__rn") - 1).as("ordinal")),
+      col(idCol).cast("long") === col("__id"))
+      .drop("__id")
+  }
+
   def weightedN(
       df: DataFrame, strataCol: String, idCol: String, weightCol: String,
       n: Int): DataFrame = {

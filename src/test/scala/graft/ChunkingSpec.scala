@@ -98,4 +98,28 @@ class ChunkingSpec extends SparkTestBase {
     assert(rep == out)
     assert(Sampling.shuffleOrder(ids.limit(0), "doc_id").count() == 0)
   }
+
+  test("curriculum order: easy bands first, hash-shuffled within, nulls last") {
+    val docs = Seq(
+      (1L, Some(30L)), (2L, Some(10L)), (3L, Some(10L)), (4L, Some(20L)),
+      (5L, Some(10L)), (6L, None), (7L, Some(20L)))
+      .toDF("doc_id", "difficulty")
+    val out = Sampling.curriculumOrder(docs, "doc_id", "difficulty")
+      .select("doc_id", "ordinal").as[(Long, Long)].collect().toMap
+    assert(out.values.toSeq.sorted == (0L until 7L))
+    // single-window reference: (score, idHash, id) with nulls last
+    val ref = docs.select(col("doc_id"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(coalesce(col("difficulty"), lit(Long.MaxValue)),
+          Sampling.idHash(col("doc_id")), col("doc_id"))) - 1).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == ref)
+    // band monotonicity: every 10-doc ordinal < every 20-doc < 30 < null
+    assert(Seq(2L, 3L, 5L).map(out).max < Seq(4L, 7L).map(out).min)
+    assert(Seq(4L, 7L).map(out).max < out(1L) && out(1L) < out(6L))
+    // partitioning independence
+    val rep = Sampling.curriculumOrder(docs.repartition(5), "doc_id", "difficulty")
+      .select("doc_id", "ordinal").as[(Long, Long)].collect().toMap
+    assert(rep == out)
+  }
 }
