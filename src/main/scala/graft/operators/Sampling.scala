@@ -207,36 +207,48 @@ object Sampling {
     * band, which would correlate adjacent batches with ingest order).
     *
     * Same distributed-prefix-sum shape as [[shuffleOrder]], with the
-    * bucket = the score VALUE instead of a hash range: one window per
-    * band ordered (idHash, id), band counts prefix-scanned on the driver,
-    * starts broadcast back. The driver collect is one row per DISTINCT
-    * score — the caller's contract is a bounded-cardinality integer
-    * difficulty (token counts, perplexity bands, quantized deciles, all
-    * ≤ a few thousand values at any corpus size); a continuous score
-    * must be quantized first (q68's banding, or `round(score, 2)`).
-    * NULL scores order LAST (hardest), after every real band.
+    * bucket = (score VALUE, idHash sub-range): within a band the hash
+    * range [0, 2³¹−1) splits into `buckets` equal sub-ranges, so window
+    * parallelism is bands × buckets, NOT bands — a band holding 1/91 of
+    * a 100 TB corpus must never become one sort task. Sub-ranging by the
+    * hash preserves the (score, idHash, id) total order exactly: within
+    * a band, sub-buckets are ascending hash ranges, and the driver
+    * prefix-scans counts in (score, bucket) order. The driver collect is
+    * one row per (DISTINCT score × occupied bucket) — the caller's
+    * contract is a bounded-cardinality integer difficulty (token counts,
+    * perplexity bands, quantized deciles, all ≤ a few thousand values at
+    * any corpus size; a continuous score must be quantized first, q68's
+    * banding or `round(score, 2)`), so ≤ scores × buckets rows. NULL
+    * scores order LAST (hardest), after every real band.
     * Returns df + `ordinal` (0-based).
     */
-  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+  def curriculumOrder(
+      df: DataFrame, idCol: String, scoreCol: String, buckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val width = HashMod / buckets + 1
     val hashed = df.select(
       col(idCol).cast("long").as("__id"),
       coalesce(col(scoreCol).cast("long"), lit(Long.MaxValue)).as("__s"),
       idHash(col(idCol)).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__s")).orderBy(col("__h"), col("__id"))
+      .partitionBy(col("__s"), col("__b")).orderBy(col("__h"), col("__id"))
     val within = hashed.withColumn("__rn", row_number().over(w).cast("long"))
-    val totals = hashed.groupBy(col("__s")).agg(count(lit(1)).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val totals = hashed.groupBy(col("__s"), col("__b"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
     if (totals.isEmpty)
       return df.withColumn("ordinal", lit(0L)).limit(0)
     val starts = totals.toSeq
-      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (s, t)) => (s, acc + t) }
-      .sliding(2).map(p => (p(1)._1, p(0)._2)).toSeq
-    val startDf = starts.toDF("__s", "__start")
+      .scanLeft(((Long.MinValue, Long.MinValue), 0L)) {
+        case ((_, acc), (sb, t)) => (sb, acc + t)
+      }
+      .sliding(2).map(p => (p(1)._1._1, p(1)._1._2, p(0)._2)).toSeq
+    val startDf = starts.toDF("__s", "__b", "__start")
     df.join(
-      within.join(broadcast(startDf), Seq("__s"))
+      within.join(broadcast(startDf), Seq("__s", "__b"))
         .select(col("__id"), (col("__start") + col("__rn") - 1).as("ordinal")),
       col(idCol).cast("long") === col("__id"))
       .drop("__id")
