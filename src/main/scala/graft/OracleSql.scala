@@ -1695,6 +1695,20 @@ object OracleSql {
         |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
         |    * 10000 // 2147483647 bp FROM documents)""".stripMargin,
 
+    // NFC + control-strip twin: DuckDB's nfc_normalize is the same NFC
+    // normal form as java.text.Normalizer; the strip class mirrors
+    // StringKernels.isStripped exactly (keep \t \n \r, drop other C0,
+    // DEL, C1).
+    "q109_text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(nfc_normalize(text),
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]', '', 'g')
+        |    AS text_norm,
+        |  (regexp_replace(nfc_normalize(text),
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]', '', 'g')
+        |    <> text) AS changed
+        |FROM documents""".stripMargin,
+
     // Curriculum order: (difficulty, idHash, id) global ordinal.
     "q108_curriculum_order" ->
       """SELECT doc_id, n_tokens,

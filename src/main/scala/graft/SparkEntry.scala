@@ -571,6 +571,15 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "ordinal")),
 
+    // NFC + control-strip normalization: the canonical pre-hash cleanup
+    // (decomposed accents / stray controls make identical text hash
+    // differently); scan-shaped, zero shuffles
+    "q109_text_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        plans.StringFunctions.nfcClean(col("text")).as("text_norm"),
+        (plans.StringFunctions.nfcClean(col("text")) =!= col("text")).as("changed"))),
+
     // length-curriculum ordinal: short (easy) docs first, deterministic
     // hash shuffle within each length band
     "q108_curriculum_order" -> ((s, dir) =>

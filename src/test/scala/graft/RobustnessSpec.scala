@@ -242,4 +242,44 @@ class RobustnessSpec extends SparkTestBase {
     assert(graft.functions.Bpe.trainFromCorpus(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", 5).isEmpty)
   }
+
+  test("r8 cluster-derived ops degrade to nothing/identity without near-dup pairs") {
+    // 3 mutually-unrelated docs: no pairs, no clusters
+    val solo = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo"))
+      .toDF("doc_id", "text")
+    // canonical picks: no clustered docs -> zero decision rows
+    assert(Dedup.canonicalPicks(solo, "doc_id", "text").count() == 0)
+    // leakage-safe split: every doc keyed by its own id == the plain split
+    val safe = Dedup.leakageSafeSplits(solo, "doc_id", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val plain = graft.operators.Sampling.assignSplits(solo.select("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(safe.map(_._1) == Seq(1L, 2L, 3L))
+    safe.foreach { case (id, key, split) =>
+      assert(key == id && split == plain(id), s"($id, $key, $split)")
+    }
+  }
+
+  test("nfcClean: null-through, NFC composition, control strip, keep-list") {
+    import graft.plans.StringFunctions.nfcClean
+    val rows = Seq(
+      (1L, Some("plain ascii")),
+      (2L, None),
+      (3L, Some("café")),              // decomposed accent -> composed
+      (4L, Some("abc")),         // BEL (C0) + C1 stripped
+      (5L, Some("keep\tthese\nlines\rok")),  // \t \n \r survive
+      (6L, Some("nbsp stays")))         // not a control: untouched
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id", nfcClean($"text").as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("plain ascii"))
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains("café"))
+    assert(out(4L).contains("abc"))
+    assert(out(5L).contains("keep\tthese\nlines\rok"))
+    assert(out(6L).contains("nbsp stays"))
+  }
 }
