@@ -1695,6 +1695,26 @@ object OracleSql {
         |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
         |    * 10000 // 2147483647 bp FROM documents)""".stripMargin,
 
+    // Per-source dedup rates: q20's normalization for the exact side,
+    // the jaccard-pair twin's distinct ids for the near-dup side.
+    "q110_dedup_stats" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) norm
+         |  FROM documents),
+         |ex AS (SELECT source, count(*) n_docs,
+         |         count(*) - count(DISTINCT norm) n_exact_dups
+         |       FROM d GROUP BY 1),
+         |ids AS (SELECT DISTINCT id FROM
+         |         (SELECT id_a id FROM ($jaccardPairs) p
+         |          UNION ALL SELECT id_b FROM ($jaccardPairs) p2)),
+         |nd AS (SELECT source, count(*) n_neardup_docs
+         |       FROM d JOIN ids ON ids.id = d.doc_id GROUP BY 1)
+         |SELECT ex.source, n_docs, n_exact_dups,
+         |  coalesce(n_neardup_docs, 0)::BIGINT n_neardup_docs,
+         |  round(n_exact_dups::DOUBLE / n_docs, 4) exact_dup_rate,
+         |  round(coalesce(n_neardup_docs, 0)::DOUBLE / n_docs, 4) neardup_rate
+         |FROM ex LEFT JOIN nd USING (source)""".stripMargin,
+
     // NFC + control-strip twin: DuckDB's nfc_normalize is the same NFC
     // normal form as java.text.Normalizer; the strip class mirrors
     // StringKernels.isStripped exactly (keep \t \n \r, drop other C0,

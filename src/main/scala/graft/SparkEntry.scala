@@ -571,6 +571,11 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "ordinal")),
 
+    // per-source dedup-rate observability: the before/after monitoring
+    // table of a dedup pass (|sources| rows)
+    "q110_dedup_stats" -> ((s, dir) =>
+      operators.Dedup.dedupStats(Tables.documents(s, dir), "doc_id", "text", "source")),
+
     // NFC + control-strip normalization: the canonical pre-hash cleanup
     // (decomposed accents / stray controls make identical text hash
     // differently); scan-shaped, zero shuffles

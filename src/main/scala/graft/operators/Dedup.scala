@@ -833,4 +833,43 @@ object Dedup {
     Sampling.assignSplits(keyed, "split_key", fractions)
       .select(col("doc_id"), col("split_key"), col("split"))
   }
+
+  /** Per-source dedup OBSERVABILITY rollup (SURVEY §2 q110) — the
+    * monitoring table a pipeline publishes before/after a dedup pass (a
+    * source whose dup rate jumps is a crawler loop or a feed replay;
+    * per-source, because rates differ by an order of magnitude across
+    * sources and a corpus-global number hides the sick one):
+    * per source, document count, EXACT-duplicate docs (docs minus
+    * distinct normalized digests — the q20 normalization), NEAR-dup docs
+    * (docs appearing in ≥ 1 minhash pair), and both rates (4 dp).
+    *
+    * Shape: the exact side is one count/count-distinct aggregation over
+    * (source, digest) — text never shuffles; the near-dup side reuses
+    * [[minHashPairs]] and collapses the pair list to a distinct id set
+    * (near-dup-sized) before a source-keyed count. Output is
+    * |sources| rows.
+    */
+  def dedupStats(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(srcCol).as("source"),
+      xxhash64(normalized(col(textCol))).as("digest"))
+      .localCheckpoint()
+    val ex = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
+    val ndIds = minHashPairs(docs, idCol, textCol, threshold = threshold)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val nd = base.join(ndIds, Seq("id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_neardup_docs"))
+    ex.join(nd, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_dups"),
+        coalesce(col("n_neardup_docs"), lit(0L)).as("n_neardup_docs"),
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 4)
+          .as("exact_dup_rate"),
+        round(coalesce(col("n_neardup_docs"), lit(0L)).cast("double")
+          / col("n_docs"), 4).as("neardup_rate"))
+  }
 }

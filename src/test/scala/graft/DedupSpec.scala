@@ -33,6 +33,25 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("dedup stats: per-source exact and near-dup counts with known plants") {
+    val w = (0 until 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // source A: 3 docs, one exact pair -> 1 exact dup; the pair is also
+      // a (trivial) near-dup pair -> 2 near-dup docs
+      (1L, "A", w), (2L, "A", w), (3L, "A", "totally different text body here"),
+      // source B: 2 docs, near-dup but not exact (1 word changed)
+      (10L, "B", w), (11L, "B", w.replace("w3", "zz")),
+      // source C: 1 unique doc
+      (20L, "C", "the only document in this source entirely"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupStats(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 3L, 1L, 2L, 0.3333, 0.6667)), s"${out("A")}")
+    assert(out("B")._2 == 2L && out("B")._3 == 0L && out("B")._4 == 2L, s"${out("B")}")
+    assert(out("C") == (("C", 1L, 0L, 0L, 0.0, 0.0)), s"${out("C")}")
+  }
+
   test("leakage-safe split: cluster members share a split; singletons match q79") {
     val out = Dedup.leakageSafeSplits(corpus, "doc_id", "text")
       .as[(Long, Long, String)].collect()
