@@ -323,8 +323,18 @@ object OracleSql {
         |h AS (SELECT doc_id, round(-sum(lnp) / count(*), 4) cross_entropy FROM s GROUP BY doc_id),
         |ps AS (SELECT h.doc_id, d.source, round(exp(cross_entropy), 2) ppl
         |  FROM h JOIN documents d USING (doc_id)),
-        |c AS (SELECT source, round(quantile_cont(ppl, 1.0/3), 6) lo,
-        |    round(quantile_cont(ppl, 2.0/3), 6) hi FROM ps GROUP BY source)
+        |-- the registered cut path is approx_percentile(ppl, p, 10000): in
+        |-- the lossless regime (n <= accuracy per source) the GK sketch
+        |-- retains the whole multiset and returns the element at 1-indexed
+        |-- rank ceil(p*n) — recomputed here exactly (the float literals
+        |-- 1.0/3 and 2.0/3 are the same IEEE doubles in both engines)
+        |r AS (SELECT source, ppl,
+        |    row_number() OVER (PARTITION BY source ORDER BY ppl) rn,
+        |    count(*) OVER (PARTITION BY source) n FROM ps),
+        |c AS (SELECT source,
+        |    round(max(ppl) FILTER (WHERE rn = CAST(ceil((1.0/3) * n) AS BIGINT)), 6) lo,
+        |    round(max(ppl) FILTER (WHERE rn = CAST(ceil((2.0/3) * n) AS BIGINT)), 6) hi
+        |  FROM r GROUP BY source)
         |SELECT doc_id, source, ppl,
         |  CASE WHEN ppl <= lo THEN 'head' WHEN ppl <= hi THEN 'middle'
         |       ELSE 'tail' END band
@@ -1314,6 +1324,53 @@ object OracleSql {
         |  CASE WHEN drops IS NULL THEN text
         |       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
         |       -- array_join of an all-dropped doc is '' — '' is the semantic
+        |       ELSE coalesce(array_to_string([toks[i+1] for i in range(0, len(toks))
+        |                             if NOT list_contains(drops, i)], ' '), '')
+        |  END text_clean
+        |FROM t LEFT JOIN dl USING (doc_id)""".stripMargin,
+
+    // Maximal duplicated spans: q71's coverage coalesced into per-doc
+    // runs by the gaps-and-islands rule (pos - row_number constant along
+    // a run), kept at >= 16 tokens.
+    "q111_maximal_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest([{'p': i - 1,
+        |    'gram': array_to_string(toks[i:i+7], ' ')}
+        |    for i in range(1, greatest(len(toks) - 6, 1))], recursive := true) FROM t),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos
+        |  FROM g JOIN dup USING (gram)),
+        |i AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl FROM cov)
+        |SELECT doc_id, min(pos) span_start, count(*) span_len
+        |FROM i GROUP BY doc_id, isl HAVING count(*) >= 16""".stripMargin,
+
+    // q78's removal with the drop set coalesced into maximal runs and
+    // thresholded at 16 tokens (the ExactSubstr minimum-length contract).
+    "q112_span_removal_long" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest([{'p': i - 1,
+        |    'gram': array_to_string(toks[i:i+7], ' ')}
+        |    for i in range(1, greatest(len(toks) - 6, 1))], recursive := true) FROM t),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, p, gram,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) rn
+        |  FROM g JOIN rep USING (gram)),
+        |keepc AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos
+        |  FROM occ WHERE rn = 1),
+        |allc AS (SELECT DISTINCT doc_id, p + unnest(range(0, 8)) pos FROM occ),
+        |dropp AS (SELECT doc_id, pos FROM allc ANTI JOIN keepc USING (doc_id, pos)),
+        |di AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl FROM dropp),
+        |dspan AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, isl) l FROM di)
+        |  WHERE l >= 16),
+        |dl AS (SELECT doc_id, list_sort(list(pos)) drops FROM dspan GROUP BY doc_id)
+        |SELECT t.doc_id, len(toks)::BIGINT n_tokens,
+        |  coalesce(len(drops), 0)::BIGINT n_dropped,
+        |  CASE WHEN drops IS NULL THEN text
         |       ELSE coalesce(array_to_string([toks[i+1] for i in range(0, len(toks))
         |                             if NOT list_contains(drops, i)], ' '), '')
         |  END text_clean

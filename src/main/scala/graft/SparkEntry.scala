@@ -15,6 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
+  /** The even-id reference bigram LM q67/q68/q70 all score against,
+    * trained ONCE per (session, sf dir) — the persisted-model shape a
+    * real pipeline uses (train once, every consumer reads the artifact)
+    * instead of three bit-identical re-trains. Oracles are unchanged:
+    * each DuckDB twin still recomputes the full model from the slice.
+    */
+  private def evenIdLm(s: SparkSession, dir: String): operators.Perplexity.BigramLm =
+    operators.Perplexity.trainOnce(
+      s"even-id-lm:$dir",
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> ((s, dir) => Relational.filterProject(Tables.documents(s, dir))),
     "q02_sentiment" -> ((s, dir) => Relational.sentiment(Tables.documents(s, dir))),
@@ -216,15 +228,19 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       operators.Perplexity.score(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
-        operators.Perplexity.train(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+        evenIdLm(s, dir))
     }),
+    // banded on the REGISTERED approx_percentile sketch cuts (the 100 TB
+    // path — O(accuracy) state per source; exact `percentile`'s buffer
+    // grows with per-source distinct ppl values). Still oracle-exact at
+    // verification scales: for n <= accuracy the sketch is lossless and
+    // returns the element at rank ceil(p*n), which the DuckDB twin
+    // selects directly (see Perplexity.bands scaladoc).
     "q68_perplexity_bands" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       operators.Perplexity.bands(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "source",
-        operators.Perplexity.train(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+        evenIdLm(s, dir), approxCuts = true)
     }),
     "q66_model_sentiment" -> ((s, dir) =>
       SentimentModel.scored(
@@ -443,8 +459,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       operators.Perplexity.bandCutGate(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "source",
-        operators.Perplexity.train(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
+        evenIdLm(s, dir))
     }),
 
     "q71_span_dedup" -> ((s, dir) =>
@@ -477,9 +492,13 @@ object SparkEntry {
         Tables.embeddings(s, dir), k = 8, iters = 3, tau = 0.4)),
 
     // PageRank over the bidirected customer<->supplier purchase graph:
-    // all-LONG damped fixpoint (engine-exact by construction), 5 iters
+    // all-LONG damped fixpoint (engine-exact by construction), 5 iters.
+    // Registered through the BUCKETED path (r8 verdict #4): edges persist
+    // src-bucketed so the per-iteration join shuffles only the rank
+    // vector, never the edge list — ranks bit-identical to the
+    // checkpointed variant (GraphSpec), so the oracle is shared.
     "q103_pagerank" -> ((s, dir) =>
-      operators.Graph.purchaseRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+      operators.Graph.purchaseRankBucketed(s, Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
     // the KEEP decision after near-dup clustering: one canonical member
     // per q34 cluster by (token count desc, id), churn-sized output
@@ -561,6 +580,18 @@ object SparkEntry {
 
     "q78_span_removal" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir))),
+
+    // variable-length MAXIMAL duplicated spans (Lee et al. ExactSubstr
+    // contract): adjacent repeated-8-gram coverage coalesced into maximal
+    // per-doc runs (gaps-and-islands), kept at >= 16 tokens
+    "q111_maximal_spans" -> ((s, dir) =>
+      operators.SpanDedup.maximalSpans(Tables.documents(s, dir))),
+
+    // q78's removal driven off the maximal spans instead of raw
+    // positions: only drop-runs >= 16 tokens are trimmed — scattered
+    // single-gram repeats stay readable
+    "q112_span_removal_long" -> ((s, dir) =>
+      operators.SpanDedup.removeSpans(Tables.documents(s, dir), minSpanTokens = 16)),
 
     "q79_train_split" -> ((s, dir) =>
       operators.Sampling.assignSplits(

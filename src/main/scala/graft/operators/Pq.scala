@@ -188,6 +188,9 @@ object Pq {
     require(refine >= k, "refine shortlist must be at least k")
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
     val centroids = IvfKnn.trainCentroids(corpus, idCol, vecCol, nlist)
+    // a tiny corpus can train fewer than nlist centroids — cap the probe
+    // loop at what actually exists (probing every cell is then exhaustive)
+    val effProbe = math.min(nprobe, centroids.length)
     val index = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
@@ -207,7 +210,7 @@ object Pq {
         dot
       }
       val taken = new Array[Boolean](centroids.length)
-      (0 until nprobe).map { _ =>
+      (0 until effProbe).map { _ =>
         var best = -1
         var bestDot = Double.MinValue
         var c = 0

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicated-SPAN statistics — exact-substring dedup's measurement side
@@ -43,21 +44,14 @@ object SpanDedup {
 
     // (doc_id, p, gramhash) for every gram start p; docs shorter than
     // minLen contribute nothing (sequence upper bound < 0 → filtered).
-    // localCheckpoint: the gram stream feeds BOTH the repeated-gram count
-    // and the coverage join — without materialization each consumer
+    // gramStream localCheckpoints: the stream feeds BOTH the repeated-gram
+    // count and the coverage join — without materialization each consumer
     // re-reads and re-hashes the corpus (ScanCount measured 3 scans; the
     // q63/q65 shared-subplan discipline). A windowed count over gh would
     // be one pass but skew-fragile: boilerplate grams — the operator's
     // whole point — would pile one window partition, where groupBy gets
     // map-side partials and the join gets AQE skew splitting.
-    val grams = toks
-      .filter(size(col("toks")) >= minLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("toks")) - minLen)).as("p"),
-        col("toks"))
-      .select(col("doc_id"), col("p"),
-        xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
-      .localCheckpoint()
+    val grams = gramStream(toks, minLen)
 
     val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("gh")
@@ -73,6 +67,71 @@ object SpanDedup {
         round(coalesce(col("dup_positions"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("dup_fraction"))
   }
+
+  /** Variable-length MAXIMAL duplicated spans (q111) — the step from
+    * fixed-gram coverage (q71) to Lee et al. 2021's actual ExactSubstr
+    * contract: what gets removed is a maximal duplicated REGION above a
+    * minimum token length (~50 in the paper), not each 8-gram
+    * independently. A position is covered when a corpus-wide repeated
+    * `minLen`-gram covers it (q71's definition — overlapping repeated
+    * grams chain, so a duplicated region of any length ≥ minLen is
+    * covered end to end); adjacent covered positions then COALESCE into
+    * maximal spans by the gaps-and-islands rule (`pos − row_number()`
+    * constant within a run), and only spans of at least `minSpanTokens`
+    * survive. Returns one row per kept span: (doc_id, span_start,
+    * span_len) — the doc/offset table a trimming pass consumes, and the
+    * audit table that distinguishes a 40-token license block from
+    * scattered 8-gram noise.
+    *
+    * Scale shape: everything up to the covered set is q71 (24-byte gram
+    * rows, count-only repeated-gram agg, match-only coverage explode);
+    * the islands window partitions PER DOC, so its task size is bounded
+    * by document length, never corpus size, and the span aggregation
+    * reuses the same doc-keyed partitioning. minLen is the detector
+    * resolution (a duplicated region shorter than minLen is invisible —
+    * by design), minSpanTokens the keep threshold.
+    */
+  def maximalSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8, minSpanTokens: Int = 16): DataFrame = {
+    require(minSpanTokens >= minLen,
+      "a span shorter than minLen cannot be observed — raise minSpanTokens")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val grams = gramStream(toks, minLen)
+    val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+    val cov = grams.join(repeated, Seq("gh"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (minLen - 1))).as("pos"))
+      .distinct()
+    islanded(cov)
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .filter(col("span_len") >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  /** Gaps-and-islands labeling of a (doc_id, pos) set: `pos − row_number`
+    * is constant exactly along a run of adjacent positions. Per-doc
+    * window — task size bounded by document length.
+    */
+  private def islanded(cov: DataFrame): DataFrame =
+    cov.withColumn("__isl",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+
+  /** The shared (doc_id, p, xxhash64(gram)) stream of q71/q78/q111,
+    * materialized once per operator call (multiple consumers would
+    * otherwise each re-read and re-hash the corpus — the ScanCount trap).
+    */
+  private def gramStream(toks: DataFrame, minLen: Int): DataFrame =
+    toks
+      .filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - minLen)).as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
+      .localCheckpoint()
 
   /** The TRANSFORM [[spanStats]] measures (q78): drop every token position
     * covered only by NON-canonical occurrences of repeated grams, keeping
@@ -93,23 +152,26 @@ object SpanDedup {
     * (`zip_with` over the token array by index) — document text never
     * rides any shuffle; only hashes, ids, and positions move. Returns
     * (doc_id, n_tokens, n_dropped, text_clean).
+    *
+    * `minSpanTokens` (q112; 0 = off, q78's behavior) drives the removal
+    * off MAXIMAL spans instead of raw positions — the actual ExactSubstr
+    * contract: the candidate drop positions coalesce into maximal runs
+    * per doc ([[maximalSpans]]'s islands rule) and only runs of at least
+    * `minSpanTokens` are dropped. A long boilerplate region's
+    * non-canonical occurrences get trimmed; a short incidental 8-gram
+    * repeat stays — trimming scattered single grams mid-sentence mangles
+    * text a training pipeline wanted readable, which is exactly why the
+    * paper thresholds at ~50 tokens.
     */
   def removeSpans(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minLen: Int = 8): DataFrame = {
+      textCol: String = "text", minLen: Int = 8, minSpanTokens: Int = 0): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         split(col(textCol), " ").as("toks"))
 
     // same shared-subplan materialization as spanStats (three consumers
     // here: repeated-count, canonical window, coverage)
-    val grams = toks
-      .filter(size(col("toks")) >= minLen)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("toks")) - minLen)).as("p"),
-        col("toks"))
-      .select(col("doc_id"), col("p"),
-        xxhash64(array_join(slice(col("toks"), col("p") + 1, lit(minLen)), " ")).as("gh"))
-      .localCheckpoint()
+    val grams = gramStream(toks, minLen)
 
     // One aggregation: repeat count + canonical (min (doc, pos)) per gram.
     // The lexicographic min is over doc_id·2^24 + p packed into ONE long —
@@ -131,7 +193,18 @@ object SpanDedup {
       cano.select(expr(s"ck div ${packShift}L").as("doc_id"),
         pmod(col("ck"), lit(packShift)).as("p")))
     val allCov = coverage(grams.join(cano.select("gh"), Seq("gh"), "left_semi"))
-    val dropPos = allCov.join(keepCov, Seq("doc_id", "pos"), "left_anti")
+    val rawDrop = allCov.join(keepCov, Seq("doc_id", "pos"), "left_anti")
+
+    // q112: coalesce candidate drops into maximal per-doc runs and keep
+    // only runs >= minSpanTokens. The island count window shares the
+    // islands window's doc-keyed partitioning (one Exchange for both).
+    val dropPos =
+      if (minSpanTokens <= 0) rawDrop
+      else islanded(rawDrop)
+        .withColumn("__len",
+          count(lit(1)).over(Window.partitionBy("doc_id", "__isl")))
+        .filter(col("__len") >= minSpanTokens)
+        .select("doc_id", "pos")
 
     val drops = dropPos.groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos").cast("int"))).as("__drops"))

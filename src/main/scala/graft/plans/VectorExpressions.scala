@@ -223,8 +223,13 @@ object VectorKernels {
     * exact grid longs the `grid()` column produced at training time.
     */
   private def grid6(x: Double): Long = {
+    // Math.round alone rounds -0.5 to 0 (half-toward-+inf), and a naive
+    // floor(y+0.5) rounds the double just below .5 (0.49999999999999994)
+    // UP because y+0.5 carries to 1.0 — Math.round special-cases exactly
+    // that boundary. Math.round on the magnitude with the sign restored is
+    // away-from-zero AND boundary-exact, matching Spark round() everywhere.
     val y = x * 1e6
-    if (y >= 0) Math.floor(y + 0.5).toLong else Math.ceil(y - 0.5).toLong
+    if (y >= 0) Math.round(y) else -Math.round(-y)
   }
 
   /** PQ encode: per subspace, the exact-long argmin over that subspace's

@@ -41,9 +41,12 @@ case class RetentionHit(user_id: Long, cohort_day: Int, day_offset: Int)
   * already-emitted offsets cannot be retracted in Append mode, so
   * re-based users would double-count. The honest Append-mode contract is
   * the one implemented: the cohort is the first day SEEN BY THE STREAM,
-  * and the spec drives arrival in event-time order across batches (the
-  * watermark bounds the disorder window; within it, order-of-arrival
-  * defines the cohort — documented, deterministic for a given delivery).
+  * and any later delivery of an EARLIER day is DROPPED (emitting it
+  * would produce a negative day_offset — a row the batch twin can never
+  * produce, silently breaking rollup-vs-batch equality). Within the
+  * watermark's disorder window, order-of-arrival defines the cohort —
+  * documented, deterministic for a given delivery; the spec pins both
+  * the drop and the cross-batch cohort choice.
   */
 object StreamRetention {
 
@@ -58,7 +61,10 @@ object StreamRetention {
     var st = state.getOption.getOrElse(UserDays(days.head, Seq.empty))
     val out = Seq.newBuilder[RetentionHit]
     days.foreach { d =>
-      if (!st.seen.contains(d)) {
+      // d < cohortDay: a late delivery of a day earlier than the
+      // stream-seen cohort — dropped (see the Append-mode contract above);
+      // emitting would yield a negative offset the batch twin cannot have.
+      if (d >= st.cohortDay && !st.seen.contains(d)) {
         st = st.copy(seen = st.seen :+ d)
         out += RetentionHit(userId, st.cohortDay, d - st.cohortDay)
       }

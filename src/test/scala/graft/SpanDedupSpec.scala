@@ -57,4 +57,40 @@ class SpanDedupSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].head()
     assert(self == ((9L, 17L, 8L, r + " z")))
   }
+
+  test("maximal spans coalesce adjacent coverage; the length threshold filters") {
+    // doc 1/2 share a 20-token boilerplate region AND a separate 9-token
+    // run, split by unique pivots: coverage has two islands per doc
+    val big = (1 to 20).map(i => s"b$i").mkString(" ")
+    val small = (1 to 9).map(i => s"m$i").mkString(" ")
+    val a = big + " u1 u2 " + small
+    val b = big + " x1 x2 " + small
+    val spans = SpanDedup.maximalSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), minSpanTokens = 16)
+      .as[(Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    // only the 20-token island survives the >= 16 filter, at pos 0..19
+    assert(spans == Seq((1L, 0L, 20L), (2L, 0L, 20L)), s"$spans")
+    // lowering the threshold to the gram size surfaces the 9-token island
+    val all = SpanDedup.maximalSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), minSpanTokens = 8)
+      .as[(Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    assert(all == Seq((1L, 0L, 20L), (1L, 22L, 9L), (2L, 0L, 20L), (2L, 22L, 9L)), s"$all")
+  }
+
+  test("span-thresholded removal trims only long runs, keeps short repeats") {
+    val big = (1 to 20).map(i => s"b$i").mkString(" ")
+    val small = (1 to 9).map(i => s"m$i").mkString(" ")
+    val a = big + " u1 u2 " + small // canonical for both runs: untouched
+    val b = big + " x1 x2 " + small // non-canonical occurrences
+    val out = SpanDedup.removeSpans(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), minSpanTokens = 16)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 31L, 0L, a)))
+    // doc 2: the 20-token run drops (>= 16), the 9-token run SURVIVES
+    assert(out(1) == ((2L, 31L, 20L, "x1 x2 " + small)), s"${out(1)}")
+    // with the threshold off, q78 semantics: both non-canonical runs drop
+    val raw = SpanDedup.removeSpans(Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(raw(1) == ((2L, 31L, 29L, "x1 x2")), s"${raw(1)}")
+  }
 }

@@ -337,6 +337,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamRetention drops a late event whose day predates the stream-seen cohort") {
+    import graft.streaming.{RetentionEvent, StreamRetention}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RetentionEvent]
+    val q = StreamRetention.hits(spark, input.toDS())
+      .writeStream.format("memory").queryName("retention_late_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    def d(day: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day}%02d ${min / 60}%02d:${min % 60}%02d:00")
+    try {
+      // the stream first sees user 7 on day 3 -> that is the cohort
+      input.addData(Seq(RetentionEvent(7L, d(3, 10))))
+      q.processAllAvailable()
+      // a within-watermark delivery of an EARLIER day (the true first
+      // activity) arrives later: it must emit NOTHING — a negative
+      // day_offset row is one the batch twin can never produce. A later
+      // new day still increments normally.
+      input.addData(Seq(RetentionEvent(7L, d(2, 50)), RetentionEvent(7L, d(4, 5))))
+      q.processAllAvailable()
+
+      val rows = spark.table("retention_late_test").filter($"user_id" === 7L)
+        .select($"cohort_day", $"day_offset").as[(Int, Int)].collect().toSeq.sorted
+      val cohort = rows.head._1
+      assert(rows.map(_._2) == Seq(0, 1), s"$rows")
+      assert(rows.forall(_._1 == cohort), s"$rows")
+      assert(rows.forall(_._2 >= 0), s"negative offset leaked: $rows")
+    } finally q.stop()
+  }
+
   test("SessionState closes sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
