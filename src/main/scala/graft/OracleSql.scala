@@ -862,6 +862,11 @@ object OracleSql {
     "q107_knn_ivfpq" ->
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // persisted-index path: same gate contract as q107 (results identical
+    // by construction given the same model/centroids; PqSpec asserts it)
+    "q107b_knn_ivfpq_indexed" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events

@@ -184,6 +184,23 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
     }),
 
+    // q107 against the PERSISTED cell-partitioned index: write the
+    // (id, cell, codes) artifact partitionBy(cell) + model sidecars, then
+    // probe it — the scan carries a static `cell IN (probed)` predicate so
+    // only nprobe cells' files are opened (PqSpec asserts numFiles).
+    // Same gate and floor as q107; results identical by construction.
+    "q107b_knn_ivfpq_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+      val idx = operators.Pq.writeIndex(emb, "vec_id", "embedding",
+        operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32), path, nlist = 32)
+      Knn.recallGate(
+        operators.Pq.ivfTopKIndexed(idx, emb, q, "vec_id", "embedding", 5,
+          nprobe = 8, refine = 200),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
+    }),
+
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel
     // cosine over symmetric codes — no dequantize): recall@5 vs float
     "q60_knn_int8" -> ((s, dir) => {

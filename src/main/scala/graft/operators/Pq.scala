@@ -199,32 +199,10 @@ object Pq {
 
     val qRows = collectQueries(queries, idCol, vecCol)
     val luts = qRows.map { case (_, qv) => lutFor(model, qv) }
-    // driver-side probe cells, mirroring VectorKernels.nearestCells'
-    // order (dot desc, first index on ties)
-    val probeRows = qRows.zipWithIndex.flatMap { case ((qid, qv), qidx) =>
-      val dots = centroids.map { ctr =>
-        var dot = 0.0
-        var i = 0
-        val n = math.min(qv.length, ctr.length)
-        while (i < n) { dot += qv(i) * ctr(i); i += 1 }
-        dot
-      }
-      val taken = new Array[Boolean](centroids.length)
-      (0 until effProbe).map { _ =>
-        var best = -1
-        var bestDot = Double.MinValue
-        var c = 0
-        while (c < centroids.length) {
-          if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
-          c += 1
-        }
-        taken(best) = true
-        (qidx, qid, best)
-      }
-    }
+    val probeRows = probeCells(qRows, centroids, effProbe)
     val sp = corpus.sparkSession
     import sp.implicits._
-    val probes = probeRows.toSeq.toDF("qidx", "qid", "cell")
+    val probes = probeRows.toDF("qidx", "qid", "cell")
 
     val topR = udaf(new TopKAggregator(refine), Encoders.product[Scored])
     val shortlist = index
@@ -239,6 +217,129 @@ object Pq {
 
     refineExact(shortlist, corpus, queries, idCol, vecCol, k)
   }
+
+  /** The persisted IVF-PQ artifact: the `path` holds the cell-PARTITIONED
+    * (id, codes) table plus the model sidecars (underscore-prefixed dirs,
+    * invisible to partition discovery). `centroids`/`model` are the
+    * driver-side handles a fresh session re-reads via [[readIndex]].
+    */
+  final case class IvfPqIndex(
+      path: String, centroids: Array[Array[Float]], model: PqModel)
+
+  /** Persist the IVF-PQ index the way the q107 scaladoc promises it lives
+    * at scale: one (id, codes) row per corpus vector, PARTITIONED BY the
+    * coarse cell, so a probe's scan is statically pruned to its nprobe
+    * cells' files — the other nlist−nprobe cells' bytes are never opened
+    * (PqIndexSpec asserts numFiles on the executed scan). The coarse
+    * centroids and the PQ codebooks persist next to the data
+    * (`_centroids` / `_books` — "_"-prefixed so partition discovery skips
+    * them): the artifact is self-contained, a later session needs no
+    * retraining. Layout: ~12 B/vector in cell dirs; at 100 TB the cells
+    * are also the bucketing unit for a co-located id join.
+    */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, path: String, nlist: Int = 32): IvfPqIndex = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val centroids = IvfKnn.trainCentroids(corpus, idCol, vecCol, nlist)
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+        VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ctr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    model.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
+    IvfPqIndex(path, centroids, model)
+  }
+
+  /** Rehydrate a persisted index: two bounded sidecar reads (nlist
+    * centroids, m×k codebook rows) — the corpus-sized code table itself
+    * stays on disk until a probe scans its cells.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val centroids = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val books = spark.read.parquet(s"$path/_books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toArray))
+      .groupBy(_._1._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._1._2).map(_._2) }
+    IvfPqIndex(path, centroids, PqModel(books))
+  }
+
+  /** [[ivfTopK]] against the PERSISTED index: probe cells resolve on the
+    * driver (bounded — |queries| × nlist dots), and the code-table scan
+    * carries a STATIC `cell IN (probed…)` predicate, so partition pruning
+    * happens at planning time — only the probed cells' files are read,
+    * assertable on the executed plan (no reliance on runtime DPP
+    * heuristics). Downstream is the shared ADC-shortlist → exact-refine
+    * tail, bit-identical to the in-query path given the same model and
+    * centroids. `corpus` supplies the full vectors for the refine stage
+    * only (O(queries × refine) rows by id).
+    */
+  def ivfTopKIndexed(
+      index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 8, refine: Int = 200): DataFrame = {
+    require(refine >= k, "refine shortlist must be at least k")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qRows = collectQueries(queries, idCol, vecCol)
+    val luts = qRows.map { case (_, qv) => lutFor(index.model, qv) }
+    val effProbe = math.min(nprobe, index.centroids.length)
+    val probeRows = probeCells(qRows, index.centroids, effProbe)
+    val probes = probeRows.toDF("qidx", "qid", "cell")
+    val cells = probeRows.map(_._3).distinct
+
+    val topR = udaf(new TopKAggregator(refine), Encoders.product[Scored])
+    val shortlist = sp.read.parquet(index.path)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorFunctions.pqAdcIdx(col("codes"), col("qidx"), luts)
+          .cast("double").as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("id"), col("adc")).as("ids"))
+      .select(col("qid"), explode(col("ids")).as("id"))
+
+    refineExact(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Driver-side probe-cell selection, mirroring VectorKernels.
+    * nearestCells' order (dot desc, first index on ties). Bounded work:
+    * |queries| × |centroids| dots on the driver (the small-query + small-
+    * model contract). Returns (query index, query id, cell) rows.
+    */
+  private def probeCells(
+      qRows: Array[(Long, Array[Double])], centroids: Array[Array[Float]],
+      nprobe: Int): Seq[(Int, Long, Int)] =
+    qRows.zipWithIndex.toSeq.flatMap { case ((qid, qv), qidx) =>
+      val dots = centroids.map { ctr =>
+        var dot = 0.0
+        var i = 0
+        val n = math.min(qv.length, ctr.length)
+        while (i < n) { dot += qv(i) * ctr(i); i += 1 }
+        dot
+      }
+      val taken = new Array[Boolean](centroids.length)
+      (0 until nprobe).map { _ =>
+        var best = -1
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+          c += 1
+        }
+        taken(best) = true
+        (qidx, qid, best)
+      }
+    }
 
   /** Bounded collect of the query set (q25's small-query contract): the
     * vectors become LUT/plan literals.
