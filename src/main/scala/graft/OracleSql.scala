@@ -1121,6 +1121,72 @@ object OracleSql {
          |UNION ALL SELECT 6, 'sample', (SELECT count(*) FROM s6)""".stripMargin
     },
 
+    // The v2 decision chain: q47's CTE ladder with the q109 normalize
+    // stage prepended (NFC + control strip, drop whitespace-only docs),
+    // the q104 best-member canonical pick in place of min-id survivors,
+    // and the q106 component-keyed split audited as three count rows.
+    "q47b_corpus_pipeline_v2" -> {
+      val c = graft.pipelines.CorpusPipeline.Config()
+      s"""WITH RECURSIVE
+         |n0 AS (SELECT * REPLACE (regexp_replace(nfc_normalize(text),
+         |  '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]', '', 'g')
+         |  AS text) FROM documents),
+         |s0 AS (SELECT * FROM n0
+         |  WHERE len(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+         |s1 AS (SELECT * FROM s0
+         |  WHERE len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0),
+         |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= ${c.minTokens}),
+         |rw AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM s2),
+         |rc AS (SELECT doc_id, tok, count(*) cnt FROM rw GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, round(max(cnt) / sum(cnt)::DOUBLE, 6) topf
+         |  FROM rc GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 JOIN ra USING (doc_id)
+         |  WHERE topf <= ${c.maxTopWordFrac}),
+         |s4 AS (SELECT * FROM s3 QUALIFY row_number() OVER (
+         |  PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |  ORDER BY doc_id) = 1),
+         |${jaccardPairCteOver("s4")},
+         |pr AS MATERIALIZED (SELECT id_a, id_b FROM p
+         |  WHERE jaccard >= ${c.jaccardThreshold}),
+         |edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |cc(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b),
+         |comp AS (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
+         |  FROM s4),
+         |ranked AS (SELECT c2.id doc_id, c2.component,
+         |    row_number() OVER (PARTITION BY c2.component
+         |      ORDER BY t.n_tokens DESC, c2.id) rn
+         |  FROM comp c2 JOIN tok t ON t.doc_id = c2.id),
+         |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT id FROM comp)
+         |  OR doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)),
+         |s6 AS (SELECT * FROM s5 QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+         |    doc_id) <= ${c.samplePerSource}),
+         |k AS (SELECT s6.doc_id, coalesce(c3.component, s6.doc_id) split_key
+         |  FROM s6 LEFT JOIN comp c3 ON c3.id = s6.doc_id),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+         |       ELSE 'test' END split
+         |  FROM (SELECT doc_id,
+         |    ((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |      * 10000 // 2147483647 bp FROM k))
+         |SELECT CAST(0 AS INT) stage_idx, 'input' stage, (SELECT count(*) FROM documents) n_docs
+         |UNION ALL SELECT 1, 'normalize', (SELECT count(*) FROM s0)
+         |UNION ALL SELECT 2, 'lang', (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 4, 'repetition', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 5, 'exact_dedup', (SELECT count(*) FROM s4)
+         |UNION ALL SELECT 6, 'canonical', (SELECT count(*) FROM s5)
+         |UNION ALL SELECT 7, 'sample', (SELECT count(*) FROM s6)
+         |UNION ALL SELECT 8, 'split_train', (SELECT count(*) FROM sp WHERE split = 'train')
+         |UNION ALL SELECT 9, 'split_val', (SELECT count(*) FROM sp WHERE split = 'val')
+         |UNION ALL SELECT 10, 'split_test', (SELECT count(*) FROM sp WHERE split = 'test')""".stripMargin
+    },
+
     // Bloom gate: the true semi-join count is recomputed; the filter's
     // no-false-negative guarantee and bounded fp rate must hold.
     "q46_bloom_prefilter" ->

@@ -362,6 +362,11 @@ object SparkEntry {
     "q47_corpus_pipeline" -> ((s, dir) =>
       pipelines.CorpusPipeline.auditCounts(Tables.documents(s, dir))),
 
+    // the r9 decision-stage chain: NFC normalize FIRST, canonical picks
+    // instead of min-id survivors, cluster-keyed leak-safe split last
+    "q47b_corpus_pipeline_v2" -> ((s, dir) =>
+      pipelines.CorpusPipeline.auditCountsV2(Tables.documents(s, dir))),
+
     // bloom-filter semi-join reduction (runtime-filter pattern), gated:
     // exact semi-join count + no-false-negatives + bounded-fp booleans
     "q46_bloom_prefilter" -> ((s, dir) => {

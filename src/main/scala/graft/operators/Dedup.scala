@@ -96,11 +96,15 @@ object Dedup {
   final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
 
   /** Survivors of one incremental near-dup step, the index rows this step
-    * ADDS (what an append-mode persister writes), and the grown index as
-    * a whole (what the next in-session step consumes).
+    * ADDS (what an append-mode persister writes), the grown index as
+    * a whole (what the next in-session step consumes), and the VERIFIED
+    * near-dup pairs the step found (`hits`: id_a, id_b — delta-vs-index
+    * and within-delta, Jaccard-verified; what an observability monitor
+    * records, since a dropped doc and its partner are both evidence).
     */
   final case class IncrementalNearDup(
-      survivors: DataFrame, added: NearDupIndex, index: NearDupIndex)
+      survivors: DataFrame, added: NearDupIndex, index: NearDupIndex,
+      hits: DataFrame)
 
   /** Build the [[NearDupIndex]] of a corpus (the one-time base pass). */
   def nearDupIndex(
@@ -165,19 +169,21 @@ object Dedup {
     val crossCand = capped(dBanded).withColumnRenamed("id", "id_d")
       .join(capped(touched).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
       .select("id_d", "id_b").distinct()
-    val crossDrop = crossCand
+    val crossHits = crossCand
       .join(dHashed.select(col("id").as("id_d"), col("sh").as("sh_d")), Seq("id_d"))
       .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(TextFunctions.jaccard(col("sh_d"), col("sh_b")) >= threshold)
-      .select(col("id_d").as("id")).distinct()
+      .select(col("id_d"), col("id_b"))
+    val crossDrop = crossHits.select(col("id_d").as("id")).distinct()
 
     // within-delta candidates: the q21 self-join path over the delta only
     val withinCand = cappedBucketPairs(dBanded, Seq("band", "bh"), bucketCap).distinct()
-    val withinDrop = withinCand
+    val withinHits = withinCand
       .join(dHashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(dHashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(TextFunctions.jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_b").as("id")).distinct() // id_a < id_b: the larger id drops
+      .select(col("id_a"), col("id_b"))
+    val withinDrop = withinHits.select(col("id_b").as("id")).distinct() // id_a < id_b: the larger id drops
 
     val survivors = delta.select(col(idCol).as("id"))
       .join(crossDrop, Seq("id"), "left_anti")
@@ -191,7 +197,9 @@ object Dedup {
       added,
       NearDupIndex(
         bands = index.bands.unionByName(added.bands),
-        shingles = index.shingles.unionByName(added.shingles)))
+        shingles = index.shingles.unionByName(added.shingles)),
+      hits = crossHits.select(col("id_d").as("id_a"), col("id_b"))
+        .unionByName(withinHits).distinct())
   }
 
   /** Shingled docs — the shared prefix of the shingle-based pipelines.
@@ -782,10 +790,22 @@ object Dedup {
     */
   def canonicalPicks(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+      n: Int = 3, threshold: Double = 0.7): DataFrame =
+    canonicalPicksFrom(docs, idCol, textCol,
+      connectedComponents(
+        minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b"))
+
+  /** [[canonicalPicks]] over PRE-COMPUTED cluster labels — the shape a
+    * composed pipeline uses, where one [[minHashPairs]] →
+    * [[connectedComponents]] pass feeds canonical selection, split keys
+    * and observability without re-mining pairs per consumer.
+    * `components` must carry (id, component).
+    */
+  def canonicalPicksFrom(
+      docs: DataFrame, idCol: String, textCol: String,
+      components: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val clusters = connectedComponents(
-      minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b")
+    val clusters = components
     val quality = docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
     val scored = clusters.join(quality, Seq("id"))
@@ -823,9 +843,20 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7,
       fractions: Seq[(String, Int)] =
+        Seq(("train", 8000), ("val", 1000), ("test", 1000))): DataFrame =
+    leakageSafeSplitsFrom(docs, idCol,
+      connectedComponents(
+        minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b"),
+      fractions)
+
+  /** [[leakageSafeSplits]] over PRE-COMPUTED cluster labels (id,
+    * component) — see [[canonicalPicksFrom]] for why a composed pipeline
+    * passes the clustering in rather than re-mining pairs.
+    */
+  def leakageSafeSplitsFrom(
+      docs: DataFrame, idCol: String, comp: DataFrame,
+      fractions: Seq[(String, Int)] =
         Seq(("train", 8000), ("val", 1000), ("test", 1000))): DataFrame = {
-    val comp = connectedComponents(
-      minHashPairs(docs, idCol, textCol, n, threshold), "id_a", "id_b")
     val keyed = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -90,8 +90,11 @@ object CorpusPipeline {
   /** Per-stage survivor counts — the audit a pipeline operator watches
     * for stage-level drift. Returns (stage_idx, stage, n_docs).
     */
-  def auditCounts(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val all = ("input" -> docs) +: stages(docs, cfg, checkpoint = true)
+  def auditCounts(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    audit(docs, stages(docs, cfg, checkpoint = true))
+
+  private def audit(docs: DataFrame, st: Seq[(String, DataFrame)]): DataFrame = {
+    val all = ("input" -> docs) +: st
     all.zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_docs"))
         .select(
@@ -100,4 +103,82 @@ object CorpusPipeline {
           col("n_docs"))
     }.reduce(_ unionAll _)
   }
+
+  /** The r9 DECISION-STAGE chain (SURVEY §2 q47b) — [[stages]] extended
+    * with the library's newer curation operators, in the order a
+    * production pass runs them:
+    *
+    *   1. NFC normalization + control strip FIRST (q109), dropping docs
+    *      that clean to whitespace — normalization must precede every
+    *      digest or a decomposed-accent twin silently defeats exact dedup
+    *   2.–4. the v1 per-row filters (lang, quality floor, repetition)
+    *   5. exact dedup over the NORMALIZED text
+    *   6. near-dup collapse via canonical picks (q104): keep each
+    *      cluster's best member by token count, not blindly the min id
+    *   7. deterministic stratified cap per source
+    *   8. leakage-safe split (q106): capped survivors split by their
+    *      near-dup COMPONENT key, so a near-duplicate of a test doc can
+    *      never land in train; audited as three per-split count rows
+    *
+    * One minhash → connected-components pass feeds stages 6 AND 8 (the
+    * `...From` variants) — pairs are mined once, however many consumers.
+    */
+  private def stagesV2(docs: DataFrame, cfg: Config, checkpoint: Boolean): Seq[(String, DataFrame)] = {
+    val normed = docs.withColumn(
+      "text", graft.plans.StringFunctions.nfcClean(col("text")))
+    val s0 = normed.filter(length(trim(col("text"), " \t\n\r")) > 0)
+    val s1 = s0.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
+    val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
+    val passRep = Repetition.signals(s2, "doc_id", "text")
+      .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
+      .select("doc_id")
+    val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
+    val s3 = if (checkpoint) s3raw.localCheckpoint() else s3raw
+    val s4raw = Dedup.exactSurvivors(s3, "doc_id", "text")
+    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    // one clustering pass, three consumers (canonical, split key, audit)
+    val compRaw = Dedup.connectedComponents(
+      Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold),
+      "id_a", "id_b")
+    val comp = if (checkpoint) compRaw.localCheckpoint() else compRaw
+    val keepIds = Dedup.canonicalPicksFrom(s4, "doc_id", "text", comp)
+      .filter(col("keep")).select(col("doc_id"))
+    val unclustered = s4.select(col("doc_id").cast("long").as("doc_id"))
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val s5raw = s4.join(
+      unclustered.union(keepIds).withColumnRenamed("doc_id", "__keep"),
+      s4("doc_id").cast("long") === col("__keep"), "left_semi")
+    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
+    val keep = Sampling.stratifiedN(
+      s5.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
+      .select("doc_id")
+    val s6raw = s5.join(keep, Seq("doc_id"), "left_semi")
+    val s6 = if (checkpoint) s6raw.localCheckpoint() else s6raw
+    val splits = Dedup.leakageSafeSplitsFrom(s6, "doc_id", comp)
+    val sp = if (checkpoint) splits.localCheckpoint() else splits
+    Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3,
+      "exact_dedup" -> s4, "canonical" -> s5, "sample" -> s6) ++
+      Seq("train", "val", "test").map(l =>
+        s"split_$l" -> sp.filter(col("split") === l))
+  }
+
+  /** The v2 cleaned corpus: every capped survivor with its leak-safe
+    * `split` and audited `split_key`.
+    */
+  def cleanV2(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val st = stagesV2(docs, cfg, checkpoint = false).toMap
+    val assigned = Seq("train", "val", "test")
+      .map(l => st(s"split_$l")).reduce(_ unionAll _)
+      .select(col("doc_id").cast("long").as("__sid"),
+        col("split_key"), col("split"))
+    st("sample").join(
+      assigned, st("sample")("doc_id").cast("long") === col("__sid"))
+      .drop("__sid")
+  }
+
+  /** Per-stage audit for the v2 chain. The three split rows sum to the
+    * sample stage's count — the invariant a pipeline monitor alerts on.
+    */
+  def auditCountsV2(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    audit(docs, stagesV2(docs, cfg, checkpoint = true))
 }

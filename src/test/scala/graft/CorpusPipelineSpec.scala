@@ -34,6 +34,63 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(cleaned.intersect(Set(7L, 8L, 9L)).size == 2) // s2 capped
   }
 
+  test("v2 chain: one planted offender per decision stage") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the", "s1"), // near-dup cluster, SHORTER member
+      (2L, "beta gamma delta epsilon", "s1"), // no stopword -> lang drop
+      (3L, "the a", "s1"), // too short -> quality drop
+      (4L, "the x x x x x", "s1"), // top word 5/6 -> repetition drop
+      (5L, "alpha beta gamma delta the", "s1"), // exact dup of 1
+      (6L, "alpha beta gamma delta the zeta", "s1"), // near dup of 1 (J=0.75), longest
+      (7L, "one two three four the", "s2"),
+      (8L, "five six seven eight the", "s2"),
+      (9L, "nine ten eleven twelve the", "s2"), // s2 capped 3 -> 2
+      (10L, "", "s1"), // control chars only -> normalize drop
+      (11L, "café alpha beta gamma the", "s1"), // decomposed e+acute ...
+      (12L, "café alpha beta gamma the", "s1")) // ... NFC-equal: exact dup post-normalize
+      .toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 4, maxTopWordFrac = 0.5, jaccardThreshold = 0.6, samplePerSource = 2)
+
+    val audit = CorpusPipeline.auditCountsV2(docs, cfg)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(audit.map(t => (t._1, t._2)) == Seq(
+      0 -> "input", 1 -> "normalize", 2 -> "lang", 3 -> "quality",
+      4 -> "repetition", 5 -> "exact_dedup", 6 -> "canonical", 7 -> "sample",
+      8 -> "split_train", 9 -> "split_val", 10 -> "split_test"))
+    val byName = audit.map(t => t._2 -> t._3).toMap
+    assert(byName("input") == 12L)
+    assert(byName("normalize") == 11L) // doc 10 cleans to empty
+    assert(byName("lang") == 10L)
+    assert(byName("quality") == 9L)
+    assert(byName("repetition") == 8L)
+    // 5 (verbatim dup) AND 12 (NFC twin of 11 — caught only because
+    // normalization ran before the digest) both fall here
+    assert(byName("exact_dedup") == 6L)
+    assert(byName("canonical") == 5L) // cluster {1,6}: one survivor
+    assert(byName("sample") == 4L) // s1 {6,11} + s2 capped 3 -> 2
+    assert(byName("split_train") + byName("split_val") + byName("split_test") == 4L)
+
+    val cleaned = CorpusPipeline.cleanV2(docs, cfg)
+    val ids = cleaned.select($"doc_id".cast("long")).as[Long].collect().toSet
+    // canonical pick keeps the LONGEST cluster member, not the min id
+    assert(ids.contains(6L) && !ids.contains(1L))
+    assert(ids.contains(11L) && !ids.contains(12L))
+    assert(ids.intersect(Set(7L, 8L, 9L)).size == 2)
+    // leak-safety: the cluster survivor keys by its COMPONENT (min id of
+    // {1,6} = 1), so any member of the cluster lands on the same side
+    val row6 = cleaned.filter($"doc_id" === 6L)
+      .select($"split_key", $"split").as[(Long, String)].collect().head
+    assert(row6._1 == 1L)
+    val expected = operators.Sampling.assignSplits(
+      Seq(1L).toDF("k"), "k").select($"split").as[String].collect().head
+    assert(row6._2 == expected)
+    // an unclustered doc keys by its own id — q79's split bit-for-bit
+    val row11 = cleaned.filter($"doc_id" === 11L)
+      .select($"split_key").as[Long].collect().head
+    assert(row11 == 11L)
+  }
+
   test("optional perplexity stage drops the planted gibberish, default chain unchanged") {
     // one source, many similar docs + one OOV-gibberish doc that passes
     // lang/quality/repetition but is unlike the corpus majority
