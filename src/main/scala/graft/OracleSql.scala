@@ -1447,6 +1447,42 @@ object OracleSql {
         |  END text_clean
         |FROM t LEFT JOIN dl USING (doc_id)""".stripMargin,
 
+    // Line-wise dedup over the deterministically LINED corpus (8-token
+    // lines): the boilerplate key is the normalized line STRING (the
+    // q71-style text twin of the operator's xxhash64 key — also the
+    // collision check); string_agg(ORDER BY pos) rebuilds text_clean
+    // exactly as array_join skips the nulled-out lines.
+    "q113_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |ld AS (SELECT doc_id,
+        |    [array_to_string(toks[i*8+1 : i*8+8], ' ')
+        |     for i in range(0, cast(ceil(len(toks)/8.0) AS INT))] lines FROM t),
+        |lx AS (SELECT doc_id, unnest(lines) line,
+        |    generate_subscripts(lines, 1) - 1 pos FROM ld),
+        |nz AS (SELECT doc_id, pos, line,
+        |    lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) k
+        |  FROM lx WHERE len(trim(line)) > 0),
+        |bl AS (SELECT k FROM nz GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+        |dr AS (SELECT doc_id, pos FROM nz WHERE k IN (SELECT k FROM bl)),
+        |agg AS (SELECT doc_id, count(*) nrem FROM dr GROUP BY doc_id),
+        |keepl AS (SELECT l.doc_id, l.pos, l.line
+        |  FROM lx l ANTI JOIN dr USING (doc_id, pos)),
+        |txt AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) text_clean
+        |  FROM keepl GROUP BY doc_id),
+        |cnt AS (SELECT doc_id,
+        |    len(list_filter(lines, l -> len(trim(l)) > 0)) nc FROM ld)
+        |SELECT c.doc_id, c.nc::BIGINT n_lines,
+        |  coalesce(a.nrem, 0)::BIGINT n_removed,
+        |  round(CASE WHEN c.nc > 0
+        |    THEN coalesce(a.nrem, 0) / c.nc::DOUBLE ELSE 0.0 END, 4) removed_frac,
+        |  (CASE WHEN c.nc > 0
+        |    THEN coalesce(a.nrem, 0) / c.nc::DOUBLE ELSE 0.0 END) <= 0.5 keep,
+        |  coalesce(x.text_clean, '') text_clean
+        |FROM cnt c LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN txt x USING (doc_id)""".stripMargin,
+
     // Latest-wins upsert: update rows (version 1) replace base rows for
     // their key; src breaks the tie exactly like upsert's _src column.
     "q50_upsert" ->

@@ -615,6 +615,23 @@ object SparkEntry {
     "q112_span_removal_long" -> ((s, dir) =>
       operators.SpanDedup.removeSpans(Tables.documents(s, dir), minSpanTokens = 16)),
 
+    // RefinedWeb line-wise dedup over a deterministically LINED corpus
+    // (8-token lines — the test corpus is single-line by construction):
+    // cross-doc repeated lines removed everywhere, doc dropped when more
+    // than half its lines go
+    "q113_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lined = Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), ceil(size(toks) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+          "\n").as("text"))
+      operators.Lines.lineDedup(lined, "doc_id", "text",
+        minDocs = 2, maxRemovedFrac = 0.5)
+    }),
+
     "q79_train_split" -> ((s, dir) =>
       operators.Sampling.assignSplits(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),

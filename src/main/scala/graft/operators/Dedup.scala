@@ -422,6 +422,21 @@ object Dedup {
     * prefix before the explode.
     * Candidates verify exactly against the full shingle sets — false
     * positives impossible.
+    *
+    * STRAGGLER CONTRACT (degenerate regime): when the vocabulary is tiny
+    * (the 31-word stress corpus) true containment pairs are Θ(n²) and the
+    * run is output-sensitive — same contract as q23/q63 in that regime.
+    * The cap holds (max task ≤ maxPostings² candidates ≈ 1.33M measured
+    * at 50k docs), but the slowest task is then VERIFY-bound: each
+    * candidate pays an array_intersect over full shingle sets, so a
+    * maxPostings²-candidate task is ~47 s at sf1 (SCALING_r8) even
+    * though candidate counts never blow up. Lowering `maxPostings`
+    * flattens verify tasks quadratically but REPLICATES the candidate
+    * join linearly (each prefix occurrence fans out to ⌈df/maxPostings⌉
+    * chunk keys and vice versa) — tune it down only when stragglers, not
+    * total volume, dominate; in the Zipf (realistic) regime the default
+    * is bounded and linear (max-task 66k→87k across 10×, SCALING_r8) and
+    * no tuning is needed.
     */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,

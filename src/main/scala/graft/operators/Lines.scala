@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LINE-wise corpus deduplication (SURVEY §2 q113) — the
+  * RefinedWeb/CCNet filter the span family (q71/q78/q111/q112) does not
+  * cover: a LINE (newline-delimited) whose normalized form occurs in at
+  * least `minDocs` DISTINCT documents is corpus boilerplate — nav bars,
+  * cookie banners, share buttons, footers — and is removed from EVERY
+  * document (no canonical copy survives: unlike ExactSubstr's "keep one
+  * occurrence", a nav bar is noise in all of its occurrences); a document
+  * that loses more than `maxRemovedFrac` of its lines is dropped entirely
+  * (what remains is chrome, not content — RefinedWeb's document-level
+  * escalation of the line rule).
+  *
+  * Whitespace-only lines are structural, not content: they are never
+  * counted toward boilerplate and never removed (and never counted in the
+  * removal fraction's denominator).
+  *
+  * Shape (q78's discipline): the line stream is (doc_id, pos,
+  * xxhash64(normalized line)) — 24-byte rows; the boilerplate table is
+  * ONE hash-keyed `count_distinct(doc)` aggregation (map-side partials;
+  * line TEXT never shuffles); removal positions come back as a per-doc
+  * int list and the split array filters IN PLACE. The only join touching
+  * text is the final id-keyed join of drop lists onto the corpus.
+  */
+object Lines {
+
+  /** (doc_id, n_lines, n_removed, removed_frac, keep, text_clean). */
+  def lineDedup(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2, maxRemovedFrac: Double = 0.3): DataFrame = {
+    require(minDocs >= 2, "a line is boilerplate only if it repeats across docs")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("lines"))
+
+    val stream = base
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(Dedup.normalized(col("line"))).as("lh"))
+      .localCheckpoint()
+
+    val boiler = stream.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("lh")
+
+    val drops = stream.join(boiler, Seq("lh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("__drops"))
+
+    val counted = base
+      .withColumn("__content",
+        size(filter(col("lines"), l => length(trim(l)) > 0)))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("__nrem", coalesce(size(col("__drops")), lit(0)))
+    counted.select(
+      col("doc_id"),
+      col("__content").cast("long").as("n_lines"),
+      col("__nrem").cast("long").as("n_removed"),
+      round(when(col("__content") > 0,
+        col("__nrem").cast("double") / col("__content")).otherwise(lit(0.0)), 4)
+        .as("removed_frac"),
+      (when(col("__content") > 0,
+        col("__nrem").cast("double") / col("__content")).otherwise(lit(0.0))
+        <= maxRemovedFrac).as("keep"),
+      when(col("__drops").isNull, array_join(col("lines"), "\n")).otherwise(
+        array_join(
+          zip_with(col("lines"), sequence(lit(0), size(col("lines")) - 1),
+            (l, i) => when(array_contains(col("__drops"), i.cast("int")), lit(null))
+              .otherwise(l)),
+          "\n"))
+        .as("text_clean"))
+  }
+}
