@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q113 line dedup: hash-keyed stages shuffle scalars; text only rides the id-keyed reassembly") {
+    audited {
+      val df = SparkEntry.queries("q113_line_dedup")(spark, dir)
+      val ex = shuffles(df)
+      assert(ex.nonEmpty)
+      val texty = ex.filter(_.child.output.exists(a =>
+        a.dataType.isInstanceOf[StringType] || a.dataType.isInstanceOf[ArrayType]))
+      // the boilerplate count and the drop-collect are hash/id-keyed scalar
+      // shuffles; only the final reassembly join may carry the lines array,
+      // and it must be keyed by doc_id (one id-keyed pass, q78's contract)
+      texty.foreach { s =>
+        assert(s.outputPartitioning.toString.contains("doc_id"),
+          s"line text must only ride the id-keyed reassembly join: ${s.child.output}")
+      }
+      assert(texty.size <= 2, s"${texty.size} text-bearing shuffles")
+    }
+  }
+
   test("q23 inverted-index jaccard: no shingle array rides any shuffle") {
     audited {
       val df = SparkEntry.queries("q23_ngram_jaccard")(spark, dir)
