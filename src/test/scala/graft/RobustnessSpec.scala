@@ -263,6 +263,28 @@ class RobustnessSpec extends SparkTestBase {
     }
   }
 
+  test("r9 additions tolerate null/empty/degenerate inputs") {
+    // line dedup: null text dropped, empty/blank-only docs survive with
+    // zero content lines, no boilerplate on a no-repeat corpus
+    val out = graft.operators.Lines.lineDedup(messy, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(2L)) // null text: no row (filtered like q78)
+    assert(out(3L)._2 == 0L && out(3L)._5) // empty doc: 0 content lines, kept
+    assert(out(4L)._3 == 0L) // single token: nothing removed
+    // docs 1 and 5 are IDENTICAL single-line docs -> that line is cross-doc
+    // boilerplate: removed from both, both escalate to keep = false
+    assert(out(1L)._3 == 1L && !out(1L)._5 && out(1L)._6 == "")
+    assert(out(5L)._3 == 1L && !out(5L)._5)
+
+    // v2 pipeline on a corpus with no survivors at all: empty stages, no crash
+    val gone = Seq((1L, "zz qq", "s1")).toDF("doc_id", "text", "source")
+    val audit = pipelines.CorpusPipeline.auditCountsV2(
+      gone, pipelines.CorpusPipeline.Config(minTokens = 4))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(audit.length == 11 && audit.last._3 == 0L)
+  }
+
   test("nfcClean: null-through, NFC composition, control strip, keep-list") {
     import graft.plans.StringFunctions.nfcClean
     val rows = Seq(
