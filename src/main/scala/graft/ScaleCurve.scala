@@ -51,7 +51,11 @@ object ScaleCurve {
     val dirs = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    // partitions default to the thread count, but at the top of the data
+    // ladder a fixed count makes every task grow linearly with the corpus
+    // — override to model the cluster rule "partitions scale with data"
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString).toInt
+    val spark = GraftSession.builder(s"local[$cpus]", parts).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
