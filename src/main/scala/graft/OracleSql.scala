@@ -236,6 +236,68 @@ object OracleSql {
     (init +: steps :+ fin).mkString(",\n")
   }
 
+  /** q114's twin: the batch perceptron unrolled per iteration (the q86
+    * Lloyd discipline — all-LONG scores/updates are a pure function of
+    * the training multiset, so the unrolled SQL reproduces every weight
+    * vector bit-for-bit). Featurization = the q90 gram-hash CTEs plus an
+    * always-on bias feature b = `buckets`. MATERIALIZED where a CTE feeds
+    * every iteration (the q34 re-evaluation trap).
+    */
+  private def perceptronCtes(buckets: Int, iters: Int): String = {
+    val init =
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |lbl AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 30 AND len(list_filter(toks, x -> x IN
+         |      ('the','a','of','to','and','in','is','on'))) >= 2
+         |    THEN 1 ELSE -1 END y,
+         |    doc_id % 2 = 0 is_train FROM t),
+         |gm AS (SELECT doc_id, unnest(list_concat(toks,
+         |    [toks[i] || ' ' || toks[i+1]
+         |     for i in range(1, greatest(len(toks),1))])) gram FROM t),
+         |fx AS (SELECT doc_id,
+         |    CAST(list_reduce(list_transform(string_split(gram,''),
+         |        c -> ascii(c)::BIGINT), (a,b) -> (a*31+b)%1000000007)
+         |      % $buckets AS INT) b FROM gm),
+         |dc AS MATERIALIZED (
+         |  SELECT doc_id, b, count(*)::BIGINT cnt FROM fx GROUP BY 1, 2
+         |  UNION ALL SELECT doc_id, $buckets, 1 FROM t),
+         |w0 AS (SELECT unnest(range(0, ${buckets + 1}))::INT b, 0::BIGINT w)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
+         |  FROM dc d JOIN lbl l USING (doc_id) JOIN w${i - 1} w ON w.b = d.b
+         |  WHERE l.is_train GROUP BY 1, 2),
+         |u$i AS (SELECT d.b, sum(l.y * d.cnt)::BIGINT gr
+         |  FROM dc d JOIN lbl l USING (doc_id) JOIN s$i s ON s.doc_id = d.doc_id
+         |  WHERE s.y * s.sc <= 0 GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT p.b, p.w + coalesce(u.gr, 0) w
+         |  FROM w${i - 1} p LEFT JOIN u$i u USING (b))""".stripMargin
+    }
+    // Pocket pick (Gallant 1990, exactly the Spark loop): err_t = the
+    // misclassified-train count under w_t (scored by s_{t+1}; one extra
+    // scoring CTE covers the last iterate), winner = smallest err,
+    // earliest t on ties.
+    val lastScore =
+      s"""s${iters + 1} AS (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
+         |  FROM dc d JOIN lbl l USING (doc_id) JOIN w$iters w ON w.b = d.b
+         |  WHERE l.is_train GROUP BY 1, 2)""".stripMargin
+    val errs = (1 to iters + 1)
+      .map(i => s"SELECT ${i - 1} t, count(*) FILTER (WHERE y * sc <= 0) c FROM s$i")
+      .mkString("es AS (", " UNION ALL ", ")")
+    val ws = (0 to iters)
+      .map(i => s"SELECT $i t, b, w FROM w$i")
+      .mkString("ws AS (", " UNION ALL ", ")")
+    val fin =
+      s"""$lastScore,
+         |$errs,
+         |$ws,
+         |tb AS (SELECT t FROM es ORDER BY c, t LIMIT 1),
+         |wb AS (SELECT b, w FROM ws JOIN tb USING (t)),
+         |fsc AS (SELECT d.doc_id, sum(w.w * d.cnt)::BIGINT score
+         |  FROM dc d JOIN wb w ON w.b = d.b GROUP BY 1)""".stripMargin
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
   /** q103's twin: the purchase-graph PageRank unrolled per iteration (the
     * q86 Lloyd discipline — the all-LONG fixpoint is a pure function of
     * the edge multiset, so the unrolled SQL reproduces every iterate
@@ -762,6 +824,14 @@ object OracleSql {
         |SELECT doc_id, sum(cnt)::BIGINT n_feats,
         |  round(sum(CAST(lr AS DECIMAL(12,6)) * cnt), 4)::DOUBLE log_weight
         |FROM dc JOIN lr USING (b) GROUP BY 1""".stripMargin,
+
+    // Model-based quality filter: batch perceptron unrolled — exact long
+    // scores, integer comparisons, hash-exact by construction.
+    "q114_quality_classifier" ->
+      s"""${perceptronCtes(1024, 20)}
+         |SELECT l.doc_id, l.y AS label, l.is_train, f.score,
+         |  f.score > 0 AS pred
+         |FROM lbl l JOIN fsc f USING (doc_id)""".stripMargin,
 
     // PMI collocations: one ln of one quotient, multiplied in the same
     // fixed double order as the Spark side, rounded 4 dp, bigram tiebreak.

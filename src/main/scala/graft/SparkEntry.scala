@@ -646,6 +646,12 @@ object SparkEntry {
     "q110_dedup_stats" -> ((s, dir) =>
       operators.Dedup.dedupStats(Tables.documents(s, dir), "doc_id", "text", "source")),
 
+    // model-based quality filter (FineWeb-Edu/DCLM shape): an all-long
+    // batch perceptron over hashed uni+bigram buckets, weak labels from
+    // two rule signals, trained on the even-id half, scoring EVERY doc
+    "q114_quality_classifier" -> ((s, dir) =>
+      operators.QualityClassifier.qualityScores(Tables.documents(s, dir))),
+
     // NFC + control-strip normalization: the canonical pre-hash cleanup
     // (decomposed accents / stray controls make identical text hash
     // differently); scan-shaped, zero shuffles

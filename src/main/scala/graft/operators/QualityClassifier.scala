@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.plans.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality FILTER trained in-query (SURVEY §2 q114) — the
+  * curation stage the famous web-corpus recipes put AFTER the rule gates:
+  * FineWeb-Edu and DCLM both train a lightweight text classifier on a
+  * small labeled slice and score the whole corpus with it, keeping the
+  * high-scoring documents (reference behavior class: the quality-scoring
+  * stage over the tweet corpus, `sql/transform_*.sql`; the classifier
+  * generalizes the fixed rulebook q91 hard-codes). The library's
+  * discriminative counterpart of generative q84 (Naive Bayes): same hashed
+  * feature space, but weights learned by error correction, so correlated
+  * features don't double-count.
+  *
+  * The model is a BATCH PERCEPTRON over hashed bag-of-ngrams features —
+  * chosen over logistic regression deliberately: every quantity in the
+  * loop (feature counts, weights, scores, updates) is a LONG, so training
+  * is EXACT integer arithmetic — no sigmoid/exp whose last-ulp or
+  * rounding-tie behavior engines could disagree on (the q86 all-long-grid
+  * discipline applied to a learner). Iteration t:
+  *
+  *   score(d) = Σ_b w_b·x_db   (bias = an always-on feature b = `buckets`)
+  *   M_t      = training docs with y_d·score(d) ≤ 0   (misclassified)
+  *   w ← w + Σ_{d∈M_t} y_d·x_d
+  *
+  * A pure function of the training multiset: engine-, partitioning- and
+  * run-order-independent (the classic perceptron is sequential per example
+  * and thus order-dependent — unusable as a distributed oracle-checked
+  * operator; the batch variant is gradient descent on the perceptron
+  * criterion and loses nothing that matters here).
+  *
+  * Scale shape (100 TB): featurize ONCE — a single (doc, bucket)
+  * map-side-combined shuffle reduced to ≤ `buckets` entries per doc, then
+  * one row per doc (doc, y, is_train, sparse features) materialized
+  * (`localCheckpoint` locally; a persisted table on a cluster). Per
+  * iteration: scoring is a SCAN — the model rides the plan as
+  * `buckets`+1 long literals (q84/q86's "model broadcasts, corpus never
+  * shuffles" rule) — and the gradient explodes ONLY the misclassified
+  * docs' features, map-side-combining to ≤ `buckets`+1 rows per
+  * partition. The driver ever holds `buckets`+1 longs. Training reads the
+  * labeled slice; serving ([[scoreWith]]) is shuffle-free.
+  *
+  * Cross-engine: scores are exact longs; `pred = score > 0` and the
+  * misclassification cut `y·score ≤ 0` are integer comparisons — the
+  * DuckDB twin unrolls the iterations as CTEs and matches hash-exactly.
+  */
+object QualityClassifier {
+
+  /** One row per doc: (doc_id, y ∈ {+1,-1}, is_train, fs = sparse
+    * (bucket, count) features + the always-on bias feature b = `buckets`).
+    * One shuffle, map-side combined; callers materialize the result for
+    * the iteration loop.
+    */
+  def featurize(
+      docs: DataFrame, label: Column, isTrain: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        when(label, lit(1)).otherwise(lit(-1)).as("y"),
+        isTrain.as("is_train"),
+        explode(
+          concat(HashFunctions.ngramBuckets(col(textCol), 1, 2, buckets),
+            array(lit(buckets)))).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("is_train"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("y"), col("is_train"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("fs"))
+
+  /** Exact long score of the sparse feature column under weight literals
+    * (1-based `element_at`; `w.length` must be `buckets`+1).
+    */
+  private def scoreCol(fs: Column, w: Array[Long]): Column =
+    aggregate(fs, lit(0L),
+      (acc, f) =>
+        acc + element_at(array(w.map(lit).toSeq: _*), f.getField("b") + 1)
+          * f.getField("cnt"))
+
+  /** Run `iters` batch-perceptron updates over the `is_train` slice of a
+    * [[featurize]]d frame and return the POCKET weights (Gallant 1990):
+    * the iterate w_t, t ∈ [0, iters], with the fewest training errors —
+    * earliest t on ties. The raw batch iteration oscillates on
+    * non-separable data (the full-batch update overshoots, flipping whole
+    * classes between iterations — measured live: last-iterate accuracy
+    * swings 0.98 ↔ 0.30 run-to-run of the iteration count); the pocket
+    * pick turns that walk into a deterministic best-of-path, still exact
+    * long arithmetic. Weights are `buckets`+1 longs, bias last.
+    *
+    * One job per iteration: the gradient aggregation's bias row carries
+    * the misclassified-doc count for free (every doc holds exactly one
+    * bias feature with cnt = 1, so Σcnt at b = `buckets` over the
+    * misclassified slice IS that iterate's error count), plus one final
+    * count job for the last iterate.
+    */
+  def train(feats: DataFrame, buckets: Int = 1024, iters: Int = 20): Array[Long] = {
+    require(iters >= 0, "iters must be non-negative")
+    var w = new Array[Long](buckets + 1)
+    var best = w
+    var bestErr = Long.MaxValue
+    for (_ <- 0 until iters) {
+      val rows = feats
+        .filter(col("is_train") &&
+          col("y") * scoreCol(col("fs"), w) <= 0)
+        .select(col("y"), explode(col("fs")).as("f"))
+        .groupBy(col("f.b").as("b"))
+        .agg(sum(col("y") * col("f.cnt")).as("g"),
+          sum(col("f.cnt")).as("n"))
+        .collect()
+      val grad = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val err = rows.collectFirst {
+        case r if r.getInt(0) == buckets => r.getLong(2)
+      }.getOrElse(0L)
+      if (err < bestErr) { bestErr = err; best = w }
+      w = w.zipWithIndex.map { case (v, b) => v + grad.getOrElse(b, 0L) }
+    }
+    val lastErr = feats
+      .filter(col("is_train") && col("y") * scoreCol(col("fs"), w) <= 0)
+      .count()
+    if (lastErr < bestErr) best = w
+    best
+  }
+
+  /** Serve the model: (doc_id, label, is_train, score, pred) for every
+    * featurized doc — a pure scan, no shuffle (weights are plan literals).
+    */
+  def scoreWith(feats: DataFrame, w: Array[Long]): DataFrame =
+    feats
+      .withColumn("score", scoreCol(col("fs"), w))
+      .select(
+        col("doc_id"), col("y").as("label"), col("is_train"),
+        col("score"), (col("score") > 0).as("pred"))
+
+  /** The registered end-to-end query: weak labels from two cheap rule
+    * signals (word floor + stopword presence — the annotation a rulebook
+    * or an LLM judge would supply at production scale), train on the
+    * even-id half, score EVERY doc — FineWeb-Edu's exact shape (450k
+    * annotations → a classifier → 15T tokens scored).
+    */
+  def qualityScores(
+      docs: DataFrame, buckets: Int = 1024, iters: Int = 20,
+      minWords: Int = 30, minStop: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+    val weakLabel = (size(toks) >= minWords) &&
+      size(filter(toks, t => t.isInCollection(stopwords))) >= minStop
+    val feats = featurize(
+      docs, weakLabel, pmod(col("doc_id"), lit(2)) === 0,
+      buckets = buckets).localCheckpoint()
+    scoreWith(feats, train(feats, buckets, iters))
+  }
+}
