@@ -135,6 +135,33 @@ object QualityClassifier {
         col("doc_id"), col("y").as("label"), col("is_train"),
         col("score"), (col("score") > 0).as("pred"))
 
+  /** Per-row serving score — [[scoreWith]] without the featurize shuffle:
+    * Σ_b w_b·cnt_b over a doc equals the plain fold of w over every
+    * bucket OCCURRENCE, so serving needs no (doc, bucket) aggregation at
+    * all — one codegen'd kernel pass + one HOF fold per row, weights as
+    * plan literals. This is the scoring path for streams and for corpora
+    * that were never featurized (identical values to [[scoreWith]] by
+    * construction; spec-asserted).
+    */
+  def scoreText(text: Column, w: Array[Long]): Column = {
+    val wLit = array(w.map(lit).toSeq: _*)
+    aggregate(
+      HashFunctions.ngramBuckets(text, 1, 2, w.length - 1),
+      lit(w.last), (acc, b) => acc + element_at(wLit, b + 1))
+  }
+
+  /** Score any (id, text) frame — batch or stream — under frozen weights:
+    * (id, score, pred). Pure scan, zero shuffles, zero state.
+    */
+  def gate(
+      df: DataFrame, w: Array[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df
+      .filter(col(textCol).isNotNull)
+      .withColumn("score", scoreText(col(textCol), w))
+      .select(col(idCol).cast("long").as("doc_id"), col("score"),
+        (col("score") > 0).as("pred"))
+
   /** The registered end-to-end query: weak labels from two cheap rule
     * signals (word floor + stopword presence — the annotation a rulebook
     * or an LLM judge would supply at production scale), train on the
