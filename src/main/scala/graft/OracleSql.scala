@@ -1972,6 +1972,24 @@ object OracleSql {
         |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
         |      FROM documents)""".stripMargin,
 
+    // Mixture interleave: per-source hash-order position k, stride key
+    // (2k+1)·10⁶ div (2·bp), global rank by (key, id) — all integers.
+    "q115_mixture_interleave" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 h
+        |  FROM documents),
+        |k AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 k
+        |  FROM h),
+        |ky AS (SELECT doc_id, source,
+        |    ((2*k + 1) * 1000000) // (2 * (CASE
+        |      WHEN source IN ('src0','src1','src2','src3') THEN 1000
+        |      ELSE 375 END)) skey
+        |  FROM k)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY skey, doc_id) - 1 AS ordinal
+        |FROM ky""".stripMargin,
+
     // Reproducible global shuffle order: ordinal by (idHash, id).
     "q80_shuffle_order" ->
       """SELECT doc_id, source,

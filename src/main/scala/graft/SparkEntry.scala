@@ -641,6 +641,15 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "ordinal")),
 
+    // mixture-interleave training order: stride scheduling places each
+    // source's docs at its weight's rate — the head sources (src0-3) at
+    // 1000 bp each, the tail sixteen at 375 bp
+    "q115_mixture_interleave" -> ((s, dir) =>
+      operators.Sampling.mixtureInterleave(
+        Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id",
+        (0 until 20).map(i => ("src" + i, if (i < 4) 1000 else 375)))
+        .select("doc_id", "source", "ordinal")),
+
     // per-source dedup-rate observability: the before/after monitoring
     // table of a dedup pass (|sources| rows)
     "q110_dedup_stats" -> ((s, dir) =>

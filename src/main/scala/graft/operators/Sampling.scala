@@ -254,6 +254,99 @@ object Sampling {
       .drop("__id")
   }
 
+  /** Deterministic MIXTURE INTERLEAVE (SURVEY §2 q115) — the data-mixing
+    * SCHEDULE: q74 decides how MANY docs each source contributes, this
+    * decides WHEN they appear in the training order. Multi-source
+    * training reads sources at fixed rates (the DoReMi/Pile mixture
+    * applied per step, not per corpus); materializing that order makes it
+    * reproducible and resumable (the q80 contract) instead of an
+    * interleaving the reader improvises at run time.
+    *
+    * Stride scheduling (Waldspurger & Weihl 1995): stratum s with weight
+    * `bp_s` basis points places its k-th doc (k = 0-based position in
+    * s's q80 hash order) at key (2k+1)·10⁶ div (2·bp_s) — evenly spaced
+    * strides of 10⁶/bp_s centered on the half-stride, so ANY prefix of
+    * the global (key, id) order holds ≈ L·bp_s/10⁴ docs of s (bounded
+    * lag, spec-asserted ±2), and a stratum that runs out simply stops
+    * contributing. All-long arithmetic: k is exact, the key is one
+    * integer division, ties break on (key, id) — engine-,
+    * partitioning- and run-independent, hash-exact against the SQL twin.
+    *
+    * Scale shape: per-stratum positions AND the global ordinal both run
+    * as (partition key, hash-sub-bucket) windows over driver prefix-sums
+    * — [[curriculumOrder]]'s shape twice, never a single-partition
+    * window. The second stage buckets by KEY RANGE, and stride keys are
+    * uniform by construction (≈ total/maxKey per unit), so its tasks
+    * are balanced at any weight skew. Driver holds strata × `buckets`
+    * count rows (the [[curriculumOrder]] bounded-cardinality contract on
+    * `strataCol`). Overflow-safe to k ≈ 4.6×10¹² docs per stratum.
+    * Returns df + `ordinal` (0-based, dense).
+    */
+  def mixtureInterleave(
+      df: DataFrame, strataCol: String, idCol: String,
+      bp: Seq[(String, Int)], buckets: Int = 256): DataFrame = {
+    require(bp.map(_._2).sum == 10000, "stratum weights must sum to 10000 bp")
+    require(bp.forall(_._2 > 0), "stratum weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = HashMod / buckets + 1
+    val hashed = df.select(
+      col(idCol).cast("long").as("__id"),
+      col(strataCol).cast("string").as("__s"),
+      idHash(col(idCol)).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+      .localCheckpoint()
+    val totals = hashed.groupBy(col("__s"), col("__b"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    if (totals.isEmpty)
+      return df.withColumn("ordinal", lit(0L)).limit(0)
+    val bpMap = bp.toMap
+    val missing = totals.map(_._1._1).distinct.filterNot(bpMap.contains)
+    require(missing.isEmpty, s"no weight for strata: ${missing.mkString(",")}")
+    // per-stratum running starts, reset at each stratum boundary
+    val startRows = {
+      var cur: String = null; var acc = 0L
+      totals.toSeq.map { case ((s, b), t) =>
+        if (s != cur) { cur = s; acc = 0L }
+        val st = acc; acc += t; (s, b, st)
+      }
+    }
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"), col("__b")).orderBy(col("__h"), col("__id"))
+    val keyed = hashed
+      .withColumn("__rn", row_number().over(w1).cast("long"))
+      .join(broadcast(startRows.toDF("__s", "__b", "__start")), Seq("__s", "__b"))
+      .join(broadcast(bp.toDF("__s", "__bp")), Seq("__s"))
+      .withColumn("__k", col("__start") + col("__rn") - 1)
+      .withColumn("__key",
+        expr("((__k * 2L + 1L) * 1000000L) div (CAST(__bp AS BIGINT) * 2L)"))
+    val nByS = totals.groupBy(_._1._1).map { case (s, rs) => s -> rs.map(_._2).sum }
+    val maxKey = nByS.map { case (s, n) =>
+      ((2L * n - 1L) * 1000000L) / (2L * bpMap(s))
+    }.max
+    val kbWidth = maxKey / buckets + 1
+    val keyedB = keyed
+      .withColumn("__kb", expr(s"__key div ${kbWidth}L"))
+      .localCheckpoint()
+    val starts2 = {
+      var acc = 0L
+      keyedB.groupBy(col("__kb")).agg(count(lit(1)).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        .toSeq.map { case (b, t) => val st = acc; acc += t; (b, st) }
+    }
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__kb")).orderBy(col("__key"), col("__id"))
+    df.join(
+      keyedB
+        .withColumn("__rn2", row_number().over(w2).cast("long"))
+        .join(broadcast(starts2.toDF("__kb", "__start2")), Seq("__kb"))
+        .select(col("__id"), (col("__start2") + col("__rn2") - 1).as("ordinal")),
+      col(idCol).cast("long") === col("__id"))
+      .drop("__id")
+  }
+
   def weightedN(
       df: DataFrame, strataCol: String, idCol: String, weightCol: String,
       n: Int): DataFrame = {
