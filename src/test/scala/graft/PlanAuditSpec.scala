@@ -308,4 +308,22 @@ class PlanAuditSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q114 serving path: weights are plan literals, scoring is a ZERO-shuffle scan") {
+    audited {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val w = new Array[Long](1025) // any frozen model; the plan shape is what's audited
+      assert(shuffles(graft.operators.QualityClassifier.gate(docs, w)).isEmpty,
+        "classifier serving is per-row column math; any shuffle is a regression")
+    }
+  }
+
+  test("q115 interleave: both rank stages are bucketed — no single-partition window") {
+    audited {
+      val df = SparkEntry.queries("q115_mixture_interleave")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"global interleave rank fell back to one partition:\n$plan")
+    }
+  }
 }
