@@ -285,6 +285,41 @@ class RobustnessSpec extends SparkTestBase {
     assert(audit.length == 11 && audit.last._3 == 0L)
   }
 
+  test("classifier and interleave tolerate null/empty/one-class/empty-corpus inputs") {
+    import graft.operators.{QualityClassifier, Sampling}
+    // null text filtered; empty text gets the bias + empty-gram features;
+    // single-token and duplicate docs train without incident
+    val feats = QualityClassifier.featurize(
+      messy, length(coalesce($"text", lit(""))) > 10, lit(true))
+    assert(feats.count() == 4) // null-text doc 2 dropped
+    val w = QualityClassifier.train(feats, iters = 2)
+    assert(QualityClassifier.scoreWith(feats, w).count() == 4)
+    // one-class training slice: every update pushes the same way, the
+    // pocket still returns a finite model, scoring crashes nothing
+    val oneClass = QualityClassifier.featurize(messy, lit(true), lit(true))
+    val w1 = QualityClassifier.train(oneClass, iters = 2)
+    assert(QualityClassifier.scoreWith(oneClass, w1).count() == 4)
+    // empty corpus: zero-weight model, empty scoring, no crash
+    val none = messy.filter(lit(false))
+    val fEmpty = QualityClassifier.featurize(none, lit(true), lit(true))
+    assert(QualityClassifier.train(fEmpty, iters = 2).forall(_ == 0L))
+    assert(QualityClassifier.scoreWith(fEmpty, new Array[Long](1025)).count() == 0)
+    assert(QualityClassifier.gate(messy, new Array[Long](1025)).count() == 4)
+
+    // interleave: empty corpus -> empty frame with the ordinal column;
+    // single stratum at full weight reduces to q80's order
+    val empty = Sampling.mixtureInterleave(
+      none.withColumnRenamed("text", "source"), "source", "doc_id",
+      Seq(("a", 10000)))
+    assert(empty.columns.contains("ordinal") && empty.count() == 0)
+    val one = Seq((3L, "a"), (1L, "a"), (2L, "a")).toDF("doc_id", "source")
+    val inter = Sampling.mixtureInterleave(one, "source", "doc_id", Seq(("a", 10000)))
+      .select($"doc_id", $"ordinal").as[(Long, Long)].collect().toMap
+    val q80 = Sampling.shuffleOrder(one, "doc_id")
+      .select($"doc_id", $"ordinal").as[(Long, Long)].collect().toMap
+    assert(inter == q80)
+  }
+
   test("nfcClean: null-through, NFC composition, control strip, keep-list") {
     import graft.plans.StringFunctions.nfcClean
     val rows = Seq(
