@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * {{{
   *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
   *   SELECT minhash_signature(shingles), simhash64(tokens), lsh_buckets(v, 8, 8)
+  *   SELECT shingle_set(text, 3), ngram_buckets(text, 1, 2, 1024), nfc_clean(text)
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -104,5 +105,36 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(s"out_dim must be an int literal, got $other")
         }
         SignProject(args(0), outDim)
+      }),
+    (
+      FunctionIdentifier("shingle_set"),
+      info("shingle_set",
+        "shingle_set(text, n) - single-pass distinct word n-gram shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_set takes (text, n)")
+        ShingleSet(args(0), intLitArg(args(1), "n"))
+      }),
+    (
+      FunctionIdentifier("ngram_buckets"),
+      info("ngram_buckets",
+        "ngram_buckets(text, nmin, nmax, buckets) - hashed bag-of-ngrams bucket ids (non-distinct)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "ngram_buckets takes (text, nmin, nmax, buckets)")
+        NgramBuckets(args(0), intLitArg(args(1), "nmin"),
+          intLitArg(args(2), "nmax"), intLitArg(args(3), "buckets"))
+      }),
+    (
+      FunctionIdentifier("nfc_clean"),
+      info("nfc_clean",
+        "nfc_clean(text) - NFC normalization + control-char strip (the pre-hash canonicalization)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_clean takes 1 argument")
+        NfcClean(args(0))
       }))
+
+  private def intLitArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
 }

@@ -47,4 +47,31 @@ class ExtensionsSpec extends SparkTestBase {
         Array(0.5f, -0.25f, 0.125f)), 4).toDoubleArray().toSeq
     assert(p == ref)
   }
+
+  test("shingle_set / ngram_buckets / nfc_clean from SQL match the kernel paths") {
+    GraftExtensions.register(spark)
+
+    val sh = spark.sql("SELECT shingle_set('a b c b a', 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b c", "c b", "b a"))
+
+    // uni+bi over 3 tokens = 5 non-distinct buckets, same hash as the
+    // DataFrame path (the q90/q114 featurizer)
+    val nb = spark.sql("SELECT ngram_buckets('x y z', 1, 2, 64) AS b")
+      .collect()(0).getSeq[Int](0)
+    assert(nb.length == 5 && nb.forall(b => b >= 0 && b < 64))
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("x y z").toDF("t")
+      .select(graft.plans.HashFunctions.ngramBuckets(col("t"), 1, 2, 64))
+      .collect()(0).getSeq[Int](0)
+    assert(nb == df)
+
+    // decomposed e+U+0301 composes; the BEL control (U+0007) strips
+    val n = spark.sql("SELECT nfc_clean('cafe\u0301 \u0007x') AS n")
+      .collect()(0).getString(0)
+    assert(n == "caf\u00e9 x")
+
+    intercept[Exception](spark.sql("SELECT ngram_buckets('x', 1, 2)").collect())
+  }
 }
