@@ -162,6 +162,29 @@ object QualityClassifier {
       .select(col(idCol).cast("long").as("doc_id"), col("score"),
         (col("score") > 0).as("pred"))
 
+  /** Persist a trained model as a self-contained artifact (the
+    * [[Pq.writeIndex]] discipline): one tiny parquet of (b, w) rows plus
+    * the bucket count, so ANY later session — batch scoring, the
+    * streaming gate, another cluster — rehydrates the exact weights
+    * without retraining. The nightly train job writes it; every consumer
+    * [[readModel]]s it. `buckets`+1 rows regardless of corpus size.
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq
+      .toDF("b", "w").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rehydrate [[writeModel]]'s artifact: one bounded read. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0 until rows.length),
+      s"malformed classifier model at $path")
+    rows.map(_._2)
+  }
+
   /** The registered end-to-end query: weak labels from two cheap rule
     * signals (word floor + stopword presence — the annotation a rulebook
     * or an LLM judge would supply at production scale), train on the

@@ -61,6 +61,24 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(scored(1) == ((1L, -5L, false))) // its own -1 features
   }
 
+  test("model artifact roundtrips and serves identically (batch gate == scoreWith)") {
+    val docs = planted(40)
+    val feats = QualityClassifier
+      .featurize(docs, col("good"), lit(true)).localCheckpoint()
+    val w = QualityClassifier.train(feats, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("qc_model").toString
+    QualityClassifier.writeModel(spark, w, s"$dir/m")
+    val w2 = QualityClassifier.readModel(spark, s"$dir/m")
+    assert(w2.toSeq == w.toSeq)
+    // the per-row serving fold under the rehydrated weights equals the
+    // featurized-path scores doc-for-doc
+    val served = QualityClassifier.gate(docs, w2)
+      .select(col("doc_id"), col("score")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = QualityClassifier.scoreWith(feats, w)
+      .select(col("doc_id"), col("score")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(served == batch)
+  }
+
   test("registered query: trains on even ids, scores every doc, beats the majority class") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val out = QualityClassifier.qualityScores(docs)
