@@ -243,58 +243,60 @@ object OracleSql {
     * always-on bias feature b = `buckets`. MATERIALIZED where a CTE feeds
     * every iteration (the q34 re-evaluation trap).
     */
-  private def perceptronCtes(buckets: Int, iters: Int): String = {
+  private def perceptronCtes(
+      buckets: Int, iters: Int,
+      rel: String = "documents", p: String = "", lead: String = "WITH "): String = {
     val init =
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |lbl AS MATERIALIZED (SELECT doc_id,
+      s"""$lead${p}t AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks
+         |  FROM $rel WHERE text IS NOT NULL),
+         |${p}lbl AS MATERIALIZED (SELECT doc_id,
          |    CASE WHEN len(toks) >= 30 AND len(list_filter(toks, x -> x IN
          |      ('the','a','of','to','and','in','is','on'))) >= 2
          |    THEN 1 ELSE -1 END y,
-         |    doc_id % 2 = 0 is_train FROM t),
-         |gm AS (SELECT doc_id, unnest(list_concat(toks,
+         |    doc_id % 2 = 0 is_train FROM ${p}t),
+         |${p}gm AS (SELECT doc_id, unnest(list_concat(toks,
          |    [toks[i] || ' ' || toks[i+1]
-         |     for i in range(1, greatest(len(toks),1))])) gram FROM t),
-         |fx AS (SELECT doc_id,
+         |     for i in range(1, greatest(len(toks),1))])) gram FROM ${p}t),
+         |${p}fx AS (SELECT doc_id,
          |    CAST(list_reduce(list_transform(string_split(gram,''),
          |        c -> ascii(c)::BIGINT), (a,b) -> (a*31+b)%1000000007)
-         |      % $buckets AS INT) b FROM gm),
-         |dc AS MATERIALIZED (
-         |  SELECT doc_id, b, count(*)::BIGINT cnt FROM fx GROUP BY 1, 2
-         |  UNION ALL SELECT doc_id, $buckets, 1 FROM t),
-         |w0 AS (SELECT unnest(range(0, ${buckets + 1}))::INT b, 0::BIGINT w)""".stripMargin
+         |      % $buckets AS INT) b FROM ${p}gm),
+         |${p}dc AS MATERIALIZED (
+         |  SELECT doc_id, b, count(*)::BIGINT cnt FROM ${p}fx GROUP BY 1, 2
+         |  UNION ALL SELECT doc_id, $buckets, 1 FROM ${p}t),
+         |${p}w0 AS (SELECT unnest(range(0, ${buckets + 1}))::INT b, 0::BIGINT w)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""s$i AS MATERIALIZED (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
-         |  FROM dc d JOIN lbl l USING (doc_id) JOIN w${i - 1} w ON w.b = d.b
+      s"""${p}s$i AS MATERIALIZED (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
+         |  FROM ${p}dc d JOIN ${p}lbl l USING (doc_id) JOIN ${p}w${i - 1} w ON w.b = d.b
          |  WHERE l.is_train GROUP BY 1, 2),
-         |u$i AS (SELECT d.b, sum(l.y * d.cnt)::BIGINT gr
-         |  FROM dc d JOIN lbl l USING (doc_id) JOIN s$i s ON s.doc_id = d.doc_id
+         |${p}u$i AS (SELECT d.b, sum(l.y * d.cnt)::BIGINT gr
+         |  FROM ${p}dc d JOIN ${p}lbl l USING (doc_id) JOIN ${p}s$i s ON s.doc_id = d.doc_id
          |  WHERE s.y * s.sc <= 0 GROUP BY 1),
-         |w$i AS MATERIALIZED (SELECT p.b, p.w + coalesce(u.gr, 0) w
-         |  FROM w${i - 1} p LEFT JOIN u$i u USING (b))""".stripMargin
+         |${p}w$i AS MATERIALIZED (SELECT q.b, q.w + coalesce(u.gr, 0) w
+         |  FROM ${p}w${i - 1} q LEFT JOIN ${p}u$i u USING (b))""".stripMargin
     }
     // Pocket pick (Gallant 1990, exactly the Spark loop): err_t = the
     // misclassified-train count under w_t (scored by s_{t+1}; one extra
     // scoring CTE covers the last iterate), winner = smallest err,
     // earliest t on ties.
     val lastScore =
-      s"""s${iters + 1} AS (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
-         |  FROM dc d JOIN lbl l USING (doc_id) JOIN w$iters w ON w.b = d.b
+      s"""${p}s${iters + 1} AS (SELECT d.doc_id, l.y, sum(w.w * d.cnt)::BIGINT sc
+         |  FROM ${p}dc d JOIN ${p}lbl l USING (doc_id) JOIN ${p}w$iters w ON w.b = d.b
          |  WHERE l.is_train GROUP BY 1, 2)""".stripMargin
     val errs = (1 to iters + 1)
-      .map(i => s"SELECT ${i - 1} t, count(*) FILTER (WHERE y * sc <= 0) c FROM s$i")
-      .mkString("es AS (", " UNION ALL ", ")")
+      .map(i => s"SELECT ${i - 1} t, count(*) FILTER (WHERE y * sc <= 0) c FROM ${p}s$i")
+      .mkString(s"${p}es AS (", " UNION ALL ", ")")
     val ws = (0 to iters)
-      .map(i => s"SELECT $i t, b, w FROM w$i")
-      .mkString("ws AS (", " UNION ALL ", ")")
+      .map(i => s"SELECT $i t, b, w FROM ${p}w$i")
+      .mkString(s"${p}ws AS (", " UNION ALL ", ")")
     val fin =
       s"""$lastScore,
          |$errs,
          |$ws,
-         |tb AS (SELECT t FROM es ORDER BY c, t LIMIT 1),
-         |wb AS (SELECT b, w FROM ws JOIN tb USING (t)),
-         |fsc AS (SELECT d.doc_id, sum(w.w * d.cnt)::BIGINT score
-         |  FROM dc d JOIN wb w ON w.b = d.b GROUP BY 1)""".stripMargin
+         |${p}tb AS (SELECT t FROM ${p}es ORDER BY c, t LIMIT 1),
+         |${p}wb AS (SELECT b, w FROM ${p}ws JOIN ${p}tb USING (t)),
+         |${p}fsc AS (SELECT d.doc_id, sum(w.w * d.cnt)::BIGINT score
+         |  FROM ${p}dc d JOIN ${p}wb w ON w.b = d.b GROUP BY 1)""".stripMargin
     (init +: steps :+ fin).mkString(",\n")
   }
 
@@ -1043,7 +1045,8 @@ object OracleSql {
          |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
          |       ELSE 'test' END split
          |FROM (SELECT doc_id, split_key,
-         |  ((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |  (((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |      * 48271 + 11) % 2147483647
          |    * 10000 // 2147483647 bp FROM k)""".stripMargin,
 
     "q35_stratified_sample" ->
@@ -1242,7 +1245,8 @@ object OracleSql {
          |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
          |       ELSE 'test' END split
          |  FROM (SELECT doc_id,
-         |    ((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |    (((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |        * 48271 + 11) % 2147483647
          |      * 10000 // 2147483647 bp FROM k))
          |SELECT CAST(0 AS INT) stage_idx, 'input' stage, (SELECT count(*) FROM documents) n_docs
          |UNION ALL SELECT 1, 'normalize', (SELECT count(*) FROM s0)
@@ -1255,6 +1259,91 @@ object OracleSql {
          |UNION ALL SELECT 8, 'split_train', (SELECT count(*) FROM sp WHERE split = 'train')
          |UNION ALL SELECT 9, 'split_val', (SELECT count(*) FROM sp WHERE split = 'val')
          |UNION ALL SELECT 10, 'split_test', (SELECT count(*) FROM sp WHERE split = 'test')""".stripMargin
+    },
+
+    // The full v3 chain: the v2 CTEs with the pc-prefixed perceptron
+    // block gating between repetition and dedup, and the stride-interleave
+    // checksum over the train split as the final row.
+    "q47c_corpus_pipeline_v3" -> {
+      val c = graft.pipelines.CorpusPipeline.Config()
+      val bpCase = c.interleaveBp
+        .map { case (s, b) => s"WHEN source = '$s' THEN $b" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH RECURSIVE
+         |n0 AS (SELECT * REPLACE (regexp_replace(nfc_normalize(text),
+         |  '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]', '', 'g')
+         |  AS text) FROM documents),
+         |s0 AS (SELECT * FROM n0
+         |  WHERE len(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+         |s1 AS (SELECT * FROM s0
+         |  WHERE len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0),
+         |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= ${c.minTokens}),
+         |rw AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM s2),
+         |rc AS (SELECT doc_id, tok, count(*) cnt FROM rw GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, round(max(cnt) / sum(cnt)::DOUBLE, 6) topf
+         |  FROM rc GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 JOIN ra USING (doc_id)
+         |  WHERE topf <= ${c.maxTopWordFrac}),
+         |${perceptronCtes(c.clsBuckets, c.clsIters, rel = "s3", p = "pc", lead = "")},
+         |s4 AS (SELECT s3.* FROM s3 JOIN pcfsc f USING (doc_id)
+         |  WHERE f.score > 0),
+         |s5 AS (SELECT * FROM s4 QUALIFY row_number() OVER (
+         |  PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |  ORDER BY doc_id) = 1),
+         |${jaccardPairCteOver("s5")},
+         |pr AS MATERIALIZED (SELECT id_a, id_b FROM p
+         |  WHERE jaccard >= ${c.jaccardThreshold}),
+         |edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |cc(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b),
+         |comp AS (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
+         |  FROM s5),
+         |ranked AS (SELECT c2.id doc_id, c2.component,
+         |    row_number() OVER (PARTITION BY c2.component
+         |      ORDER BY t.n_tokens DESC, c2.id) rn
+         |  FROM comp c2 JOIN tok t ON t.doc_id = c2.id),
+         |s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT id FROM comp)
+         |  OR doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)),
+         |s7 AS (SELECT * FROM s6 QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+         |    doc_id) <= ${c.samplePerSource}),
+         |k AS (SELECT s7.doc_id, coalesce(c3.component, s7.doc_id) split_key
+         |  FROM s7 LEFT JOIN comp c3 ON c3.id = s7.doc_id),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+         |       ELSE 'test' END split
+         |  FROM (SELECT doc_id,
+         |    (((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |        * 48271 + 11) % 2147483647
+         |      * 10000 // 2147483647 bp FROM k)),
+         |tr AS (SELECT s7.doc_id, s7.source,
+         |    ((s7.doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 h
+         |  FROM s7 JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+         |ik AS (SELECT doc_id, h, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 kk
+         |  FROM tr),
+         |iy AS (SELECT doc_id, h,
+         |    ((2*kk + 1) * 1000000) // (2 * ($bpCase)) skey FROM ik),
+         |io AS (SELECT doc_id, h,
+         |    row_number() OVER (ORDER BY skey, doc_id) - 1 ordinal FROM iy)
+         |SELECT CAST(0 AS INT) stage_idx, 'input' stage, (SELECT count(*) FROM documents) n_docs
+         |UNION ALL SELECT 1, 'normalize', (SELECT count(*) FROM s0)
+         |UNION ALL SELECT 2, 'lang', (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 4, 'repetition', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 5, 'classifier', (SELECT count(*) FROM s4)
+         |UNION ALL SELECT 6, 'exact_dedup', (SELECT count(*) FROM s5)
+         |UNION ALL SELECT 7, 'canonical', (SELECT count(*) FROM s6)
+         |UNION ALL SELECT 8, 'sample', (SELECT count(*) FROM s7)
+         |UNION ALL SELECT 9, 'split_train', (SELECT count(*) FROM sp WHERE split = 'train')
+         |UNION ALL SELECT 10, 'split_val', (SELECT count(*) FROM sp WHERE split = 'val')
+         |UNION ALL SELECT 11, 'split_test', (SELECT count(*) FROM sp WHERE split = 'test')
+         |UNION ALL SELECT 12, 'interleave_train_xor',
+         |  (SELECT coalesce(bit_xor(h * (ordinal + 1)), 0) FROM io)""".stripMargin
     },
 
     // Bloom gate: the true semi-join count is recomputed; the filter's
@@ -1926,7 +2015,8 @@ object OracleSql {
         |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
         |       ELSE 'test' END split
         |FROM (SELECT doc_id, source,
-        |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |  (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |      * 48271 + 11) % 2147483647
         |    * 10000 // 2147483647 bp FROM documents)""".stripMargin,
 
     // Per-source dedup rates: q20's normalization for the exact side,

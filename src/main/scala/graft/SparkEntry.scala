@@ -367,6 +367,12 @@ object SparkEntry {
     "q47b_corpus_pipeline_v2" -> ((s, dir) =>
       pipelines.CorpusPipeline.auditCountsV2(Tables.documents(s, dir))),
 
+    // the FULL production chain: v2 + the trained classifier gate after
+    // the rule stages, and the train split's mixture-interleave order
+    // pinned as a bit_xor checksum row
+    "q47c_corpus_pipeline_v3" -> ((s, dir) =>
+      pipelines.CorpusPipeline.auditCountsV3(Tables.documents(s, dir))),
+
     // bloom-filter semi-join reduction (runtime-filter pattern), gated:
     // exact semi-join count + no-false-negatives + bounded-fp booleans
     "q46_bloom_prefilter" -> ((s, dir) => {

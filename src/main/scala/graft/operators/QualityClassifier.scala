@@ -191,15 +191,24 @@ object QualityClassifier {
     * even-id half, score EVERY doc — FineWeb-Edu's exact shape (450k
     * annotations → a classifier → 15T tokens scored).
     */
+  /** The registered weak-label rule: word floor + stopword presence over
+    * `textCol` — shared by [[qualityScores]] and the v3 corpus pipeline so
+    * the two surfaces can never drift from their common oracle formula.
+    */
+  def ruleWeakLabel(
+      textCol: Column, minWords: Int = 30, minStop: Int = 2): Column = {
+    val toks = split(textCol, " ")
+    val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+    (size(toks) >= minWords) &&
+      size(filter(toks, t => t.isInCollection(stopwords))) >= minStop
+  }
+
   def qualityScores(
       docs: DataFrame, buckets: Int = 1024, iters: Int = 20,
       minWords: Int = 30, minStop: Int = 2): DataFrame = {
-    val toks = split(col("text"), " ")
-    val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
-    val weakLabel = (size(toks) >= minWords) &&
-      size(filter(toks, t => t.isInCollection(stopwords))) >= minStop
     val feats = featurize(
-      docs, weakLabel, pmod(col("doc_id"), lit(2)) === 0,
+      docs, ruleWeakLabel(col("text"), minWords, minStop),
+      pmod(col("doc_id"), lit(2)) === 0,
       buckets = buckets).localCheckpoint()
     scoreWith(feats, train(feats, buckets, iters))
   }

@@ -141,21 +141,37 @@ object Sampling {
     * run needs to be REPRODUCIBLE and leak-free: a document's split is a
     * pure function of its id (not of partitioning, sampling order, or the
     * rest of the corpus), so reruns, backfills, and incremental ingest
-    * can never move a doc across the eval boundary. The id-hash maps to a
-    * basis-point bucket (h·10⁴ div M ∈ [0, 10⁴)); cumulative fraction
-    * thresholds cut it. Zero shuffles — a per-row expression.
+    * can never move a doc across the eval boundary. The split hash is
+    * [[idHash]] composed with a SECOND, DIFFERENT-multiplier LCG step
+    * (Park–Miller MINSTD 48271) — deliberate DOMAIN SEPARATION from the
+    * single-application hash every rank-sampler orders by: a pipeline
+    * that samples by idHash rank and then splits on the same hash keeps
+    * exactly the low-hash tail, so the whole sample lands below the
+    * train threshold (measured live composing `stratifiedN` → split at
+    * sf0.1: 299/1/0 instead of ~240/30/30). Re-applying the SAME
+    * multiplier does NOT fix it — dense consecutive ids put the
+    * low-hash winners on the LCG's lattice (three-distance structure),
+    * and the same multiplier maps that lattice onto itself (measured:
+    * 300/0/0) — while the MINSTD second stage spreads the same winners
+    * 242/28/30. The composed h maps to a basis-point bucket
+    * (h₂·10⁴ div M ∈ [0, 10⁴)); cumulative fraction thresholds cut it.
+    * Zero shuffles — a per-row expression.
     *
     * `fractions` are (label, basis points) in assignment order and must
     * sum to 10000 (exact integer bookkeeping, no float thresholds).
     */
+  val HashMulSplit: Long = 48271L // Park–Miller MINSTD, full period mod M
+  val HashAddSplit: Long = 11L
+
   def assignSplits(
       df: DataFrame, idCol: String,
       fractions: Seq[(String, Int)] =
         Seq(("train", 8000), ("val", 1000), ("test", 1000))): DataFrame = {
     require(fractions.map(_._2).sum == 10000, "fractions must sum to 10000 bp")
+    // h1 < M, so h1·48271 + 11 ≪ 2⁶³ — no pre-reduction needed
     val bp = expr(
-      s"(pmod(pmod(CAST(`$idCol` AS BIGINT), ${HashMod}L) * ${HashMulA}L + ${HashAddB}L, ${HashMod}L)" +
-        s" * 10000L) div ${HashMod}L")
+      s"(pmod(pmod(pmod(CAST(`$idCol` AS BIGINT), ${HashMod}L) * ${HashMulA}L + ${HashAddB}L, ${HashMod}L)" +
+        s" * ${HashMulSplit}L + ${HashAddSplit}L, ${HashMod}L) * 10000L) div ${HashMod}L")
     val cuts = fractions.scanLeft(0)(_ + _._2).tail
     val label = fractions.zip(cuts).init.foldRight(lit(fractions.last._1): Column) {
       case (((name, _), cut), rest) => when(bp < cut, name).otherwise(rest)

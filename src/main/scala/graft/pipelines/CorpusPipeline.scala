@@ -38,7 +38,12 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.7,
       samplePerSource: Int = 15,
       dropPplTail: Boolean = false,
-      pplTailQuantile: Double = 2.0 / 3)
+      pplTailQuantile: Double = 2.0 / 3,
+      // v3 knobs: the trained classifier gate and the interleave weights
+      clsBuckets: Int = 1024,
+      clsIters: Int = 10,
+      interleaveBp: Seq[(String, Int)] =
+        (0 until 20).map(i => ("src" + i, if (i < 4) 1000 else 375)))
 
   /** Stage DataFrames, each the survivors of the previous stage. `docs`
     * must carry (doc_id, text, source). Heavier stages are
@@ -181,4 +186,99 @@ object CorpusPipeline {
     */
   def auditCountsV2(docs: DataFrame, cfg: Config = Config()): DataFrame =
     audit(docs, stagesV2(docs, cfg, checkpoint = true))
+
+  /** The FULL production chain (SURVEY §2 q47c) — [[stagesV2]] plus the
+    * library's two learned/ordering stages, closing the recipe:
+    *
+    *   5. TRAINED classifier gate (q114): rule weak-labels on the
+    *      rule-stage survivors, pocket perceptron trained on the even-id
+    *      half IN the pipeline, every survivor scored, pred-true kept —
+    *      the FineWeb-Edu shape with the annotation rule inlined
+    *   9.–11. leak-safe splits (as v2)
+    *   12. mixture-INTERLEAVE the train split (q115) and emit its exact
+    *       (doc, ordinal) assignment as ONE bit_xor checksum row — the
+    *       training ORDER is part of the recipe, so the audit pins it,
+    *       not just the membership counts
+    *
+    * The checksum row's `n_docs` holds bit_xor(idHash(doc)·(ordinal+1))
+    * over the train split (0 when empty) — order-insensitive to compute,
+    * yet any single mis-ordered doc flips it; the DuckDB twin recomputes
+    * it from the same stride formula.
+    */
+  private def stagesV3(
+      docs: DataFrame, cfg: Config,
+      checkpoint: Boolean): (Seq[(String, DataFrame)], DataFrame) = {
+    import graft.operators.QualityClassifier
+    val normed = docs.withColumn(
+      "text", graft.plans.StringFunctions.nfcClean(col("text")))
+    val s0 = normed.filter(length(trim(col("text"), " \t\n\r")) > 0)
+    val s1 = s0.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
+    val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
+    val passRep = Repetition.signals(s2, "doc_id", "text")
+      .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
+      .select("doc_id")
+    val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
+    // always materialized: the classifier ITERATES over it
+    val s3 = s3raw.localCheckpoint()
+    val feats = QualityClassifier.featurize(
+      s3, QualityClassifier.ruleWeakLabel(col("text")),
+      pmod(col("doc_id").cast("long"), lit(2)) === 0,
+      buckets = cfg.clsBuckets).localCheckpoint()
+    val w = QualityClassifier.train(feats, cfg.clsBuckets, cfg.clsIters)
+    val keepCls = QualityClassifier.scoreWith(feats, w)
+      .filter(col("pred")).select("doc_id")
+    val s4raw = s3.join(keepCls, Seq("doc_id"), "left_semi")
+    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val s5raw = Dedup.exactSurvivors(s4, "doc_id", "text")
+    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
+    val compRaw = Dedup.connectedComponents(
+      Dedup.minHashPairs(s5, "doc_id", "text", threshold = cfg.jaccardThreshold),
+      "id_a", "id_b")
+    val comp = if (checkpoint) compRaw.localCheckpoint() else compRaw
+    val keepIds = Dedup.canonicalPicksFrom(s5, "doc_id", "text", comp)
+      .filter(col("keep")).select(col("doc_id"))
+    val unclustered = s5.select(col("doc_id").cast("long").as("doc_id"))
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val s6raw = s5.join(
+      unclustered.union(keepIds).withColumnRenamed("doc_id", "__keep"),
+      s5("doc_id").cast("long") === col("__keep"), "left_semi")
+    val s6 = if (checkpoint) s6raw.localCheckpoint() else s6raw
+    val keep = Sampling.stratifiedN(
+      s6.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
+      .select("doc_id")
+    val s7raw = s6.join(keep, Seq("doc_id"), "left_semi")
+    val s7 = if (checkpoint) s7raw.localCheckpoint() else s7raw
+    val splits = Dedup.leakageSafeSplitsFrom(s7, "doc_id", comp)
+    val sp = if (checkpoint) splits.localCheckpoint() else splits
+    val trainDocs = s7.join(
+      sp.filter(col("split") === "train")
+        .select(col("doc_id").cast("long").as("__tid")),
+      s7("doc_id").cast("long") === col("__tid"), "left_semi")
+      .select(col("doc_id"), col("source"))
+    val ord = Sampling.mixtureInterleave(
+      trainDocs, "source", "doc_id", cfg.interleaveBp)
+    val stages =
+      Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3,
+        "classifier" -> s4, "exact_dedup" -> s5, "canonical" -> s6,
+        "sample" -> s7) ++
+        Seq("train", "val", "test").map(l =>
+          s"split_$l" -> sp.filter(col("split") === l))
+    (stages, ord)
+  }
+
+  /** Per-stage audit for the full v3 chain: the v2 rows plus ONE
+    * interleave-checksum row pinning the train split's exact training
+    * order (see [[stagesV3]]).
+    */
+  def auditCountsV3(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (st, ord) = stagesV3(docs, cfg, checkpoint = true)
+    val checksum = ord.select(
+      (Sampling.idHash(col("doc_id")) * (col("ordinal") + 1)).as("x"))
+      .agg(coalesce(expr("bit_xor(x)"), lit(0L)).as("n_docs"))
+      .select(
+        lit(st.size + 1).cast("int").as("stage_idx"),
+        lit("interleave_train_xor").as("stage"),
+        col("n_docs"))
+    audit(docs, st).unionAll(checksum)
+  }
 }

@@ -91,6 +91,69 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(row11 == 11L)
   }
 
+  test("v3 chain: the trained gate drops the held-out junk doc; checksum pins the train order") {
+    def pool(tag: String) = (1 to 24).map(j => s"$tag$j").mkString(" ")
+    def good(p: String, extra: String = "") =
+      ("the a of to and in is on " + p + extra).trim
+    val docs = Seq(
+      (1L, good(pool("pa"), " una"), "s1"), // held-out good: stopword features carry it
+      (2L, good(pool("pb")), "s1"),         // train positive
+      (3L, "the qz1 qz2 qz3 qz4 qz5 qz6 qz7", "s1"), // HELD junk: the classifier's planted drop
+      (4L, "the qz1 qz2 qz3 qz4 qz5 qz6 qz8", "s2"), // train negative (shared junk vocab)
+      (5L, "beta gamma delta epsilon", "s1"), // no stopword -> lang drop
+      (6L, "the a of", "s1"),                // 3 tokens -> quality drop
+      (7L, "the x x x x x", "s1"),           // top word 5/6 -> repetition drop
+      (8L, good(pool("pc")), "s2"),          // train positive, near-dup SHORTER member
+      (9L, good(pool("pc"), " zz yy"), "s2"), // near dup of 8 (J~0.94), longest -> canonical pick
+      (10L, good(pool("pb")), "s1"),         // exact dup of 2 -> dedup drop
+      (11L, "", "s1"),                 // control chars only -> normalize drop
+      (12L, good(pool("pd")), "s2"))         // train positive
+      .toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 4, maxTopWordFrac = 0.5, jaccardThreshold = 0.6,
+      samplePerSource = 3, clsIters = 5,
+      interleaveBp = Seq(("s1", 6000), ("s2", 4000)))
+
+    val audit = CorpusPipeline.auditCountsV3(docs, cfg)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(audit.map(t => (t._1, t._2)) == Seq(
+      0 -> "input", 1 -> "normalize", 2 -> "lang", 3 -> "quality",
+      4 -> "repetition", 5 -> "classifier", 6 -> "exact_dedup",
+      7 -> "canonical", 8 -> "sample", 9 -> "split_train", 10 -> "split_val",
+      11 -> "split_test", 12 -> "interleave_train_xor"))
+    val byName = audit.map(t => t._2 -> t._3).toMap
+    assert(byName("input") == 12L)
+    assert(byName("normalize") == 11L)
+    assert(byName("quality") == 9L)
+    assert(byName("repetition") == 8L)
+    // the gate: junk docs 3 (held-out!) and 4 (training negative) both
+    // score negative — the learned stage generalizes past its slice
+    assert(byName("classifier") == 6L)
+    assert(byName("exact_dedup") == 5L) // 10 is 2's verbatim twin
+    assert(byName("canonical") == 4L)   // cluster {8,9}: longest (9) kept
+    assert(byName("sample") == 4L)
+    assert(byName("split_train") + byName("split_val") + byName("split_test") == 4L)
+
+    // the checksum row equals an independent recomputation over the
+    // expected survivors' train slice (split keys: 9 keys by its
+    // component = min(8,9) = 8; the rest by their own ids)
+    val keys = Map(1L -> 1L, 2L -> 2L, 9L -> 8L, 12L -> 12L)
+    val srcOf = Map(1L -> "s1", 2L -> "s1", 9L -> "s2", 12L -> "s2")
+    val splitOf = operators.Sampling.assignSplits(
+      keys.values.toSeq.distinct.map(Tuple1(_)).toDF("k"), "k")
+      .as[(Long, String)].collect().toMap
+    val trainIds = keys.collect { case (id, k) if splitOf(k) == "train" => id }.toSeq
+    val expected =
+      if (trainIds.isEmpty) 0L
+      else operators.Sampling.mixtureInterleave(
+        trainIds.map(id => (id, srcOf(id))).toDF("doc_id", "source"),
+        "source", "doc_id", cfg.interleaveBp)
+        .select((operators.Sampling.idHash($"doc_id") * ($"ordinal" + 1)).as("x"))
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(x)")).as[Long].collect().head
+    assert(byName("interleave_train_xor") == expected,
+      s"train slice $trainIds checksum mismatch")
+  }
+
   test("optional perplexity stage drops the planted gibberish, default chain unchanged") {
     // one source, many similar docs + one OOV-gibberish doc that passes
     // lang/quality/repetition but is unlike the corpus majority
