@@ -64,9 +64,21 @@ object Sampling {
     * under fraction × HashMod. Deterministic; expected fraction per
     * stratum without grouping.
     */
+  /** Domain-separated THRESHOLD hash: [[idHash]] composed with a MINSTD
+    * second stage (see [[assignSplits]] for the measured failure mode) —
+    * every cut-below-a-threshold selection (splits, fractions) uses this,
+    * never raw [[idHash]], so a cut can never correlate with the
+    * idHash-RANK selections the samplers make.
+    */
+  def cutHash(id: Column): Column =
+    pmod(idHash(id) * HashMulSplit + HashAddSplit, lit(HashMod))
+
   def hashFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    df.filter(idHash(col(idCol)) < lit((fraction * HashMod).toLong))
+    // cutHash, not idHash: composed after a rank-sampler, a raw-idHash cut
+    // keeps ~ALL of the sample below the threshold instead of `fraction`
+    // of it (the winners ARE the low-idHash tail)
+    df.filter(cutHash(col(idCol)) < lit((fraction * HashMod).toLong))
   }
 
   /** Weighted sample of `n` rows per stratum, deterministic AND

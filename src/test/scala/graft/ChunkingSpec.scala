@@ -81,6 +81,20 @@ class ChunkingSpec extends SparkTestBase {
     }
   }
 
+  test("hashFraction composed after a rank-sampler keeps ~fraction of the sample") {
+    // 2000 docs, one source; sample the 400 lowest-idHash docs (what every
+    // rank-sampler selects), then cut 20% — a raw-idHash cut would keep
+    // ALL 400 (the winners ARE the low-hash tail); the domain-separated
+    // cut must keep ~80
+    val docs = (0L until 2000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val sampled = Sampling.stratifiedN(docs, "source", "doc_id", 400)
+    val kept = Sampling.hashFraction(sampled, "doc_id", 0.2).count()
+    assert(kept > 50 && kept < 110, s"cut kept $kept of 400 (want ~80)")
+    // and on the full corpus the fraction is still honest
+    val whole = Sampling.hashFraction(docs, "doc_id", 0.2).count()
+    assert(whole > 320 && whole < 480, s"whole-corpus cut kept $whole of 2000")
+  }
+
   test("shuffle order equals the single-window reference and permutes 0..n-1") {
     val ids = Seq(3L, 900000007L, 17L, 42L, 5L, 123456789L, 0L, 2147483646L)
       .map(Tuple1(_)).toDF("doc_id")
