@@ -202,13 +202,26 @@ object Sampling {
     * ranges (value-based, no sampled boundaries), one row_number window
     * per bucket, bucket counts prefix-scanned on the driver (bounded: one
     * row per bucket), starts broadcast back. Returns df + `ordinal`.
+    *
+    * `epoch` gives multi-epoch training a FRESH reproducible order per
+    * pass: the sort key is idHash composed with `epoch` MINSTD steps
+    * (epoch 0 = the oracled base order). Each extra step is a fixed
+    * order-destroying bijection mod M — an AFFINE salt (`+ e·Δ` on the
+    * hash or the id) would NOT work: adding mod M only rotates the
+    * circle, so consecutive "epochs" would replay almost the same order
+    * with one cut point moved.
     */
-  def shuffleOrder(df: DataFrame, idCol: String, buckets: Int = 256): DataFrame = {
+  def shuffleOrder(
+      df: DataFrame, idCol: String, buckets: Int = 256,
+      epoch: Int = 0): DataFrame = {
+    require(epoch >= 0, "epoch must be non-negative")
     val spark = df.sparkSession
     import spark.implicits._
     val width = HashMod / buckets + 1
+    val he = (0 until epoch).foldLeft(idHash(col(idCol)))((h, _) =>
+      pmod(h * HashMulSplit + HashAddSplit, lit(HashMod)))
     val hashed = df.select(
-      col(idCol).cast("long").as("__id"), idHash(col(idCol)).as("__h"))
+      col(idCol).cast("long").as("__id"), he.as("__h"))
       .withColumn("__b", expr(s"__h div ${width}L"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__h"), col("__id"))

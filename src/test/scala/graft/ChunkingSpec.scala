@@ -81,6 +81,24 @@ class ChunkingSpec extends SparkTestBase {
     }
   }
 
+  test("epoch-salted shuffle: fresh permutation per epoch, epoch 0 is the base order") {
+    val ids = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
+    def order(e: Int) = Sampling.shuffleOrder(ids, "doc_id", buckets = 16, epoch = e)
+      .select("doc_id", "ordinal").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    val e0 = order(0); val e1 = order(1); val e2 = order(2)
+    assert(e0 == order(0)) // reproducible
+    assert(e0 == Sampling.shuffleOrder(ids, "doc_id", buckets = 16)
+      .select("doc_id", "ordinal").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).toSeq) // epoch 0 = the oracled base order
+    // every epoch is a full permutation, and consecutive epochs genuinely
+    // reshuffle (an affine salt would replay ~the same order rotated):
+    // the first 40 positions of neighboring epochs share few docs
+    Seq(e0, e1, e2).foreach(e => assert(e.sorted == (0L until 400L)))
+    assert(e0.take(40).toSet.intersect(e1.take(40).toSet).size < 15)
+    assert(e1.take(40).toSet.intersect(e2.take(40).toSet).size < 15)
+  }
+
   test("hashFraction composed after a rank-sampler keeps ~fraction of the sample") {
     // 2000 docs, one source; sample the 400 lowest-idHash docs (what every
     // rank-sampler selects), then cut 20% — a raw-idHash cut would keep
