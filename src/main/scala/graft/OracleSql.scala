@@ -827,6 +827,30 @@ object OracleSql {
         |  round(sum(CAST(lr AS DECIMAL(12,6)) * cnt), 4)::DOUBLE log_weight
         |FROM dc JOIN lr USING (b) GROUP BY 1""".stripMargin,
 
+    // Banding calibration: brute jaccard deciles over the id<1000
+    // subsample, analytic rate by fixed-order multiply/square chains (no
+    // pow), measured rate pinned via the TRUE-gate convention (q24b) —
+    // the oracle cannot re-derive the 2^64-wraparound signature.
+    "q116_banding_calibration" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE doc_id < 1000),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
+        |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t),
+        |se AS (SELECT * FROM s WHERE len(sh) > 0),
+        |pj AS (SELECT round(len(list_intersect(a.sh,b.sh))::DOUBLE
+        |    /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))),4) j
+        |  FROM se a JOIN se b ON a.doc_id < b.doc_id),
+        |px AS (SELECT least(floor(j*10), 9)::INT decile,
+        |    CAST(round(1.0 - x5, 6) AS DECIMAL(10,6)) p
+        |  FROM (SELECT j, x4*x4 x5 FROM (SELECT j, x3*x3 x4
+        |    FROM (SELECT j, x2*x2 x3 FROM (SELECT j, x1*x1 x2
+        |      FROM (SELECT j, x0*x0 x1
+        |        FROM (SELECT j, 1.0 - ((j*j)*j)*j x0 FROM pj)))))))
+        |SELECT decile, count(*)::BIGINT n_pairs,
+        |  round(CAST(sum(p) AS DOUBLE)/count(*), 4) analytic_rate,
+        |  TRUE gate_ok
+        |FROM px GROUP BY 1""".stripMargin,
+
     // Model-based quality filter: batch perceptron unrolled — exact long
     // scores, integer comparisons, hash-exact by construction.
     "q114_quality_classifier" ->

@@ -667,6 +667,12 @@ object SparkEntry {
     "q114_quality_classifier" -> ((s, dir) =>
       operators.QualityClassifier.qualityScores(Tables.documents(s, dir))),
 
+    // banding calibration gate: per exact-jaccard decile on a bounded
+    // subsample, the analytic catch rate of the (32, 4) banding and a
+    // gate that the measured signature pipeline tracks it
+    "q116_banding_calibration" -> ((s, dir) =>
+      operators.Dedup.bandingCalibration(Tables.documents(s, dir), "doc_id", "text")),
+
     // NFC + control-strip normalization: the canonical pre-hash cleanup
     // (decomposed accents / stray controls make identical text hash
     // differently); scan-shaped, zero shuffles

@@ -498,6 +498,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash BANDING CALIBRATION gate (SURVEY §2 q116) — the tuning table
+    * you run on a SUBSAMPLE before committing (bands, rowsPerBand) to a
+    * 100 TB pass: per exact-Jaccard decile, the pair count, the analytic
+    * catch probability 1 − (1 − s^r)^b of the banding scheme, and a gate
+    * asserting the MEASURED catch rate of the real signature pipeline
+    * tracks the analytic curve. A banding whose measured S-curve drifts
+    * from theory (broken hash family, wrong slicing) is caught here on
+    * thousands of docs, not discovered as silent recall loss on billions.
+    *
+    * Bounded like q99b: both sides restrict to `id < maxId`, so the
+    * brute-force pair table is O(maxId²) at ANY corpus scale — the gate's
+    * cost is a constant, not a function of the corpus.
+    *
+    * Cross-engine: decile, n_pairs and analytic_rate are oracle-exact —
+    * the analytic rate avoids `pow` entirely (r−1 multiplications then
+    * log₂(bands) squarings in fixed IEEE order, `bands` must be a power
+    * of two; per-pair p rounds 6 dp, the decile mean accumulates as
+    * DECIMAL — the q90 discipline). The measured rate rides only inside
+    * `gate_ok` (the q24b `TRUE recall_ok` convention: the oracle cannot
+    * re-derive the 2⁶⁴-wraparound signature, so it pins the boolean);
+    * `detail = true` adds the raw measured columns for interactive
+    * tuning (not oracle-comparable). Small deciles (< minPairs) pass
+    * unconditionally — a 3-pair decile's empirical rate is noise.
+    */
+  def bandingCalibration(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      maxId: Long = 1000, tolerance: Double = 0.15, minPairs: Long = 30,
+      detail: Boolean = false): DataFrame = {
+    require(bands > 0 && (bands & (bands - 1)) == 0,
+      "bands must be a power of two (analytic rate computed by squaring)")
+    val sub = docs.filter(col(idCol).cast("long") < maxId)
+    val sh = shingled(sub, idCol, textCol, n).localCheckpoint()
+    val banded = bandKeys(sh, bands, rowsPerBand)
+    val pairs = sh.as("da").join(sh.as("db"), col("da.id") < col("db.id"))
+      .select(col("da.id").as("id_a"), col("db.id").as("id_b"),
+        round(TextFunctions.jaccard(col("da.sh"), col("db.sh")), 4).as("j"))
+    val hits = banded.as("ba").join(banded.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
+          col("ba.id") < col("bb.id"))
+      .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    val jr = (1 until rowsPerBand).foldLeft(col("j"))((a, _) => a * col("j"))
+    val xb = (0 until Integer.numberOfTrailingZeros(bands))
+      .foldLeft(lit(1.0) - jr)((a, _) => a * a)
+    val out = pairs
+      .join(hits, Seq("id_a", "id_b"), "left")
+      .select(
+        least(floor(col("j") * 10), lit(9L)).cast("int").as("decile"),
+        coalesce(col("hit"), lit(false)).as("caught"),
+        round(lit(1.0) - xb, 6).cast("decimal(10,6)").as("p"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 4).as("analytic_rate"),
+        round(sum(when(col("caught"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("measured_rate"))
+      .withColumn("gate_ok",
+        col("n_pairs") < minPairs ||
+          abs(col("measured_rate") - col("analytic_rate")) <= tolerance)
+    if (detail) out
+    else out.select(col("decile"), col("n_pairs"), col("analytic_rate"), col("gate_ok"))
+  }
+
   /** Exact-verify candidate pairs against the shingle sets. */
   private def verifyPairs(candidates: DataFrame, d: DataFrame, threshold: Double): DataFrame =
     candidates
