@@ -833,7 +833,7 @@ object OracleSql {
     // the oracle cannot re-derive the 2^64-wraparound signature.
     "q116_banding_calibration" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
-        |  WHERE doc_id < 1000),
+        |  WHERE doc_id < 500),
         |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ')
         |       for i in range(1, greatest(len(toks)-1,1))]) sh FROM t),
         |se AS (SELECT * FROM s WHERE len(sh) > 0),

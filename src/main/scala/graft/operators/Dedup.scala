@@ -525,7 +525,7 @@ object Dedup {
   def bandingCalibration(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
-      maxId: Long = 1000, tolerance: Double = 0.15, minPairs: Long = 30,
+      maxId: Long = 500, tolerance: Double = 0.15, minPairs: Long = 30,
       detail: Boolean = false): DataFrame = {
     require(bands > 0 && (bands & (bands - 1)) == 0,
       "bands must be a power of two (analytic rate computed by squaring)")
