@@ -57,6 +57,27 @@ object ShardedExport {
   def readShard(spark: SparkSession, path: String, shard: Int): DataFrame =
     spark.read.parquet(s"$path/data").filter(col("shard") === shard)
 
+  /** A data-parallel worker's slice of the export: shards where
+    * `shard % worldSize == rank` — the static shard → worker map the
+    * layout exists for. Disjoint and covering across ranks by
+    * construction, in-order within the slice, and a static IN-list
+    * predicate when the shard count is known (from the manifest), so the
+    * scan prunes partitions at planning time like [[readShard]]; with an
+    * unknown shard count the modulo filter still prunes on the partition
+    * column. Each epoch's worker set can re-slice the SAME export —
+    * resharding data for a different worldSize costs nothing.
+    */
+  def readSlice(
+      spark: SparkSession, path: String, rank: Int, worldSize: Int): DataFrame = {
+    require(worldSize > 0 && rank >= 0 && rank < worldSize,
+      s"rank $rank must be in [0, $worldSize)")
+    val shards = spark.read.parquet(s"$path/manifest")
+      .select(col("shard").cast("int")).collect().map(_.getInt(0))
+      .filter(s => s % worldSize == rank).sorted
+    spark.read.parquet(s"$path/data")
+      .filter(col("shard").isInCollection(shards.toSeq))
+  }
+
   /** Recompute every shard's stats from the data and diff against the
     * manifest: (shard, ok, n_docs_expected, n_docs_actual). A lost or
     * duplicated row flips `ok` via the count or the xor digest.

@@ -60,4 +60,35 @@ class ShardedExportSpec extends SparkTestBase {
       .select($"shard".cast("int"), $"ok").as[(Int, Boolean)].collect().toMap
     assert(!after(1) && after(0) && after(2) && after(3))
   }
+
+  test("readSlice: disjoint covering rank slices, shard-modulo mapping, pruned scan") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("shards_slice").toString + "/e"
+    ShardedExport.write(docs, "doc_id", "text", path, docsPerShard = 25) // shards 0..3
+    val slices = (0 until 3).map(r =>
+      ShardedExport.readSlice(spark, path, r, 3)
+        .select($"doc_id").as[Long].collect().toSet)
+    // disjoint + covering across ranks
+    assert(slices.map(_.size).sum == 100)
+    assert(slices.reduce(_ ++ _).size == 100)
+    // rank r holds exactly the shards ≡ r (mod 3): rank 1 of 3 = shard 1
+    val shard1 = ShardedExport.readShard(spark, path, 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(slices(1) == shard1)
+    // and the slice scan opens only its shards' files
+    val sl = ShardedExport.readSlice(spark, path, 1, 3)
+    assert(sl.collect().length == 25)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val scanned = scans(sl.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(s"$path/data").inputFiles.length
+    assert(scanned > 0 && scanned < total, s"slice read $scanned of $total files")
+    intercept[IllegalArgumentException](ShardedExport.readSlice(spark, path, 3, 3))
+  }
 }
