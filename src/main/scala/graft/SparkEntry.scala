@@ -192,9 +192,16 @@ object SparkEntry {
     "q107b_knn_ivfpq_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
-      val idx = operators.Pq.writeIndex(emb, "vec_id", "embedding",
+      // ONE fixed scratch path per (jvm, sf dir): overwrite-mode rewrites
+      // bound disk use across bench reps instead of accumulating a full
+      // index copy per invocation; the probe then goes through readIndex
+      // so the registered query exercises the rehydrate-an-existing-
+      // artifact path it is named for, not just the writer's return value
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        math.abs(dir.hashCode).toString + "/idx"
+      operators.Pq.writeIndex(emb, "vec_id", "embedding",
         operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32), path, nlist = 32)
+      val idx = operators.Pq.readIndex(s, path)
       Knn.recallGate(
         operators.Pq.ivfTopKIndexed(idx, emb, q, "vec_id", "embedding", 5,
           nprobe = 8, refine = 200),

@@ -166,8 +166,13 @@ object Dedup {
     // bounded buckets.
     val touched = index.bands
       .join(dBanded.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+    // id_d =!= id_b: a REPLAYED doc id (at-least-once delivery, a crawler
+    // re-fetch after its first arrival was indexed) would otherwise meet
+    // ITSELF in the index at jaccard 1 and count as a near-dup — q65's
+    // even/odd registration never hits this, the streaming monitor does
     val crossCand = capped(dBanded).withColumnRenamed("id", "id_d")
       .join(capped(touched).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
+      .filter(col("id_d") =!= col("id_b"))
       .select("id_d", "id_b").distinct()
     val crossHits = crossCand
       .join(dHashed.select(col("id").as("id_d"), col("sh").as("sh_d")), Seq("id_d"))

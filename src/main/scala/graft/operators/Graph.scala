@@ -92,15 +92,16 @@ object Graph {
     graft.sources.BucketedTables.writeBucketed(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
       name, "src", buckets)
-    val ranks = iterate(graft.sources.BucketedTables.read(spark, name), iters)
     if (ephemeral) {
-      // the fixpoint materializes each round (localCheckpoint) except the
-      // last — checkpoint it too so dropping the table can't orphan the
-      // returned plan's scan
-      val out = ranks.localCheckpoint()
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      out
-    } else ranks
+      // drop the scratch table on EVERY exit — a failed iteration (OOM,
+      // cancellation, bad edges) must not leak an orphan managed table
+      // per retry. The fixpoint materializes each round (localCheckpoint)
+      // except the last — checkpoint it too so dropping the table can't
+      // orphan the returned plan's scan.
+      try iterate(graft.sources.BucketedTables.read(spark, name), iters)
+        .localCheckpoint()
+      finally spark.sql(s"DROP TABLE IF EXISTS $name")
+    } else iterate(graft.sources.BucketedTables.read(spark, name), iters)
   }
 
   /** The damped all-long fixpoint over a prepared (src, dst) edge frame —

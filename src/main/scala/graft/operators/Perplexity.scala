@@ -84,9 +84,15 @@ object Perplexity {
     */
   def trainOnce(
       key: String, ref: DataFrame, idCol: String, textCol: String,
-      minCount: Int = 1): BigramLm =
+      minCount: Int = 1): BigramLm = {
+    // evict entries whose session has stopped — a long-lived JVM cycling
+    // sessions (test suites, notebook servers) must not pin dead sessions
+    // and their checkpointed frames forever; a live JVM holds at most the
+    // active sessions' models
+    lmCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     lmCache.computeIfAbsent((ref.sparkSession, key),
       _ => train(ref, idCol, textCol, minCount))
+  }
 
   def train(ref: DataFrame, idCol: String, textCol: String, minCount: Int = 1): BigramLm = {
     require(minCount >= 1, "minCount >= 1 (1 = no pruning)")

@@ -64,21 +64,26 @@ object Sampling {
     * under fraction × HashMod. Deterministic; expected fraction per
     * stratum without grouping.
     */
-  /** Domain-separated THRESHOLD hash: [[idHash]] composed with a MINSTD
-    * second stage (see [[assignSplits]] for the measured failure mode) —
-    * every cut-below-a-threshold selection (splits, fractions) uses this,
-    * never raw [[idHash]], so a cut can never correlate with the
-    * idHash-RANK selections the samplers make.
+  /** Domain-separated FRACTION hash: [[idHash]] composed with a
+    * full-period second stage (see [[assignSplits]] for the measured
+    * failure mode) — a cut-below-a-threshold selection must never ride
+    * raw [[idHash]] (it would keep ~all of a rank-sampler's output) NOR
+    * the split's composed hash (the two threshold cuts would correlate
+    * 100%: `assignSplits(hashFraction(docs, 0.5))` would put every
+    * survivor in 'train'). Each threshold purpose gets its OWN
+    * multiplier; the three composed hashes here (split 48271, fraction
+    * 69621, epoch 16807 — all full-period mod M) are measured pairwise
+    * independent (low-band overlap 0.199–0.204 at a 0.2 expectation).
     */
-  def cutHash(id: Column): Column =
-    pmod(idHash(id) * HashMulSplit + HashAddSplit, lit(HashMod))
+  val HashMulFraction: Long = 69621L
+  val HashAddFraction: Long = 7L
+
+  def fractionHash(id: Column): Column =
+    pmod(idHash(id) * HashMulFraction + HashAddFraction, lit(HashMod))
 
   def hashFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    // cutHash, not idHash: composed after a rank-sampler, a raw-idHash cut
-    // keeps ~ALL of the sample below the threshold instead of `fraction`
-    // of it (the winners ARE the low-idHash tail)
-    df.filter(cutHash(col(idCol)) < lit((fraction * HashMod).toLong))
+    df.filter(fractionHash(col(idCol)) < lit((fraction * HashMod).toLong))
   }
 
   /** Weighted sample of `n` rows per stratum, deterministic AND
@@ -204,13 +209,19 @@ object Sampling {
     * row per bucket), starts broadcast back. Returns df + `ordinal`.
     *
     * `epoch` gives multi-epoch training a FRESH reproducible order per
-    * pass: the sort key is idHash composed with `epoch` MINSTD steps
-    * (epoch 0 = the oracled base order). Each extra step is a fixed
-    * order-destroying bijection mod M — an AFFINE salt (`+ e·Δ` on the
-    * hash or the id) would NOT work: adding mod M only rotates the
-    * circle, so consecutive "epochs" would replay almost the same order
-    * with one cut point moved.
+    * pass: the sort key is idHash composed with `epoch` LCG steps on the
+    * epoch-specific multiplier (epoch 0 = the oracled base order). Each
+    * extra step is a fixed order-destroying bijection mod M — an AFFINE
+    * salt (`+ e·Δ` on the hash or the id) would NOT work: adding mod M
+    * only rotates the circle, so consecutive "epochs" would replay
+    * almost the same order with one cut point moved. The multiplier is
+    * deliberately NEITHER the split's nor the fraction's (16807 vs
+    * 48271/69621): stepping with the split multiplier would make the
+    * epoch-1 prefix a deterministic subset of the train split.
     */
+  val HashMulEpoch: Long = 16807L
+  val HashAddEpoch: Long = 3L
+
   def shuffleOrder(
       df: DataFrame, idCol: String, buckets: Int = 256,
       epoch: Int = 0): DataFrame = {
@@ -219,7 +230,7 @@ object Sampling {
     import spark.implicits._
     val width = HashMod / buckets + 1
     val he = (0 until epoch).foldLeft(idHash(col(idCol)))((h, _) =>
-      pmod(h * HashMulSplit + HashAddSplit, lit(HashMod)))
+      pmod(h * HashMulEpoch + HashAddEpoch, lit(HashMod)))
     val hashed = df.select(
       col(idCol).cast("long").as("__id"), he.as("__h"))
       .withColumn("__b", expr(s"__h div ${width}L"))

@@ -128,7 +128,13 @@ object CorpusPipeline {
     * One minhash → connected-components pass feeds stages 6 AND 8 (the
     * `...From` variants) — pairs are mined once, however many consumers.
     */
-  private def stagesV2(docs: DataFrame, cfg: Config, checkpoint: Boolean): Seq[(String, DataFrame)] = {
+  /** The shared per-row front of the v2/v3 chains: normalize → lang →
+    * quality → repetition. One definition — a fix here reaches BOTH
+    * registered queries (their oracles share the same CTE block).
+    */
+  private def prelude(
+      docs: DataFrame, cfg: Config,
+      checkpointRepetition: Boolean): Seq[(String, DataFrame)] = {
     val normed = docs.withColumn(
       "text", graft.plans.StringFunctions.nfcClean(col("text")))
     val s0 = normed.filter(length(trim(col("text"), " \t\n\r")) > 0)
@@ -138,8 +144,21 @@ object CorpusPipeline {
       .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
       .select("doc_id")
     val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
-    val s3 = if (checkpoint) s3raw.localCheckpoint() else s3raw
-    val s4raw = Dedup.exactSurvivors(s3, "doc_id", "text")
+    val s3 = if (checkpointRepetition) s3raw.localCheckpoint() else s3raw
+    Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3)
+  }
+
+  /** The shared back of the v2/v3 chains over an input corpus: exact
+    * dedup → ONE minhash/components pass → canonical picks → stratified
+    * cap → leak-safe splits. Also hands back the sample and split frames
+    * for consumers beyond the audit (v3's interleave).
+    */
+  private final case class DedupSplitTail(
+      stages: Seq[(String, DataFrame)], sample: DataFrame, splits: DataFrame)
+
+  private def dedupSplitTail(
+      input: DataFrame, cfg: Config, checkpoint: Boolean): DedupSplitTail = {
+    val s4raw = Dedup.exactSurvivors(input, "doc_id", "text")
     val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
     // one clustering pass, three consumers (canonical, split key, audit)
     val compRaw = Dedup.connectedComponents(
@@ -161,10 +180,16 @@ object CorpusPipeline {
     val s6 = if (checkpoint) s6raw.localCheckpoint() else s6raw
     val splits = Dedup.leakageSafeSplitsFrom(s6, "doc_id", comp)
     val sp = if (checkpoint) splits.localCheckpoint() else splits
-    Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3,
-      "exact_dedup" -> s4, "canonical" -> s5, "sample" -> s6) ++
-      Seq("train", "val", "test").map(l =>
-        s"split_$l" -> sp.filter(col("split") === l))
+    DedupSplitTail(
+      Seq("exact_dedup" -> s4, "canonical" -> s5, "sample" -> s6) ++
+        Seq("train", "val", "test").map(l =>
+          s"split_$l" -> sp.filter(col("split") === l)),
+      sample = s6, splits = sp)
+  }
+
+  private def stagesV2(docs: DataFrame, cfg: Config, checkpoint: Boolean): Seq[(String, DataFrame)] = {
+    val front = prelude(docs, cfg, checkpointRepetition = checkpoint)
+    front ++ dedupSplitTail(front.last._2, cfg, checkpoint).stages
   }
 
   /** The v2 cleaned corpus: every capped survivor with its leak-safe
@@ -209,17 +234,10 @@ object CorpusPipeline {
       docs: DataFrame, cfg: Config,
       checkpoint: Boolean): (Seq[(String, DataFrame)], DataFrame) = {
     import graft.operators.QualityClassifier
-    val normed = docs.withColumn(
-      "text", graft.plans.StringFunctions.nfcClean(col("text")))
-    val s0 = normed.filter(length(trim(col("text"), " \t\n\r")) > 0)
-    val s1 = s0.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
-    val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
-    val passRep = Repetition.signals(s2, "doc_id", "text")
-      .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
-      .select("doc_id")
-    val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
-    // always materialized: the classifier ITERATES over it
-    val s3 = s3raw.localCheckpoint()
+    // prelude repetition stage is ALWAYS materialized: the classifier
+    // iterates over its survivors
+    val front = prelude(docs, cfg, checkpointRepetition = true)
+    val s3 = front.last._2
     val feats = QualityClassifier.featurize(
       s3, QualityClassifier.ruleWeakLabel(col("text")),
       pmod(col("doc_id").cast("long"), lit(2)) === 0,
@@ -229,41 +247,15 @@ object CorpusPipeline {
       .filter(col("pred")).select("doc_id")
     val s4raw = s3.join(keepCls, Seq("doc_id"), "left_semi")
     val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
-    val s5raw = Dedup.exactSurvivors(s4, "doc_id", "text")
-    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
-    val compRaw = Dedup.connectedComponents(
-      Dedup.minHashPairs(s5, "doc_id", "text", threshold = cfg.jaccardThreshold),
-      "id_a", "id_b")
-    val comp = if (checkpoint) compRaw.localCheckpoint() else compRaw
-    val keepIds = Dedup.canonicalPicksFrom(s5, "doc_id", "text", comp)
-      .filter(col("keep")).select(col("doc_id"))
-    val unclustered = s5.select(col("doc_id").cast("long").as("doc_id"))
-      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
-    val s6raw = s5.join(
-      unclustered.union(keepIds).withColumnRenamed("doc_id", "__keep"),
-      s5("doc_id").cast("long") === col("__keep"), "left_semi")
-    val s6 = if (checkpoint) s6raw.localCheckpoint() else s6raw
-    val keep = Sampling.stratifiedN(
-      s6.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
-      .select("doc_id")
-    val s7raw = s6.join(keep, Seq("doc_id"), "left_semi")
-    val s7 = if (checkpoint) s7raw.localCheckpoint() else s7raw
-    val splits = Dedup.leakageSafeSplitsFrom(s7, "doc_id", comp)
-    val sp = if (checkpoint) splits.localCheckpoint() else splits
-    val trainDocs = s7.join(
-      sp.filter(col("split") === "train")
+    val tail = dedupSplitTail(s4, cfg, checkpoint)
+    val trainDocs = tail.sample.join(
+      tail.splits.filter(col("split") === "train")
         .select(col("doc_id").cast("long").as("__tid")),
-      s7("doc_id").cast("long") === col("__tid"), "left_semi")
+      tail.sample("doc_id").cast("long") === col("__tid"), "left_semi")
       .select(col("doc_id"), col("source"))
     val ord = Sampling.mixtureInterleave(
       trainDocs, "source", "doc_id", cfg.interleaveBp)
-    val stages =
-      Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3,
-        "classifier" -> s4, "exact_dedup" -> s5, "canonical" -> s6,
-        "sample" -> s7) ++
-        Seq("train", "val", "test").map(l =>
-          s"split_$l" -> sp.filter(col("split") === l))
-    (stages, ord)
+    (front ++ (("classifier" -> s4) +: tail.stages), ord)
   }
 
   /** Per-stage audit for the full v3 chain: the v2 rows plus ONE

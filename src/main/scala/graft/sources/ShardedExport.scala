@@ -37,8 +37,12 @@ object ShardedExport {
       docs: DataFrame, idCol: String, textCol: String, path: String,
       docsPerShard: Int = 10000): DataFrame = {
     require(docsPerShard > 0, "docsPerShard must be positive")
+    // materialize once: the data write AND the manifest aggregation both
+    // consume this — without the checkpoint the corpus scan and the
+    // two-stage prefix sum would run twice (the ScanCount trap)
     val ordered = Sampling.shuffleOrder(docs, idCol)
       .withColumn("shard", (col("ordinal") / docsPerShard).cast("int"))
+      .localCheckpoint()
     ordered
       .repartition(col("shard"))
       .sortWithinPartitions(col("ordinal"))

@@ -119,9 +119,28 @@ object StreamDedupStats {
     import spark.implicits._
     val lenMs = windowLen.toMillis
     require(lenMs > 0, "windowLen must be positive")
-    val withWm =
-      if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
-    withWm
+    if (!docs.isStreaming) {
+      // batch twin (a backfill recomputing what the stream would have
+      // emitted): every window of a batch frame is fully delivered, so
+      // every group finalizes immediately. The stateful path would emit
+      // NOTHING here — event-time timeouts never fire in batch execution
+      // — so the window fold runs directly; dup counting is the same
+      // order-independent arrivals − distinct-digests formula.
+      return docs
+        .groupByKey(d => (Math.floorDiv(d.ts.getTime, lenMs) * lenMs, d.source))
+        .mapGroups { (key: (Long, String), it: Iterator[DocArrival]) =>
+          val (ws, src) = key
+          var n = 0L
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          it.foreach { d => n += 1; seen += d.digest }
+          val dups = n - seen.size
+          WindowDedupStats(
+            new Timestamp(ws), src, n, dups,
+            BigDecimal(dups.toDouble / n)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    docs.withWatermark("ts", watermarkDelay)
       .groupByKey(d => (Math.floorDiv(d.ts.getTime, lenMs) * lenMs, d.source))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(

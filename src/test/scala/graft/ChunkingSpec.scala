@@ -97,6 +97,14 @@ class ChunkingSpec extends SparkTestBase {
     Seq(e0, e1, e2).foreach(e => assert(e.sorted == (0L until 400L)))
     assert(e0.take(40).toSet.intersect(e1.take(40).toSet).size < 15)
     assert(e1.take(40).toSet.intersect(e2.take(40).toSet).size < 15)
+    // epoch steps use their own multiplier, not the split's: the epoch-1
+    // prefix must hold ~80% train docs, not be a deterministic subset of
+    // the train split (which stepping with the split multiplier causes)
+    val splitOf = Sampling.assignSplits(ids, "doc_id")
+      .as[(Long, String)].collect().toMap
+    val prefTrain = e1.take(100).count(splitOf(_) == "train")
+    assert(prefTrain > 65 && prefTrain < 95,
+      s"epoch-1 prefix holds $prefTrain/100 train docs (want ~80)")
   }
 
   test("hashFraction composed after a rank-sampler keeps ~fraction of the sample") {
@@ -111,6 +119,15 @@ class ChunkingSpec extends SparkTestBase {
     // and on the full corpus the fraction is still honest
     val whole = Sampling.hashFraction(docs, "doc_id", 0.2).count()
     assert(whole > 320 && whole < 480, s"whole-corpus cut kept $whole of 2000")
+    // the two THRESHOLD cuts use different multipliers: splitting a
+    // hashFraction sample must still give ~80/10/10, not all-train (a
+    // shared composed hash would put every survivor below the train cut)
+    val frTrain = Sampling.assignSplits(
+      Sampling.hashFraction(docs, "doc_id", 0.5), "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = frTrain.values.sum.toDouble
+    assert(frTrain("train") / n > 0.7 && frTrain("train") / n < 0.9,
+      s"fraction-then-split skewed: $frTrain")
   }
 
   test("shuffle order equals the single-window reference and permutes 0..n-1") {

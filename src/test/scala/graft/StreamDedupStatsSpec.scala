@@ -88,4 +88,31 @@ class StreamDedupStatsSpec extends SparkTestBase {
       indexDir, hitsDir, batchId = 0L)
     assert(rc == -1L)
   }
+
+  test("a replayed doc id does not match ITSELF in the monitor index") {
+    // doc 8 (textD — near-dup of nothing) is indexed in batch 0, then the
+    // SAME id re-arrives as a NEW batch (a crawler re-fetch, not the
+    // replay protocol's committed-batch case): it meets its own index row
+    // at jaccard 1 and must NOT be recorded as a near-dup hit
+    val indexDir = Files.createTempDirectory("sds_idx2").toString
+    val hitsDir = Files.createTempDirectory("sds_hits2").toString
+    val one = Seq((8L, t(0), "s2", textD)).toDF("doc_id", "ts", "source", "text")
+    assert(StreamDedupStats.applyBatch(
+      spark, one, "doc_id", "text", indexDir, hitsDir, batchId = 0L) == 0L)
+    assert(StreamDedupStats.applyBatch(
+      spark, one, "doc_id", "text", indexDir, hitsDir, batchId = 1L) == 0L)
+  }
+
+  test("batch windowStats finalizes every window (the backfill twin)") {
+    // the stateful streaming path emits on event-time timeout, which a
+    // batch run never fires — the batch branch must compute the same
+    // finalized rows directly
+    val docs = StreamDedupStats.arrivals(
+      spark, batch1.toDF("doc_id", "ts", "source", "text"),
+      "doc_id", "ts", "text", "source")
+    val rows = StreamDedupStats.windowStats(spark, docs)
+      .select($"source", $"n_docs", $"n_exact_dups", $"exact_dup_rate")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("s1", 4L, 1L, 0.25), ("s2", 4L, 2L, 0.5)))
+  }
 }
