@@ -27,6 +27,10 @@ object SparkEntry {
       Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
       "doc_id", "text")
 
+  /** q107b's per-JVM index scratch root (see its registration). */
+  private lazy val ivfPqScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> ((s, dir) => Relational.filterProject(Tables.documents(s, dir))),
     "q02_sentiment" -> ((s, dir) => Relational.sentiment(Tables.documents(s, dir))),
@@ -192,13 +196,13 @@ object SparkEntry {
     "q107b_knn_ivfpq_indexed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      // ONE fixed scratch path per (jvm, sf dir): overwrite-mode rewrites
-      // bound disk use across bench reps instead of accumulating a full
-      // index copy per invocation; the probe then goes through readIndex
-      // so the registered query exercises the rehydrate-an-existing-
-      // artifact path it is named for, not just the writer's return value
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        math.abs(dir.hashCode).toString + "/idx"
+      // ONE scratch dir per JVM (private temp dir — no cross-process or
+      // cross-user collisions), one subdir per sf dir: overwrite-mode
+      // rewrites bound disk use across bench reps instead of accumulating
+      // a full index copy per invocation; the probe then goes through
+      // readIndex so the registered query exercises the rehydrate-an-
+      // existing-artifact path it is named for
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/idx"
       operators.Pq.writeIndex(emb, "vec_id", "embedding",
         operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32), path, nlist = 32)
       val idx = operators.Pq.readIndex(s, path)

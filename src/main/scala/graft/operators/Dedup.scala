@@ -166,13 +166,13 @@ object Dedup {
     // bounded buckets.
     val touched = index.bands
       .join(dBanded.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
-    // id_d =!= id_b: a REPLAYED doc id (at-least-once delivery, a crawler
-    // re-fetch after its first arrival was indexed) would otherwise meet
-    // ITSELF in the index at jaccard 1 and count as a near-dup — q65's
-    // even/odd registration never hits this, the streaming monitor does
+    // NOTE: self-pairs (id_d == id_b) are deliberately KEPT: a re-delivered
+    // doc id whose first arrival is already indexed matches itself at
+    // jaccard 1 and is correctly DROPPED from the survivors — the dedup
+    // contract. Consumers that only COUNT near-dup relationships (the
+    // StreamDedupStats monitor) filter self-pairs from `hits` themselves.
     val crossCand = capped(dBanded).withColumnRenamed("id", "id_d")
       .join(capped(touched).withColumnRenamed("id", "id_b"), Seq("band", "bh"))
-      .filter(col("id_d") =!= col("id_b"))
       .select("id_d", "id_b").distinct()
     val crossHits = crossCand
       .join(dHashed.select(col("id").as("id_d"), col("sh").as("sh_d")), Seq("id_d"))

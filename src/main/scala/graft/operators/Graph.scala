@@ -89,19 +89,30 @@ object Graph {
     val name =
       if (ephemeral) "graft_pr_edges_" + java.util.UUID.randomUUID().toString.replace("-", "")
       else table
-    graft.sources.BucketedTables.writeBucketed(
-      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
-      name, "src", buckets)
+    def build(): DataFrame = {
+      graft.sources.BucketedTables.writeBucketed(
+        edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        name, "src", buckets)
+      iterate(graft.sources.BucketedTables.read(spark, name), iters)
+    }
     if (ephemeral) {
-      // drop the scratch table on EVERY exit — a failed iteration (OOM,
-      // cancellation, bad edges) must not leak an orphan managed table
-      // per retry. The fixpoint materializes each round (localCheckpoint)
-      // except the last — checkpoint it too so dropping the table can't
-      // orphan the returned plan's scan.
-      try iterate(graft.sources.BucketedTables.read(spark, name), iters)
-        .localCheckpoint()
-      finally spark.sql(s"DROP TABLE IF EXISTS $name")
-    } else iterate(graft.sources.BucketedTables.read(spark, name), iters)
+      // drop the scratch table on EVERY exit — a failure anywhere from
+      // the bucketed write through the last iteration (OOM, cancellation,
+      // bad edges) must not leak an orphan managed table per retry; a
+      // DROP failure (e.g. the session died — the very thing that killed
+      // the iteration) must not MASK the root cause. The fixpoint
+      // materializes each round (localCheckpoint) except the last —
+      // checkpoint it too so dropping the table can't orphan the
+      // returned plan's scan.
+      try build().localCheckpoint()
+      finally {
+        try spark.sql(s"DROP TABLE IF EXISTS $name")
+        catch { case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"could not drop scratch table $name: $e")
+        }
+      }
+    } else build()
   }
 
   /** The damped all-long fixpoint over a prepared (src, dst) edge frame —

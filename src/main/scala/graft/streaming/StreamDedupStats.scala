@@ -76,6 +76,17 @@ object StreamDedupStats {
       .as[DocArrival]
   }
 
+  /** The ONE finalized-row constructor both the streaming finalize and
+    * the batch twin emit through — the rounding/rate formula exists
+    * exactly once, so the twins cannot drift.
+    */
+  private def statsRow(
+      ws: Long, src: String, nDocs: Long, nDups: Long): WindowDedupStats =
+    WindowDedupStats(
+      new Timestamp(ws), src, nDocs, nDups,
+      BigDecimal(nDups.toDouble / nDocs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   /** Fold one micro-batch of a (window, source) group; emit the final
     * stats row when the watermark passes the window end. Duplicate
     * counting is arrival-order-independent: n_exact_dups = arrivals −
@@ -86,12 +97,8 @@ object StreamDedupStats {
       docs: Iterator[DocArrival],
       state: GroupState[WindowDigests]): Iterator[WindowDedupStats] = {
     if (docs.isEmpty && state.hasTimedOut) {
-      val out = state.getOption.map { s =>
-        WindowDedupStats(
-          new Timestamp(key._1), key._2, s.nDocs, s.nDups,
-          BigDecimal(s.nDups.toDouble / s.nDocs)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.iterator
+      val out = state.getOption
+        .map(s => statsRow(key._1, key._2, s.nDocs, s.nDups)).iterator
       state.remove()
       return out
     }
@@ -123,22 +130,18 @@ object StreamDedupStats {
       // batch twin (a backfill recomputing what the stream would have
       // emitted): every window of a batch frame is fully delivered, so
       // every group finalizes immediately. The stateful path would emit
-      // NOTHING here — event-time timeouts never fire in batch execution
-      // — so the window fold runs directly; dup counting is the same
-      // order-independent arrivals − distinct-digests formula.
-      return docs
-        .groupByKey(d => (Math.floorDiv(d.ts.getTime, lenMs) * lenMs, d.source))
-        .mapGroups { (key: (Long, String), it: Iterator[DocArrival]) =>
-          val (ws, src) = key
-          var n = 0L
-          val seen = scala.collection.mutable.HashSet.empty[Long]
-          it.foreach { d => n += 1; seen += d.digest }
-          val dups = n - seen.size
-          WindowDedupStats(
-            new Timestamp(ws), src, n, dups,
-            BigDecimal(dups.toDouble / n)
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
+      // NOTHING here — event-time timeouts never fire in batch execution.
+      // A plain count/count_distinct aggregation (NOT mapGroups): partial
+      // aggregation combines map-side, so a billion-arrival window never
+      // funnels full rows through one task, and the emitted row comes
+      // from the SAME statsRow the stream's finalize uses.
+      return docs.toDF()
+        .groupBy(
+          (floor(unix_millis(col("ts")) / lenMs) * lenMs).cast("long").as("ws"),
+          col("source"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("digest")).as("nd"))
+        .as[(Long, String, Long, Long)]
+        .map { case (ws, src, n, nd) => statsRow(ws, src, n, n - nd) }
     }
     docs.withWatermark("ts", watermarkDelay)
       .groupByKey(d => (Math.floorDiv(d.ts.getTime, lenMs) * lenMs, d.source))
@@ -189,8 +192,15 @@ object StreamDedupStats {
     val index = Dedup.NearDupIndex(
       load("bands", empty.bands), load("shingles", empty.shingles))
 
+    // drop self-pairs: a REPLAYED doc id (a crawler re-fetch in a NEW
+    // batch — the marker protocol only skips committed batch ids) matches
+    // ITSELF in the index at jaccard 1; the dedup operator rightly DROPS
+    // it from survivors, but the monitor must not COUNT the doc as a
+    // near-dup of anything
     val hits = Dedup.incrementalNearDup(
-      batch, idCol, textCol, index, n, threshold).hits.localCheckpoint()
+      batch, idCol, textCol, index, n, threshold).hits
+      .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint()
     // the monitor indexes EVERY arrival, not just survivors (see scaladoc)
     val fullAdd = Dedup.nearDupIndex(batch, idCol, textCol, n)
     val addBands = fullAdd.bands.localCheckpoint()

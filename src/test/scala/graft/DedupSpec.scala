@@ -414,6 +414,15 @@ class DedupSpec extends SparkTestBase {
     val inc = Dedup.incrementalNearDup(delta, "doc_id", "text", index)
     assert(inc.survivors.as[Long].collect().toSet == Set(3L, 7L))
 
+    // a RE-DELIVERED id (already in the index, new ingest run) matches
+    // itself at jaccard 1 and is dropped — the dedup contract; the
+    // self-pair appears in hits (monitors that only COUNT relationships
+    // filter it out themselves, StreamDedupStats.applyBatch)
+    val replay = Seq((0L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDup(replay, "doc_id", "text", index)
+      .survivors.as[Long].collect().isEmpty)
+
     // the base corpus participates ONLY via the index: no scan of the
     // base parquet anywhere in the executed plan
     val plan = inc.survivors.queryExecution.executedPlan.toString
