@@ -258,6 +258,28 @@ object CorpusPipeline {
     (front ++ (("classifier" -> s4) +: tail.stages), ord)
   }
 
+  /** The v3 cleaned corpus: every capped survivor with its leak-safe
+    * `split`/`split_key`, plus the mixture-interleave training `ordinal`
+    * for train-split docs (null for val/test) — the frame a training job
+    * actually consumes (filter split, order by ordinal, feed the shard
+    * exporter).
+    */
+  def cleanV3(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (st, ord) = stagesV3(docs, cfg, checkpoint = false)
+    val m = st.toMap
+    val assigned = Seq("train", "val", "test")
+      .map(l => m(s"split_$l")).reduce(_ unionAll _)
+      .select(col("doc_id").cast("long").as("__sid"),
+        col("split_key"), col("split"))
+    m("sample")
+      .join(assigned, m("sample")("doc_id").cast("long") === col("__sid"))
+      .drop("__sid")
+      .join(
+        ord.select(col("doc_id").cast("long").as("__oid"), col("ordinal")),
+        col("doc_id").cast("long") === col("__oid"), "left")
+      .drop("__oid")
+  }
+
   /** Per-stage audit for the full v3 chain: the v2 rows plus ONE
     * interleave-checksum row pinning the train split's exact training
     * order (see [[stagesV3]]).

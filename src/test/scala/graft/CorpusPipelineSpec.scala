@@ -152,6 +152,18 @@ class CorpusPipelineSpec extends SparkTestBase {
         .agg(org.apache.spark.sql.functions.expr("bit_xor(x)")).as[Long].collect().head
     assert(byName("interleave_train_xor") == expected,
       s"train slice $trainIds checksum mismatch")
+
+    // cleanV3: the consumable frame — the expected survivors, each with
+    // its split, and a DENSE interleave ordinal exactly on the train docs
+    val cleaned = CorpusPipeline.cleanV3(docs, cfg)
+      .select($"doc_id".cast("long"), $"split",
+        $"ordinal".cast("long").as("ordinal"))
+      .as[(Long, String, Option[Long])].collect()
+    assert(cleaned.map(_._1).toSet == keys.keySet)
+    val (tr, rest) = cleaned.partition(_._2 == "train")
+    assert(tr.map(_._1).toSet == trainIds.toSet)
+    assert(tr.flatMap(_._3).sorted.toSeq == (0L until tr.length.toLong))
+    assert(rest.forall(_._3.isEmpty))
   }
 
   test("optional perplexity stage drops the planted gibberish, default chain unchanged") {
