@@ -245,7 +245,8 @@ object OracleSql {
     */
   private def perceptronCtes(
       buckets: Int, iters: Int,
-      rel: String = "documents", p: String = "", lead: String = "WITH "): String = {
+      rel: String = "documents", p: String = "", lead: String = "WITH ",
+      isTrainSql: String = "doc_id % 2 = 0"): String = {
     val init =
       s"""$lead${p}t AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks
          |  FROM $rel WHERE text IS NOT NULL),
@@ -253,7 +254,7 @@ object OracleSql {
          |    CASE WHEN len(toks) >= 30 AND len(list_filter(toks, x -> x IN
          |      ('the','a','of','to','and','in','is','on'))) >= 2
          |    THEN 1 ELSE -1 END y,
-         |    doc_id % 2 = 0 is_train FROM ${p}t),
+         |    $isTrainSql is_train FROM ${p}t),
          |${p}gm AS (SELECT doc_id, unnest(list_concat(toks,
          |    [toks[i] || ' ' || toks[i+1]
          |     for i in range(1, greatest(len(toks),1))])) gram FROM ${p}t),
@@ -336,7 +337,63 @@ object OracleSql {
     (head +: steps).mkString(",\n") + "\n" + tail
   }
 
+  /** q76b's twin: greedy BPE APPLY replayed in SQL. Each distinct word's
+    * symbol list lives as a chr(2)-DELIMITED string ("\2s1\2\2s2\2…" —
+    * every symbol wrapped in its own separators, so a pair pattern
+    * "\2a\2\2b\2" can never match across a longer symbol's boundary, and
+    * `replace`'s continue-after-replacement scan IS the Scala kernel's
+    * left-to-right all-occurrences fuse, double separators keeping the
+    * next occurrence's leading delimiter intact). Per recursion step: find
+    * the lowest-rank adjacent pair (list_position over the rank-ordered
+    * pair list; 0 = absent), fuse all its occurrences, stop when no merge
+    * applies; the final iterate per word is the max-step row. Verified
+    * symbol-for-symbol against [[graft.functions.Bpe.segmentWord]]'s
+    * semantics; the merge literal interpolates from
+    * [[graft.functions.Bpe.DemoMerges]] so the engines cannot drift.
+    * `join_ok` is pinned TRUE (a Spark-internal join invariant);
+    * `roundtrip_ok` is genuinely recomputed (separator-stripped enc = w).
+    */
+  private def bpeApplySql(merges: Seq[(String, String)]): String = {
+    val pairsLit = merges
+      .map { case (a, b) => s"'$a' || chr(1) || '$b'" }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |pl AS (SELECT $pairsLit ps),
+       |w0 AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) w
+       |  FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+       |seg(w, enc, step) AS (
+       |  SELECT w, chr(2) || array_to_string([c for c in string_split(w, '')],
+       |    chr(2) || chr(2)) || chr(2), 0 FROM w0
+       |  UNION ALL
+       |  SELECT w,
+       |    replace(enc,
+       |      chr(2) || string_split(ps[br], chr(1))[1] || chr(2) || chr(2)
+       |        || string_split(ps[br], chr(1))[2] || chr(2),
+       |      chr(2) || string_split(ps[br], chr(1))[1]
+       |        || string_split(ps[br], chr(1))[2] || chr(2)),
+       |    step + 1
+       |  FROM (
+       |    SELECT w, enc, step, ps,
+       |      list_min(list_filter([list_position(ps, syms[i] || chr(1) || syms[i+1])
+       |        for i in range(1, len(syms))], x -> x > 0)) br
+       |    FROM (SELECT w, enc, step,
+       |        string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(2)) syms
+       |      FROM seg), pl)
+       |  WHERE br IS NOT NULL),
+       |fin AS (SELECT w,
+       |    len(string_split(substr(enc, 2, length(enc) - 2), chr(2) || chr(2)))::BIGINT n_bpe,
+       |    replace(enc, chr(2), '') = w rt
+       |  FROM seg QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1),
+       |occ AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) w
+       |  FROM documents WHERE text IS NOT NULL) WHERE w <> '')
+       |SELECT doc_id, count(*)::BIGINT n_tokens, sum(n_bpe)::BIGINT n_bpe_tokens,
+       |  bool_and(rt) roundtrip_ok, TRUE join_ok,
+       |  sum(n_bpe)::BIGINT >= count(*) fertility_ok
+       |FROM occ JOIN fin USING (w) GROUP BY 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
     "q103_pagerank" -> pageRankSql(5),
 
     "q01_filter_project" ->
@@ -854,7 +911,8 @@ object OracleSql {
     // Model-based quality filter: batch perceptron unrolled — exact long
     // scores, integer comparisons, hash-exact by construction.
     "q114_quality_classifier" ->
-      s"""${perceptronCtes(1024, 20)}
+      s"""${perceptronCtes(1024, 20,
+        isTrainSql = "doc_id % 2 = 0 AND doc_id < 1000")}
          |SELECT l.doc_id, l.y AS label, l.is_train, f.score,
          |  f.score > 0 AS pred
          |FROM lbl l JOIN fsc f USING (doc_id)""".stripMargin,
@@ -2109,6 +2167,17 @@ object OracleSql {
       """SELECT doc_id, source,
         |  row_number() OVER (ORDER BY
         |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+        |    doc_id) - 1 AS ordinal
+        |FROM documents""".stripMargin,
+
+    // Epoch-1 order: the same idHash stepped once by the epoch LCG
+    // (16807·h + 3 mod M — full-period, deliberately neither the split's
+    // 48271 nor the fraction's 69621). h < M so h·16807 ≪ 2⁶³.
+    "q80b_shuffle_order_epoch1" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY
+        |    ((((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647)
+        |      * 16807 + 3) % 2147483647,
         |    doc_id) - 1 AS ordinal
         |FROM documents""".stripMargin,
 

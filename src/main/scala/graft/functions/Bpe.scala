@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** The FIXED demo merge list q76b applies (common-English letter pairs,
+    * two-level: "t"+"h" then "th"+"e"). A LITERAL, not a trained artifact,
+    * by design: the APPLY step of BPE is deterministic given a merge list,
+    * so pinning the list gives the apply path a true cross-engine oracle
+    * (the DuckDB twin replays these exact ordered merges in a recursive
+    * CTE) — which the TRAIN step's greedy fixpoint (q76) cannot have.
+    * Shared between the registered query and [[graft.OracleSql]] so the
+    * two sides cannot drift.
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "r"), ("an", "d"), ("o", "r"), ("e", "n"), ("a", "t"), ("e", "s"),
+    ("o", "u"), ("i", "s"), ("t", "o"), ("s", "t"))
+
   /** Greedy BPE segmentation of one word under rank-ordered merges.
     * GPT-2 order: at each step ALL occurrences of the single lowest-rank
     * adjacent pair fuse left-to-right, then ranks are re-examined.

@@ -526,6 +526,21 @@ object Dedup {
     * `detail = true` adds the raw measured columns for interactive
     * tuning (not oracle-comparable). Small deciles (< minPairs) pass
     * unconditionally — a 3-pair decile's empirical rate is noise.
+    *
+    * Two measurement-scope caveats (deliberate, documented):
+    *  - The subsample is `id < maxId`, which REQUIRES ids near 0 — on a
+    *    corpus whose id space starts elsewhere (xxhash-derived ids) the
+    *    subsample would be empty and a forall(gate_ok) consumer would
+    *    pass vacuously, so an empty subsample now throws instead of
+    *    returning an empty (vacuously green) gate table. Remap ids or
+    *    raise maxId; a hash-fraction subsample is NOT used because the
+    *    O(maxId²) bound is the point of the id cut.
+    *  - The measured side joins RAW band keys — the hot-bucket caps the
+    *    production candidate paths apply ([[minHashPairs]]' bucketCap)
+    *    are EXCLUDED, so the gate calibrates the banding scheme itself
+    *    (hash family + slicing vs theory). At maxId = 500 the caps never
+    *    bind; on production-skew subsamples run the gate AND watch the
+    *    cap's own truncation metrics separately.
     */
   def bandingCalibration(
       docs: DataFrame, idCol: String, textCol: String,
@@ -536,6 +551,9 @@ object Dedup {
       "bands must be a power of two (analytic rate computed by squaring)")
     val sub = docs.filter(col(idCol).cast("long") < maxId)
     val sh = shingled(sub, idCol, textCol, n).localCheckpoint()
+    require(!sh.isEmpty,
+      s"bandingCalibration: no shingled docs with $idCol < $maxId - the gate " +
+        "would validate nothing (vacuous pass); remap ids near 0 or raise maxId")
     val banded = bandKeys(sh, bands, rowsPerBand)
     val pairs = sh.as("da").join(sh.as("db"), col("da.id") < col("db.id"))
       .select(col("da.id").as("id_a"), col("db.id").as("id_b"),

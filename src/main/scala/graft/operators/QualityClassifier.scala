@@ -72,14 +72,37 @@ object QualityClassifier {
       .groupBy(col("doc_id"), col("y"), col("is_train"))
       .agg(collect_list(struct(col("b"), col("cnt"))).as("fs"))
 
-  /** Exact long score of the sparse feature column under weight literals
-    * (1-based `element_at`; `w.length` must be `buckets`+1).
+  /** Past this many weights the model no longer rides the plan as a
+    * CreateArray of `buckets`+1 literal expressions — plan size, analysis
+    * time and codegen all grow linearly with buckets, fine at the 1024
+    * default but pathological for 64k-bucket models. Above the threshold
+    * the scoring expression switches to a scala UDF closing over the
+    * weight array, which ships ONCE per executor in the task closure
+    * instead of per-expression literals. Identical long values by
+    * construction (spec-asserted on both paths); the literal path stays
+    * the default because it keeps scoring inside whole-stage codegen.
     */
-  private def scoreCol(fs: Column, w: Array[Long]): Column =
+  val MaxLiteralWeights = 4096
+
+  /** Exact long score of the sparse feature column under the weight
+    * vector (1-based `element_at`; `w.length` must be `buckets`+1).
+    */
+  private[graft] def scoreCol(fs: Column, w: Array[Long]): Column =
+    if (w.length <= MaxLiteralWeights) scoreColLiteral(fs, w)
+    else scoreColUdf(fs, w)
+
+  private[graft] def scoreColLiteral(fs: Column, w: Array[Long]): Column =
     aggregate(fs, lit(0L),
       (acc, f) =>
         acc + element_at(array(w.map(lit).toSeq: _*), f.getField("b") + 1)
           * f.getField("cnt"))
+
+  private[graft] def scoreColUdf(fs: Column, w: Array[Long]): Column = {
+    val ww = w.clone()
+    val f = udf((fs: Seq[org.apache.spark.sql.Row]) =>
+      fs.foldLeft(0L)((acc, r) => acc + ww(r.getInt(0)) * r.getLong(1)))
+    f(fs)
+  }
 
   /** Run `iters` batch-perceptron updates over the `is_train` slice of a
     * [[featurize]]d frame and return the POCKET weights (Gallant 1990):
@@ -143,11 +166,21 @@ object QualityClassifier {
     * that were never featurized (identical values to [[scoreWith]] by
     * construction; spec-asserted).
     */
-  def scoreText(text: Column, w: Array[Long]): Column = {
+  def scoreText(text: Column, w: Array[Long]): Column =
+    if (w.length <= MaxLiteralWeights) scoreTextLiteral(text, w)
+    else scoreTextUdf(text, w)
+
+  private[graft] def scoreTextLiteral(text: Column, w: Array[Long]): Column = {
     val wLit = array(w.map(lit).toSeq: _*)
     aggregate(
       HashFunctions.ngramBuckets(text, 1, 2, w.length - 1),
       lit(w.last), (acc, b) => acc + element_at(wLit, b + 1))
+  }
+
+  private[graft] def scoreTextUdf(text: Column, w: Array[Long]): Column = {
+    val ww = w.clone()
+    val f = udf((bs: Seq[Int]) => bs.foldLeft(ww.last)((acc, b) => acc + ww(b)))
+    f(HashFunctions.ngramBuckets(text, 1, 2, w.length - 1))
   }
 
   /** Score any (id, text) frame — batch or stream — under frozen weights:
@@ -203,13 +236,30 @@ object QualityClassifier {
       size(filter(toks, t => t.isInCollection(stopwords))) >= minStop
   }
 
+  /** @param isTrain the labeled slice. MUST be BOUNDED: training runs
+    *   `iters`+1 sequential jobs, each rescanning the slice's featurized
+    *   rows — a slice that grows with the corpus (the r9 demo's even-id
+    *   HALF) silently turns 21 bounded passes into 21 half-corpus scans
+    *   at 100 TB. The default labels even ids BELOW AN ID CEILING (the
+    *   FineWeb-Edu shape: a fixed annotation budget, then score
+    *   everything), and `maxTrain` enforces the contract with one count
+    *   job — raise it deliberately, never implicitly.
+    */
   def qualityScores(
       docs: DataFrame, buckets: Int = 1024, iters: Int = 20,
-      minWords: Int = 30, minStop: Int = 2): DataFrame = {
+      minWords: Int = 30, minStop: Int = 2,
+      isTrain: Column = pmod(col("doc_id"), lit(2)) === 0
+        && col("doc_id") < 1000,
+      maxTrain: Long = 1000000L): DataFrame = {
     val feats = featurize(
       docs, ruleWeakLabel(col("text"), minWords, minStop),
-      pmod(col("doc_id"), lit(2)) === 0,
+      isTrain,
       buckets = buckets).localCheckpoint()
+    val nTrain = feats.filter(col("is_train")).count()
+    require(nTrain <= maxTrain,
+      s"qualityScores: $nTrain training docs exceeds maxTrain=$maxTrain - " +
+        "the iteration loop rescans the training slice per pass; bound " +
+        "isTrain (annotation budgets are fixed-size) or raise maxTrain deliberately")
     scoreWith(feats, train(feats, buckets, iters))
   }
 }

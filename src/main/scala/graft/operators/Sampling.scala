@@ -176,6 +176,16 @@ object Sampling {
     *
     * `fractions` are (label, basis points) in assignment order and must
     * sum to 10000 (exact integer bookkeeping, no float thresholds).
+    *
+    * FORMULA VERSION NOTE (r9 break): the MINSTD second stage CHANGED the
+    * split hash — a corpus persisted under the pre-r9 single-stage formula
+    * re-splits differently under this one, which violates this operator's
+    * own "a doc never moves across the eval boundary" contract for that
+    * already-persisted data. The old formula was withdrawn rather than
+    * versioned because it is UNSAFE (it correlates 100% with every
+    * rank-sampler's order — the composition bug the second stage fixes);
+    * external corpora split under it should persist their existing split
+    * column and treat this formula as a new split universe, not re-derive.
     */
   val HashMulSplit: Long = 48271L // Park–Miller MINSTD, full period mod M
   val HashAddSplit: Long = 11L

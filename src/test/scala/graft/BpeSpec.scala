@@ -28,6 +28,22 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.segmentWord("newest", ranks).size <= fewer)
   }
 
+  test("q76b's pinned DemoMerges: multi-level fuse order is the one the oracle replays") {
+    val ranks = Bpe.DemoMerges.zipWithIndex.toMap
+    // two-level: t+h (rank 0) fuses before th+e (rank 1) can exist
+    assert(Bpe.segmentWord("the", ranks) == Vector("the"))
+    // an+d needs a+n (rank 3) first
+    assert(Bpe.segmentWord("and", ranks) == Vector("and"))
+    // rank order decides between competing pairs: in "north", o+n (rank 5)
+    // would block n+o... but only (o,n),(o,r),(t,h) apply: o+r wins? no —
+    // adjacent pairs are (n,o),(o,r),(r,t),(t,h): t+h rank 0 first, then
+    // o+r rank 8 -> [n, or, th]
+    assert(Bpe.segmentWord("north", ranks) == Vector("n", "or", "th"))
+    // roundtrip on every demo-merge symbol
+    for (w <- Seq("the", "and", "north", "interesting", "zzz", ""))
+      assert(Bpe.segmentWord(w, ranks).mkString == w)
+  }
+
   test("vocab-dictionary join equals direct per-occurrence segmentation") {
     val docs = Seq(
       (1L, "low lower newest"),

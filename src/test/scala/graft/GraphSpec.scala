@@ -97,6 +97,44 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("amortized bucketed path: one write per (session, key), same ranks") {
+    val orders = Seq((100L, 1L), (101L, 2L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((100L, 10L), (101L, 10L), (102L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    // the cache must hand back the SAME table for the same key (no second
+    // bucketed write) and a DIFFERENT table for a different key
+    val t1 = Graph.bucketedEdgeTableOnce(spark, "spec-amortize",
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst", buckets = 2)
+    val t2 = Graph.bucketedEdgeTableOnce(spark, "spec-amortize",
+      sys.error("edge frame must not be re-evaluated on a cache hit"),
+      "src", "dst", buckets = 2)
+    val t3 = Graph.bucketedEdgeTableOnce(spark, "spec-amortize-other",
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst", buckets = 2)
+    try {
+      assert(t1 == t2 && t1 != t3)
+      // and the registered entry point returns purchaseRank's exact longs
+      // on both the first (build) and second (reuse) invocation
+      val plain = Graph.purchaseRank(orders, li, iters = 3)
+        .select("entity_key", "kind", "pr_e12")
+        .as[(Long, String, Long)].collect().toSet
+      val once1 = Graph.purchaseRankBucketedOnce(spark, "spec-amortize-rank",
+        orders, li, iters = 3)
+        .select("entity_key", "kind", "pr_e12")
+        .as[(Long, String, Long)].collect().toSet
+      val once2 = Graph.purchaseRankBucketedOnce(spark, "spec-amortize-rank",
+        orders, li, iters = 3)
+        .select("entity_key", "kind", "pr_e12")
+        .as[(Long, String, Long)].collect().toSet
+      assert(once1 == plain && once2 == plain)
+    } finally {
+      // a cache hit returns the rank run's table name without re-building
+      val tRank = Graph.bucketedEdgeTableOnce(spark, "spec-amortize-rank",
+        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", buckets = 2)
+      Seq(t1, t3, tRank).distinct.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("purchaseRank: hub supplier outranks leaf customers") {
     // two customers each buy only from supplier 10; one customer buys
     // from supplier 11 too -> supplier 10 must outrank supplier 11, and

@@ -79,6 +79,47 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(served == batch)
   }
 
+  test("large-bucket scoring: the UDF path equals the literal path long-for-long") {
+    val docs = planted(30)
+    // deterministic non-trivial weights over a model LARGER than the
+    // literal threshold — the 64k-bucket regime the literal path must not
+    // be asked to plan
+    val big = QualityClassifier.MaxLiteralWeights + 512
+    val w = Array.tabulate(big + 1)(b => ((b * 2654435761L) % 17L) - 8L)
+    val lit_ = docs.withColumn("s",
+        QualityClassifier.scoreTextLiteral(col("text"), w))
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaUdf = docs.withColumn("s",
+        QualityClassifier.scoreTextUdf(col("text"), w))
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaUdf == lit_)
+    // sparse featurized path too
+    val feats = QualityClassifier
+      .featurize(docs, col("good"), lit(true), buckets = big).localCheckpoint()
+    val colLit = feats.withColumn("s",
+        QualityClassifier.scoreColLiteral(col("fs"), w))
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val colUdf = feats.withColumn("s",
+        QualityClassifier.scoreColUdf(col("fs"), w))
+      .select(col("doc_id"), col("s")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(colUdf == colLit)
+    // and the dispatcher picks the UDF path above the threshold: gate()
+    // must plan (a 4609-literal CreateArray per expression is the failure
+    // mode) and agree with the literal scores
+    val gated = QualityClassifier.gate(docs, w)
+      .select(col("doc_id"), col("score")).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gated == lit_)
+  }
+
+  test("qualityScores: an unbounded training slice is rejected") {
+    val docs = planted(40)
+    val ex = intercept[IllegalArgumentException] {
+      QualityClassifier.qualityScores(docs, iters = 1,
+        isTrain = lit(true), maxTrain = 10L)
+    }
+    assert(ex.getMessage.contains("maxTrain"))
+  }
+
   test("registered query: trains on even ids, scores every doc, beats the majority class") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val out = QualityClassifier.qualityScores(docs)
