@@ -394,6 +394,41 @@ object OracleSql {
   val sql: Map[String, String] = Map(
 
     "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
+
+    // q117's twin: the 56-bit dHash recomputed from the deterministic
+    // container geometry (the q40 discipline — the raster is the text's
+    // bytes zero-padded to 3wh; ASCII corpus, so ascii(char) = the byte),
+    // then brute-force Hamming pairs. Cell membership, cross-multiplied
+    // gradient compares and the bit layout mirror
+    // Multimodal.perceptualHash operation-for-operation, all-integer.
+    "q117_image_phash" ->
+      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
+        |    (16 + length(text) % 49)::BIGINT w
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, text, n, w,
+        |    greatest(1, (n + 3*w - 1) // (3*w))::BIGINT h FROM b),
+        |px AS (SELECT doc_id, w, h,
+        |  [CASE WHEN 3*k < n THEN ascii(text[(3*k+1)::INT]) ELSE 0 END
+        |   + CASE WHEN 3*k+1 < n THEN ascii(text[(3*k+2)::INT]) ELSE 0 END
+        |   + CASE WHEN 3*k+2 < n THEN ascii(text[(3*k+3)::INT]) ELSE 0 END
+        |   for k in range(0, w*h)] lum FROM d),
+        |cs AS (SELECT doc_id,
+        |  [list_sum([CASE WHEN ((k//w)*8//h)*8 + ((k%w)*8//w) = ci
+        |     THEN lum[(k+1)::INT]::BIGINT ELSE 0::BIGINT END
+        |     for k in range(0, w*h)]) for ci in range(0,64)] s,
+        |  [list_sum([CASE WHEN ((k//w)*8//h)*8 + ((k%w)*8//w) = ci
+        |     THEN 1::BIGINT ELSE 0::BIGINT END
+        |     for k in range(0, w*h)]) for ci in range(0,64)] cnt
+        | FROM px),
+        |f AS (SELECT doc_id, CAST(list_sum([
+        |  CASE WHEN s[((i//7)*8 + (i%7) + 1)::INT] * cnt[((i//7)*8 + (i%7) + 2)::INT]
+        |         > s[((i//7)*8 + (i%7) + 2)::INT] * cnt[((i//7)*8 + (i%7) + 1)::INT]
+        |       THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END
+        |  for i in range(0,56)]) AS BIGINT) ph FROM cs)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
     "q103_pagerank" -> pageRankSql(5),
 
     "q01_filter_project" ->

@@ -485,6 +485,14 @@ object SparkEntry {
     "q40_multimodal_meta" -> ((s, dir) =>
       Multimodal.metaFromDocuments(s, Tables.documents(s, dir))),
 
+    // perceptual image near-dup (r10, verdict #2): 56-bit all-integer
+    // dHash over the DECODED pixel raster (real PPM/BMP walk), paired
+    // through the q22 chunk-pair Hamming blocking — the multimodal dedup
+    // stage; the deterministic container geometry gives the fingerprint a
+    // closed-form DuckDB twin (the q40 discipline)
+    "q117_image_phash" -> ((s, dir) =>
+      Multimodal.imagePhashPairs(Tables.documents(s, dir))),
+
     // gate for q59's approx-cut scale path: sketch cuts inside the exact
     // quantile window, per source (q37's gated-sketch discipline)
     "q69_winsorize_gate" -> ((s, dir) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** A multimodal record: opaque media payload + typed metadata. At 100 TB
   * the payload column stays `binary` end to end — it is never parsed by
@@ -160,6 +160,154 @@ object Multimodal {
     */
   def metaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
     extractMeta(asMedia(docs)).toDF()
+
+  // ----------------------------------------------------- perceptual hash
+
+  /** Decode a media payload to its raw RGB raster (w, h, 3·w·h unsigned
+    * bytes) — the pixel-level sibling of [[decode]]'s header-only walk,
+    * feeding the perceptual fingerprint. PPM: the bytes after the header
+    * verbatim. BMP: rows copied in STORED order with the 4-byte row
+    * padding stripped (our synthetic encoder writes rows top-down; a
+    * bottom-up real-world BMP fingerprints vertically flipped — consistent
+    * per container, and a flip-invariant dedup would hash both
+    * orientations). Byte order within a pixel (RGB vs BGR) is irrelevant
+    * downstream: the fingerprint's luma is the order-invariant byte sum.
+    */
+  def rasterOf(r: MediaRecord): (Int, Int, Array[Byte]) = {
+    val p = r.payload
+    if (p.length >= 2 && p(0) == 'P' && p(1) == '6') {
+      var i = 2
+      def skipWs(): Unit = { while (i < p.length && p(i).toChar.isWhitespace) i += 1 }
+      def int(): Int = {
+        skipWs(); var v = 0
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+        v
+      }
+      val w = int(); val h = int(); int() // maxval
+      i += 1 // the single whitespace after maxval (PPM spec)
+      if (w <= 0 || h <= 0 || p.length - i < 3L * w * h)
+        throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: malformed PPM raster (w=$w h=$h, ${p.length} bytes)")
+      (w, h, java.util.Arrays.copyOfRange(p, i, i + 3 * w * h))
+    } else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = buf.getInt(18)
+      val h = math.abs(buf.getInt(22))
+      val rowSize = ((3 * w + 3) / 4) * 4
+      if (w <= 0 || h == 0 || 54L + rowSize.toLong * h > p.length)
+        throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: malformed BMP raster (w=$w h=$h, ${p.length} bytes)")
+      val out = new Array[Byte](3 * w * h)
+      var row = 0
+      while (row < h) {
+        System.arraycopy(p, 54 + row * rowSize, out, row * 3 * w, 3 * w)
+        row += 1
+      }
+      (w, h, out)
+    } else throw new IllegalArgumentException(
+      s"doc ${r.doc_id}: unrecognized media payload (${p.length} bytes)")
+  }
+
+  /** 56-bit perceptual GRADIENT hash (dHash, Krawetz) over the decoded
+    * raster, all-integer so any engine reproduces it bit-for-bit: the
+    * image downsamples to an 8×8 grid of cell luma averages (cell (r,c)
+    * owns pixels with row·8 div h = r, col·8 div w = c; luma = the plain
+    * R+G+B byte sum — BT.601 weights would drag float rounding into a
+    * fingerprint), and bit r·7+c compares horizontal neighbors
+    * avg(r,c) > avg(r,c+1) via cross-multiplication (sum_a·cnt_b >
+    * sum_b·cnt_a — no division, no ties-by-rounding). 8 rows × 7
+    * comparisons = 56 bits, deliberately < 60 so the value is sign-safe
+    * as a BIGINT in both engines (the q22 discipline). Images shorter
+    * than 8 pixel rows leave trailing grid rows empty (cnt 0 — both
+    * comparisons false, deterministic on both sides).
+    */
+  def perceptualHash(w: Int, h: Int, raster: Array[Byte]): Long = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    val n = w * h
+    var k = 0
+    while (k < n) {
+      val luma = (raster(3 * k) & 0xff) + (raster(3 * k + 1) & 0xff) +
+        (raster(3 * k + 2) & 0xff)
+      val ci = ((k / w) * 8 / h) * 8 + (k % w) * 8 / w
+      sums(ci) += luma
+      cnts(ci) += 1
+      k += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        val i = r * 8 + c
+        if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i)) bits |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** (doc_id, phash) for every document's image payload — the same
+    * batched-decode shape as [[extractMeta]], decoding the REAL container
+    * ([[rasterOf]]) before hashing.
+    */
+  def imagePhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asMedia(docs).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val (w, h, px) = rasterOf(r)
+        (r.doc_id, perceptualHash(w, h, px))
+      })
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Perceptual NEAR-DUP image pairs (SURVEY §2 q117) — the multimodal
+    * dedup stage the text families (q20–q23) don't reach: re-encoded,
+    * re-contained or lightly-edited copies of an image share a close
+    * dHash even when their bytes (and exact-dedup digests) differ
+    * entirely. Returns (id_a, id_b, hamming ≤ maxHamming), id_a < id_b.
+    *
+    * Blocking is [[Dedup.simHashPairs]]' chunk-pair covering design on
+    * 7 chunks of 8 bits: hamming ≤ h flips bits in ≤ h chunks, so
+    * ≥ 7−h chunks agree exactly, and the key set per doc is a covering
+    * graph whose independence number forces any (7−h)-subset to contain
+    * a keyed pair — lossless, no candidate is ever dropped:
+    *  - h ≤ 2 → ≥ 5 agree; matching {01,23,45} (independence 4): 3 keys.
+    *  - h = 3 → ≥ 4 agree; triangles {012},{345} (independence 3): 6.
+    *  - h = 4 → ≥ 3 agree; cliques {012} ∪ {3456} (independence 2): 9.
+    *  - h = 5 → ≥ 2 agree; all C(7,2) = 21 pairs.
+    * Pairs stream from a sort-merge self-join (spillable match groups,
+    * ReusedExchange on the two identical sides) — never a per-bucket
+    * collect. The fingerprint scan itself is one corpus pass; only
+    * (id, 8-byte hash, key) rows shuffle, never pixels.
+    */
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
+    val t = imagePhash(docs)
+    def chunk(c: Int): Column = shiftrightunsigned(col("ph"), c * 8) % 256
+    val pairs: Seq[(Int, Int)] =
+      if (maxHamming <= 2) Seq((0, 1), (2, 3), (4, 5))
+      else if (maxHamming == 3) Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
+      else if (maxHamming == 4)
+        Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6))
+      else for { i <- 0 until 7; j <- (i + 1) until 7 } yield (i, j)
+    // packed 64-bit blocking key per chunk pair: (pairIdx << 16) | cv_i << 8 | cv_j
+    val keys = pairs.map { case (i, j) =>
+      (lit((i * 7 + j).toLong << 16) + chunk(i) * 256 + chunk(j)).as("bk")
+    }
+    val banded = t.select(col("doc_id").as("id"), col("ph"),
+      explode(array(keys: _*)).as("bk"))
+    val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk")
+          && col("a.id") < col("b.id")
+          && ham <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+      .distinct()
+  }
 
   // ---------------------------------------------------------------- audio
 

@@ -188,6 +188,64 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("perceptual hash: raster roundtrips both containers; near-identical pair lands close") {
+    // the raster recovered from EITHER container is the original byte
+    // stream (zero-padded), so PPM (even id) and BMP (odd id) of the same
+    // text fingerprint IDENTICALLY — container invariance
+    val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val both = Multimodal.asMedia(
+      Seq((0L, text), (1L, text)).toDF("doc_id", "text")).collect().sortBy(_.doc_id)
+    assert(both.map(_.fmt).toSeq == Seq("ppm", "bmp"))
+    val hashes = both.map { r =>
+      val (w, h, px) = Multimodal.rasterOf(r)
+      assert(px.take(text.length).toSeq == text.getBytes("UTF-8").toSeq)
+      assert(px.drop(text.length).forall(_ == 0))
+      Multimodal.perceptualHash(w, h, px)
+    }
+    assert(hashes(0) == hashes(1))
+    assert(hashes(0) >= 0L) // 56 bits: sign-safe in both engines
+
+    // a NEAR-IDENTICAL image pair (one character edited — one pixel byte
+    // changes) must land within a small Hamming ball, while a totally
+    // different image of the same geometry lands far away
+    val edited = text.updated(10, 'Q')
+    val noise = (0 until text.length).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    val docs = Seq((0L, text), (1L, edited), (2L, noise)).toDF("doc_id", "text")
+    val ph = Multimodal.imagePhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(ph(0L), ph(1L)) <= 2,
+      s"one-byte edit moved the fingerprint ${ham(ph(0L), ph(1L))} bits")
+    assert(ham(ph(0L), ph(2L)) > 4,
+      s"unrelated image landed ${ham(ph(0L), ph(2L))} bits away")
+
+    // the registered pair query catches the planted pair and only it
+    val pairs = Multimodal.imagePhashPairs(docs, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("phash chunk-pair blocking is lossless vs brute force at every maxHamming") {
+    // planted Hamming ladder around a base text: k-char edits produce a
+    // spread of distances; the blocked join must equal brute force exactly
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4).trim
+    val docs = (0L until 24L).map { i =>
+      val t = (0 until i.toInt).foldLeft(base)((s, k) => s.updated(k * 3 + 1, 'Z'))
+      (i, t)
+    }.toDF("doc_id", "text")
+    val ph = Multimodal.imagePhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (h <- Seq(2, 3, 4, 5)) {
+      val brute = (for {
+        a <- ph.keys; b <- ph.keys if a < b
+        d = java.lang.Long.bitCount(ph(a) ^ ph(b)) if d <= h
+      } yield (a, b, d)).toSet
+      val blocked = Multimodal.imagePhashPairs(docs, maxHamming = h)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked == brute, s"maxHamming=$h: blocked ${blocked.size} vs brute ${brute.size}")
+    }
+  }
+
   test("streaming sentiment twin matches batch pivot on the same rows") {
     import java.sql.Timestamp
     val docs = Seq(
