@@ -1057,6 +1057,12 @@ object OracleSql {
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // same gate convention as q107/q107b: n_queries genuinely recounted,
+    // the recall bound pinned TRUE (the approximate path has no SQL form)
+    "q107c_knn_ivfpq_incremental" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events
         |  WHERE event_type = 'purchase'),

@@ -212,6 +212,31 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
     }),
 
+    // INCREMENTAL maintenance of the persisted index (r10, verdict #3):
+    // build on the 90% base slice, APPEND the 10% delta day under the
+    // FROZEN model+centroids (untouched cells' files byte-identical,
+    // PqSpec), probe the grown index — the daily-ingest reality where a
+    // full rebuild would re-encode the whole corpus to add one day. Same
+    // gate shape as q107/q107b.
+    "q107c_knn_ivfpq_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val q = emb.filter(col("vec_id") < 10)
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/inc_idx"
+      // overwrite-build of the base clears the previous invocation's
+      // delta files, so the append is idempotent across bench reps
+      val idx = operators.Pq.writeIndex(base, "vec_id", "embedding",
+        operators.Pq.train(base, "vec_id", "embedding", m = 8, k = 32),
+        path, nlist = 32)
+      operators.Pq.appendToIndex(idx, delta, "vec_id", "embedding")
+        .write.format("noop").mode("overwrite").save()
+      Knn.recallGate(
+        operators.Pq.ivfTopKIndexed(idx, emb, q, "vec_id", "embedding", 5,
+          nprobe = 8, refine = 200),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
+    }),
+
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel
     // cosine over symmetric codes — no dequantize): recall@5 vs float
     "q60_knn_int8" -> ((s, dir) => {

@@ -237,16 +237,25 @@ object Pq {
     * retraining. Layout: ~12 B/vector in cell dirs; at 100 TB the cells
     * are also the bucketing unit for a co-located id join.
     */
+  /** The (id, cell, codes) rows of a corpus under a FROZEN model +
+    * centroid set — the shared row shape of [[writeIndex]] (build) and
+    * [[appendToIndex]] (ingest), and the spec's union-equality oracle.
+    */
+  private[graft] def indexRows(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, centroids: Array[Array[Float]]): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
+        VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
+
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       model: PqModel, path: String, nlist: Int = 32): IvfPqIndex = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val centroids = IvfKnn.trainCentroids(corpus, idCol, vecCol, nlist)
-    corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
-        VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
+    indexRows(corpus, idCol, vecCol, model, centroids)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -254,7 +263,118 @@ object Pq {
       book.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
     }.toSeq.toDF("s", "c", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_books")
+    // build-time per-cell occupancy — the drift gate's reference point
+    // ("_"-prefixed like the other sidecars). Computed from the just-
+    // written table so the reference is what actually landed on disk.
+    sp.read.parquet(path).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_occupancy")
     IvfPqIndex(path, centroids, model)
+  }
+
+  /** INCREMENTAL index maintenance (SURVEY §2 q107c) — real ingest
+    * APPENDS; a nightly full rebuild re-encodes (and re-shuffles) the
+    * whole corpus to add one day. The delta encodes under the index's
+    * FROZEN model and routes with its FROZEN centroids ([[indexRows]] —
+    * the same expression the build used), then appends into the cell
+    * partitions: untouched cells' files are never opened, let alone
+    * rewritten (spec asserts file-list identity — the
+    * `PartitionedUpsert` discipline), and the grown index's CONTENT
+    * equals a one-shot [[writeIndex]]-shaped build of the union corpus
+    * under the same model + centroids (spec-asserted, probes included).
+    * Freezing is the documented contract, not a shortcut: the coarse
+    * quantizer and codebooks must stay fixed for the existing codes to
+    * remain valid — that drift is exactly what [[occupancyDrift]]
+    * watches. Returns the per-cell appended counts (the monitoring rows
+    * an ingest job logs).
+    */
+  def appendToIndex(
+      index: IvfPqIndex, delta: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val rows = indexRows(delta, idCol, vecCol, index.model, index.centroids)
+      .localCheckpoint() // one encode pass feeds both the write and the counts
+    rows.write.partitionBy("cell").mode("append").parquet(index.path)
+    rows.groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
+  }
+
+  /** Exactly-once DAILY ANN-index growth — the [[appendToIndex]] protocol
+    * under [[graft.streaming.StreamNearDup.applyBatch]]'s batch-marker
+    * discipline, so a pipeline (LlmIngestDag) can grow the ANN index
+    * alongside the minhash one with the same replay semantics: day one
+    * BUILDS the index (train + [[writeIndex]]); every later day appends
+    * under the frozen model; a `_batches/<batchId>` marker makes each
+    * batch apply at most once (a replayed day is a no-op). The marker is
+    * created BEFORE the append (the StreamNearDup ordering): a crash in
+    * between leaves that day's vectors missing — repairable by deleting
+    * the marker — rather than DUPLICATED, which would silently poison
+    * probe shortlists. Returns rows applied, or -1 for a replay.
+    */
+  def appendBatch(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, batchId: Long,
+      nlist: Int = 32, m: Int = 8, k: Int = 16): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return -1L
+    val built = new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")
+    if (!fs.exists(built)) {
+      // day one may be smaller than the target cell count — cap nlist (and
+      // the codebook size) at what exists; probing a small index is then
+      // exhaustive, and the cell layout grows into its skew from there
+      val n = emb.filter(col(vecCol).isNotNull).count()
+      if (n == 0L) { // nothing to build an index FROM — mark and move on
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
+        return 0L
+      }
+      val effNlist = math.min(nlist.toLong, n).toInt
+      val effK = math.min(k.toLong, n).toInt
+      writeIndex(emb, idCol, vecCol, train(emb, idCol, vecCol, m, effK),
+        indexDir, effNlist)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      n
+    } else {
+      val idx = readIndex(spark, indexDir)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      appendToIndex(idx, emb, idCol, vecCol)
+        .agg(coalesce(sum(col("n_added")), lit(0L))).collect().head.getLong(0)
+    }
+  }
+
+  /** Occupancy-DRIFT gate for a persisted index: when appends under the
+    * frozen coarse quantizer pile into few cells (the data distribution
+    * moved), probe cost and recall both degrade — this is the signal that
+    * RETRAINING is due, measured as cell-size skew (max/mean) now vs at
+    * build time, plus total growth. One row:
+    * (n_cells, n_build, n_now, growth, build_skew, cur_skew, retrain_due).
+    * Cost: the current counts aggregate scans only the partition column
+    * of the code table (column-pruned row counts, no code bytes); the
+    * build reference is the `_occupancy` sidecar (nlist rows).
+    */
+  def occupancyDrift(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): DataFrame = {
+    val build = spark.read.parquet(s"$path/_occupancy")
+      .agg(count(lit(1)).as("n_cells_b"), sum(col("n")).as("n_build"),
+        max(col("n")).as("max_b"))
+    val now = spark.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_now"),
+        max(col("n")).as("max_n"))
+    now.crossJoin(build)
+      .select(
+        col("n_cells").cast("long").as("n_cells"),
+        col("n_build").cast("long").as("n_build"),
+        col("n_now").cast("long").as("n_now"),
+        round(col("n_now").cast("double") / col("n_build"), 4).as("growth"),
+        round(col("max_b") * col("n_cells_b").cast("double") / col("n_build"), 4)
+          .as("build_skew"),
+        round(col("max_n") * col("n_cells").cast("double") / col("n_now"), 4)
+          .as("cur_skew"))
+      .withColumn("retrain_due",
+        col("cur_skew") > col("build_skew") * maxSkewGrowth
+          || col("growth") > maxGrowth)
   }
 
   /** Rehydrate a persisted index: two bounded sidecar reads (nlist

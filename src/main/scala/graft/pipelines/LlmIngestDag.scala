@@ -59,6 +59,14 @@ object LlmIngestDag {
   /** Wire one execution date. `connect` is a serializable factory (the
     * JdbcSink contract — executors open their own connections); the
     * `corpus_daily_counts` table must exist ([[ensureCountsTable]]).
+    *
+    * `embeddingsFor` (r10, optional): the day's (doc_id, embedding) rows
+    * — in production the embedding service's daily output. When present, a
+    * `grow_ann_index` task appends the day's SURVIVORS' vectors into the
+    * persisted IVF-PQ index at `warehouse/ann_index` under the frozen
+    * model ([[graft.operators.Pq.appendBatch]] — day one builds, every
+    * later day appends, batch-marker idempotent exactly like the minhash
+    * index), so BOTH dedup-index artifacts grow together day by day.
     */
   def build(
       spark: SparkSession,
@@ -67,7 +75,8 @@ object LlmIngestDag {
       connect: () => Connection,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
       retries: Int = 1, minRows: Long = 1,
-      compactMaxFiles: Int = 8): Build = {
+      compactMaxFiles: Int = 8,
+      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None): Build = {
     val rawPath = s"$outputRoot/warehouse/raw/date=$date"
     val cleanPath = s"$outputRoot/warehouse/clean_daily/date=$date"
     val survivorsDir = s"$outputRoot/warehouse/corpus"
@@ -146,15 +155,42 @@ object LlmIngestDag {
 
       Dag.Task("finish", () => ()))
 
+    // optional ANN-index leg: runs AFTER cross-day dedup (only survivors
+    // are worth indexing) and independently of compaction/publish
+    val annDir = s"$outputRoot/warehouse/ann_index"
+    val annTasks = embeddingsFor.toSeq.map { embFor =>
+      Dag.Task("grow_ann_index", () => {
+        val survivors = spark.read
+          .parquet(s"$survivorsDir/batch=${date.toEpochDay}")
+          .select(col("doc_id"))
+        val dayEmb = embFor(date)
+          .join(survivors, Seq("doc_id"), "left_semi")
+        graft.operators.Pq.appendBatch(
+          spark, dayEmb, "doc_id", "embedding", annDir,
+          batchId = date.toEpochDay)
+        ()
+      }, retries = retries,
+        gate = () => {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$annDir/_batches/${date.toEpochDay}")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        })
+    }
+    val annEdges = embeddingsFor.toSeq.flatMap { _ =>
+      Seq("cross_day_neardup" -> "grow_ann_index",
+        "grow_ann_index" -> "finish")
+    }
+
     val edges = Seq(
       "start" -> "ingest_raw",
       "ingest_raw" -> "clean_corpus",
       "clean_corpus" -> "cross_day_neardup",
       "cross_day_neardup" -> "compact_warehouse",
       "compact_warehouse" -> "publish_counts",
-      "publish_counts" -> "finish")
+      "publish_counts" -> "finish") ++ annEdges
 
-    Build(tasks, edges, rawPath, cleanPath, survivorsDir, indexDir)
+    Build(tasks.init ++ annTasks :+ tasks.last, edges,
+      rawPath, cleanPath, survivorsDir, indexDir)
   }
 
   /** Create the counts table (Derby-compatible DDL; no-op if present). */
@@ -174,12 +210,14 @@ object LlmIngestDag {
       startDate: LocalDate, untilExclusive: LocalDate,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
       retries: Int = 1, minRows: Long = 1,
-      compactMaxFiles: Int = 8): Seq[Catchup.DayRun] = {
+      compactMaxFiles: Int = 8,
+      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None)
+      : Seq[Catchup.DayRun] = {
     val wm = s"$outputRoot/_catchup_watermark"
     var details = Map.empty[LocalDate, Seq[Dag.Outcome]]
     val ran = Catchup.run(spark, wm, startDate, untilExclusive) { d =>
       val b = build(spark, inputRoot, outputRoot, d, connect, cfg,
-        retries, minRows, compactMaxFiles)
+        retries, minRows, compactMaxFiles, embeddingsFor)
       val out = Dag.run(b.tasks, b.edges)
       details += d -> out
       out.forall(_.status == Dag.Succeeded)

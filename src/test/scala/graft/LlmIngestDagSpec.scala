@@ -154,6 +154,68 @@ class LlmIngestDagSpec extends SparkTestBase {
     } finally conn2.close()
   }
 
+  test("ANN index grows alongside the minhash one: day-1 build, day-2 append, replay no-op") {
+    val root = Files.createTempDirectory("graft-llm-ann").toString
+    val d1 = LocalDate.parse("2021-07-01")
+    val d2 = LocalDate.parse("2021-07-02")
+    // day 2 repeats one day-1 text (id 15 = sentence(2)): its vector must
+    // never enter the ANN index because the doc dies in cross-day dedup
+    writeDay(root, d1, (0L until 8L).map(i => (i, sentence(i.toInt), "web")))
+    writeDay(root, d2,
+      (10L until 14L).map(i => (i, sentence(i.toInt), "web")) :+ (15L, sentence(2), "web"))
+    val connect = connectTo("graft_llm_ann")
+    val c0 = connect(); LlmIngestDag.ensureCountsTable(c0); c0.close()
+    val cfg = CorpusPipeline.Config(
+      maxTopWordFrac = 0.5, samplePerSource = 1000, dropPplTail = false)
+
+    // deterministic unit vectors per doc id — the embedding service stub
+    val embFor: LocalDate => org.apache.spark.sql.DataFrame = _ => {
+      val all = (0L until 24L).map { id =>
+        val raw = (0 until 16).map(j => math.sin(id * 31 + j + 1))
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        (id, raw.map(x => (x / n).toFloat).toArray)
+      }
+      all.toDF("doc_id", "embedding")
+    }
+
+    val runs = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      embeddingsFor = Some(embFor))
+    runs.foreach(r => assert(r.ok, s"${r.date}: ${r.detail.mkString("; ")}"))
+    assert(runs.flatMap(_.detail).count(_.id == "grow_ann_index") == 2)
+
+    val annDir = s"$root/out/warehouse/ann_index"
+    val survivors = (0L until 8L).toSet ++ (10L until 14L).toSet
+    def annIds() = spark.read.parquet(annDir)
+      .select("id").as[Long].collect().toSeq
+    assert(annIds().toSet == survivors, "ANN index must hold survivors only")
+    assert(annIds().size == survivors.size, "no duplicate ANN entries")
+    // both batch markers exist (day 1 = build, day 2 = append)
+    for (d <- Seq(d1, d2))
+      assert(new java.io.File(s"$annDir/_batches/${d.toEpochDay}").exists())
+
+    // the grown artifact probes end-to-end through the persisted path
+    val idx = graft.operators.Pq.readIndex(spark, annDir)
+    val q = embFor(d1).filter(col("doc_id") < 2)
+    val hits = graft.operators.Pq.ivfTopKIndexed(
+      idx, embFor(d1).join(annIds().toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      q, "doc_id", "embedding", 3, nprobe = 32, refine = 12)
+      .as[(Long, Int, Long)].collect()
+    assert(hits.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L) && hits.length == 6)
+
+    // replay of day 2 (watermark lost): the marker makes the ANN step a
+    // no-op — the index must not re-grow
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$root/out/_catchup_watermark/date=$d2"))
+    val replay = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      embeddingsFor = Some(embFor))
+    assert(replay.map(_.date) == Seq(d2) && replay.head.ok)
+    assert(annIds().size == survivors.size, "replayed day must not re-grow the ANN index")
+  }
+
   test("default config composes the ppl stage: dag green, per-source tail dropped") {
     val root = Files.createTempDirectory("graft-llm-ppl").toString
     val d1 = LocalDate.parse("2021-06-01")

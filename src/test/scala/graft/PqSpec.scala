@@ -117,6 +117,71 @@ class PqSpec extends SparkTestBase {
     assert(idxScan.toString.contains("PartitionFilters"), idxScan.toString)
   }
 
+  test("incremental append: frozen-model equality with a one-shot union build; untouched cells byte-identical") {
+    val base = clustered.filter($"vec_id" % 10 < 6)
+    val delta = clustered.filter($"vec_id" % 10 >= 6)
+    val model = Pq.train(base, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_inc").toString
+
+    val idx = Pq.writeIndex(base, "vec_id", "embedding", model, s"$dir/idx", nlist = 4)
+
+    // snapshot every data file (path, length, mtime) per cell before append
+    def files(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(s"$dir/idx")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .toMap
+    }
+    val before = files()
+
+    val added = Pq.appendToIndex(idx, delta, "vec_id", "embedding")
+      .as[(Int, Long)].collect().toMap
+    assert(added.values.sum == delta.count())
+
+    // cells that received no delta rows: EXACT file identity (names,
+    // sizes, mtimes); cells that grew: the old files survive untouched
+    val after = files()
+    for ((cell, fs) <- before) {
+      val cellId = cell.stripPrefix("cell=").toInt
+      if (added.getOrElse(cellId, 0L) == 0L)
+        assert(after(cell) == fs, s"untouched $cell was rewritten")
+      else
+        assert(fs.subsetOf(after(cell)), s"$cell lost or rewrote a pre-append file")
+    }
+
+    // content equality with a one-shot build of the UNION under the SAME
+    // frozen model + centroids (the rebuild a naive pipeline would pay)
+    val grown = spark.read.parquet(s"$dir/idx")
+      .select("id", "cell", "codes").as[(Long, Int, Seq[Int])].collect().toSet
+    val oneShot = Pq.indexRows(clustered, "vec_id", "embedding",
+      model, idx.centroids).as[(Long, Int, Seq[Int])].collect().toSet
+    assert(grown == oneShot)
+
+    // probes over the grown index == probes over a one-shot-written union
+    // index with the same model/centroids (bit-identical all-long tail)
+    Pq.indexRows(clustered, "vec_id", "embedding", model, idx.centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/union")
+    val unionIdx = Pq.IvfPqIndex(s"$dir/union", idx.centroids, model)
+    val q = clustered.filter($"vec_id" < 3)
+    def probe(i: Pq.IvfPqIndex) =
+      Pq.ivfTopKIndexed(i, clustered, q, "vec_id", "embedding", 5,
+        nprobe = 4, refine = 20)
+        .as[(Long, Int, Long)].collect().toSet
+    assert(probe(idx) == probe(unionIdx))
+
+    // occupancy drift: growth reflects the append; a tight skew threshold
+    // combined with real growth below maxGrowth stays green, while a
+    // maxGrowth below the actual growth trips the gate
+    val drift = Pq.occupancyDrift(spark, s"$dir/idx").collect().head
+    assert(drift.getAs[Long]("n_now") == clustered.count())
+    assert(drift.getAs[Double]("growth") > 1.0)
+    val tripped = Pq.occupancyDrift(spark, s"$dir/idx",
+      maxGrowth = drift.getAs[Double]("growth") - 0.01).collect().head
+    assert(tripped.getAs[Boolean]("retrain_due"))
+  }
+
   test("determinism: same model and ranks under different partitioning") {
     val a = Pq.train(clustered.repartition(7), "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val b = Pq.train(clustered.repartition(2), "vec_id", "embedding", m = 4, k = 8, iters = 2)
