@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Lines {
 
+  /** The nightly ARTIFACT half of line dedup (the [[Dedup.digests]]
+    * discipline): the normalized-line hashes occurring in ≥ `minDocs`
+    * DISTINCT documents — one (lh) row per boilerplate line, 8 bytes
+    * each, persisted by the batch job and consumed by the live gate
+    * ([[graft.streaming.StreamLines]]) and by incremental reruns. Text
+    * never shuffles: the aggregation is hash-keyed with map-side
+    * partials.
+    */
+  def boilerplateLines(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "a line is boilerplate only if it repeats across docs")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), xxhash64(Dedup.normalized(col("line"))).as("lh"))
+      .groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("lh")
+  }
+
   /** (doc_id, n_lines, n_removed, removed_frac, keep, text_clean). */
   def lineDedup(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
