@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 
 /** Scaling-curve harness for the dedup family's bounded-candidate claims.
   *
@@ -29,7 +29,19 @@ object ScaleCurve {
     @volatile var maxTaskRecords = 0L
     @volatile var maxTaskMs = 0L
     @volatile var inputRecords = 0L
-    def reset(): Unit = { shufRecords = 0; maxTaskRecords = 0; maxTaskMs = 0; inputRecords = 0 }
+    // per-stage straggler ledger (SPARK_GRAFT_STAGE_DETAIL=1): stage id →
+    // (callsite name, tasks, Σ read, max task read, max task ms) — the
+    // drill-down that tells a hot KEY GROUP from a hot STAGE (the r10 q63
+    // lesson: the global max-task number alone misattributed the tail)
+    val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long, Long, Long, Long)]()
+    private val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    def reset(): Unit = {
+      shufRecords = 0; maxTaskRecords = 0; maxTaskMs = 0; inputRecords = 0
+      stages.clear(); names.clear()
+    }
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+      names.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n').take(80))
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       val m = t.taskMetrics
       if (m != null) {
@@ -42,6 +54,11 @@ object ScaleCurve {
         // in a toy-scale plan goes through a BROADCAST exchange (broadcast
         // rows never appear in shuffle-read metrics)
         inputRecords += m.inputMetrics.recordsRead
+        val sid = t.stageId
+        val prev = stages.getOrDefault(sid,
+          (names.getOrDefault(sid, sid.toString), 0L, 0L, 0L, 0L))
+        stages.put(sid, (prev._1, prev._2 + 1, prev._3 + r,
+          math.max(prev._4, r), math.max(prev._5, ms)))
       }
     }
   }
@@ -81,6 +98,13 @@ object ScaleCurve {
         }
       }
       if (line.nonEmpty) println(line)
+      if (sys.env.get("SPARK_GRAFT_STAGE_DETAIL").contains("1")) {
+        import scala.jdk.CollectionConverters._
+        stats.stages.asScala.toSeq.sortBy(-_._2._5).take(8).foreach {
+          case (sid, (nm, tasks, read, maxRead, maxMs)) =>
+            println(s"""  [stage $sid] "$nm" tasks=$tasks read=$read maxTaskRead=$maxRead maxTaskMs=$maxMs""")
+        }
+      }
     }
     spark.stop()
   }
