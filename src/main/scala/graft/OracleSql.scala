@@ -356,9 +356,66 @@ object OracleSql {
   private def bpeApplySql(merges: Seq[(String, String)]): String = {
     val pairsLit = merges
       .map { case (a, b) => s"'$a' || chr(1) || '$b'" }.mkString("[", ", ", "]")
-    s"""WITH RECURSIVE
-       |pl AS (SELECT $pairsLit ps),
-       |w0 AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) w
+    s"WITH RECURSIVE\npl AS (SELECT $pairsLit ps),\n$bpeSegCtes\n" +
+      "SELECT doc_id, n_tokens, n_bpe_tokens, roundtrip_ok, join_ok, fertility_ok FROM toks"
+  }
+
+  /** q76/q92's twin (r10): the TRAIN step unrolled — the last two
+    * rows-only queries get a full value oracle. The greedy merge loop has
+    * no FIXPOINT SQL form, but the registered queries train a FIXED
+    * k = 50 rounds, and a bounded iteration count unrolls (the q114/q103
+    * precedent): round i's CTEs compute adjacent-pair counts from state
+    * s(i-1) (per POSITION, weighted by word count — "aaa" counts (a,a)
+    * twice, matching the Scala trainer), pick the best pair by
+    * (count DESC, a, b) — exactly `minBy((-c, a, b))` — and fuse all its
+    * occurrences left-to-right with the chr(2)-delimited `replace` trick
+    * shared with [[bpeApplySql]]. `AS MATERIALIZED` is load-bearing:
+    * p(i) and s(i) both reference s(i-1), so un-materialized CTE
+    * inlining would expand the chain EXPONENTIALLY (measured: "too many
+    * open files" from 2^50 parquet scans). A round with no remaining
+    * pairs yields an empty b(i) and passes state through unchanged —
+    * the trainer's early-stop. The learned (a, b, rank) rows then feed
+    * the [[bpeApplySql]] recursion verbatim (`pl` built by list() in
+    * rank order instead of a literal), so the apply semantics cannot
+    * drift between the fixed-merge and trained paths. Training state is
+    * vocab-sized (the corpus's 31-word synthetic vocabulary; LIMIT
+    * maxVocab mirrors the Scala driver-honesty cut), so 50 unrolled
+    * rounds stay trivially cheap in the checker.
+    */
+  private def bpeTrainCtes(k: Int, maxVocab: Int): String = {
+    val s0 =
+      s"""s0 AS MATERIALIZED (SELECT w, c, chr(2) || array_to_string(
+         |    [ch FOR ch IN string_split(w, '')], chr(2) || chr(2)) || chr(2) enc
+         |  FROM (SELECT w, count(*)::BIGINT c
+         |    FROM (SELECT unnest(string_split(text, ' ')) w FROM documents
+         |      WHERE text IS NOT NULL) WHERE w <> ''
+         |    GROUP BY 1 ORDER BY c DESC, w LIMIT $maxVocab))""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (SELECT string_split(pr, chr(1))[1] a,
+         |    string_split(pr, chr(1))[2] b, sum(c) cnt
+         |  FROM (SELECT c, unnest([syms[i] || chr(1) || syms[i+1]
+         |      FOR i IN range(1, len(syms))]) pr
+         |    FROM (SELECT c, string_split(substr(enc, 2, length(enc) - 2),
+         |      chr(2) || chr(2)) syms FROM s$p))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT w, c, CASE WHEN bb.a IS NULL THEN enc
+         |    ELSE replace(enc, chr(2) || bb.a || chr(2) || chr(2) || bb.b || chr(2),
+         |      chr(2) || bb.a || bb.b || chr(2)) END enc
+         |  FROM s$p LEFT JOIN b$i bb ON TRUE)""".stripMargin
+    }
+    val tm = (1 to k).map(i => s"SELECT a, b, $i rnk FROM b$i").mkString(" UNION ALL ")
+    (s0 +: rounds).mkString(",\n") +
+      s",\ntm AS ($tm),\npl AS (SELECT list(a || chr(1) || b ORDER BY rnk) ps FROM tm)"
+  }
+
+  /** Shared apply-side CTEs (segment every distinct word under `pl`'s
+    * rank-ordered merges, join back to occurrences) — the
+    * [[bpeApplySql]] recursion, factored so the trained twins reuse it.
+    */
+  private val bpeSegCtes: String =
+    s"""w0 AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) w
        |  FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
        |seg(w, enc, step) AS (
        |  SELECT w, chr(2) || array_to_string([c for c in string_split(w, '')],
@@ -384,14 +441,35 @@ object OracleSql {
        |    replace(enc, chr(2), '') = w rt
        |  FROM seg QUALIFY row_number() OVER (PARTITION BY w ORDER BY step DESC) = 1),
        |occ AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) w
-       |  FROM documents WHERE text IS NOT NULL) WHERE w <> '')
-       |SELECT doc_id, count(*)::BIGINT n_tokens, sum(n_bpe)::BIGINT n_bpe_tokens,
-       |  bool_and(rt) roundtrip_ok, TRUE join_ok,
-       |  sum(n_bpe)::BIGINT >= count(*) fertility_ok
-       |FROM occ JOIN fin USING (w) GROUP BY 1""".stripMargin
-  }
+       |  FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+       |toks AS (SELECT doc_id, count(*)::BIGINT n_tokens, sum(n_bpe)::BIGINT n_bpe_tokens,
+       |    bool_and(rt) roundtrip_ok, TRUE join_ok,
+       |    sum(n_bpe)::BIGINT >= count(*) fertility_ok
+       |  FROM occ JOIN fin USING (w) GROUP BY 1)""".stripMargin
+
+  /** q76's full twin: train k merges, then apply. */
+  private def bpeTrainedTokenizeSql(k: Int, maxVocab: Int): String =
+    s"WITH RECURSIVE\n${bpeTrainCtes(k, maxVocab)},\n$bpeSegCtes\n" +
+      "SELECT doc_id, n_tokens, n_bpe_tokens, roundtrip_ok, join_ok, fertility_ok FROM toks"
+
+  /** q92's full twin: the fertility rollup over the trained tokenizer. */
+  private def bpeTrainedFertilitySql(k: Int, maxVocab: Int): String =
+    s"WITH RECURSIVE\n${bpeTrainCtes(k, maxVocab)},\n$bpeSegCtes\n" +
+      s"""SELECT slice, count(*)::BIGINT n_docs, sum(n_tokens)::BIGINT n_words,
+         |  sum(n_bpe_tokens)::BIGINT n_bpe_tokens,
+         |  round(sum(n_bpe_tokens)::DOUBLE / sum(n_tokens), 4) fertility,
+         |  bool_and(roundtrip_ok AND join_ok) roundtrip_ok,
+         |  bool_and(fertility_ok)
+         |    AND round(sum(n_bpe_tokens)::DOUBLE / sum(n_tokens), 4) >= 1.0 fertility_ok
+         |FROM toks JOIN (SELECT doc_id, coalesce(source, '(null)') slice
+         |  FROM documents) USING (doc_id)
+         |GROUP BY 1""".stripMargin
 
   val sql: Map[String, String] = Map(
+
+    "q76_bpe_tokenize" -> bpeTrainedTokenizeSql(50, 100000),
+
+    "q92_bpe_fertility" -> bpeTrainedFertilitySql(50, 100000),
 
     "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
 

@@ -769,9 +769,11 @@ object SparkEntry {
       operators.Embeddings.projectionFidelityGate(Tables.embeddings(s, dir))),
 
     // real-tokenizer budget: BPE trained on the corpus's own word table
-    // (50 merges), applied via the distinct-word dictionary join. The
-    // greedy merge fixpoint has no SQL form -> rows-only oracle; exact
-    // semantics pinned in BpeSpec.
+    // (50 merges), applied via the distinct-word dictionary join. Full
+    // value oracle since r10: the greedy merge loop has no FIXPOINT SQL
+    // form, but the FIXED k=50 rounds unroll into per-round CTEs (the
+    // q114/q103 precedent) that re-derive the merge list in DuckDB and
+    // replay it; exact semantics also pinned in BpeSpec.
     "q76_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.functions.Bpe.tokenCounts(s, docs, "doc_id", "text",
@@ -779,17 +781,18 @@ object SparkEntry {
     }),
 
     // the APPLY side of BPE under a FIXED literal merge list (r10): the
-    // same dictionary-join machinery as q76, but deterministic given the
-    // pinned merges — so it has a REAL oracle (a DuckDB recursive CTE
-    // replays the ordered merges symbol-for-symbol). Shrinks the
-    // rows-only set to the train step alone.
+    // same dictionary-join machinery as q76, but with the model pinned
+    // as a literal — the oracle replays the ordered merges
+    // symbol-for-symbol with no training dependence, isolating apply
+    // semantics from the trainer q76's twin must also reproduce.
     "q76b_bpe_apply" -> ((s, dir) =>
       graft.functions.Bpe.tokenCounts(s, Tables.documents(s, dir),
         "doc_id", "text", graft.functions.Bpe.DemoMerges)),
   )
 
-  /** DuckDB oracle SQL for each SQL-expressible query; q17 (HLL sketch) and
-    * q26 (approximate ANN) are rows-only by design.
+  /** DuckDB oracle SQL per query — every registered query has an entry
+    * (sketch/ANN queries via gated twins; BPE via the r10 unrolled
+    * trainer); the rows-only set is empty.
     */
   def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * symbol pair with the LOWEST merge rank until none applies.
   *
   * The q32 token counter estimates tokens with a regex; this is the real
-  * thing a training pipeline budgets with. Non-SQL-expressible (the greedy
-  * fixpoint has no relational form), so the driver records a rows-only
-  * check for q76 and correctness is pinned by ScalaTest instead: the
-  * classic low/lower/newest corpus learns the textbook merges, tokens
+  * thing a training pipeline budgets with. The greedy fixpoint has no
+  * relational FIXPOINT form, but the registered queries train a fixed
+  * k = 50 rounds, so since r10 the DuckDB twin unrolls the trainer
+  * round-by-round (the q114/q103 bounded-iteration precedent) and q76/q92
+  * carry full value oracles; ScalaTest additionally pins the semantics:
+  * the classic low/lower/newest corpus learns the textbook merges, tokens
   * re-concatenate to their word, and the vocab-join path equals direct
   * per-occurrence segmentation.
   *
