@@ -2240,6 +2240,34 @@ object OracleSql {
          |  round(coalesce(n_neardup_docs, 0)::DOUBLE / n_docs, 4) neardup_rate
          |FROM ex LEFT JOIN nd USING (source)""".stripMargin,
 
+    // Cross-source near-dup attribution: the exact jaccard-pair twin
+    // tagged with each end's source, aggregated per unordered source
+    // pair. mean_jaccard sums the 4-dp pair values as DECIMAL before
+    // the divide (the Relational discipline); pair_rate's diagonal
+    // denominator n(n-1)/2 is exact in both engines (even product).
+    "q118_dedup_source_matrix" ->
+      s"""WITH ${jaccardPairCteOver("documents")},
+         |pp AS (SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7),
+         |sr AS (SELECT doc_id, coalesce(source, '(null)') src FROM documents),
+         |cnt AS (SELECT src, count(*)::BIGINT n FROM sr GROUP BY 1),
+         |tagged AS (SELECT pp.id_a, pp.id_b, pp.jaccard,
+         |    least(sa.src, sb.src) src_a, greatest(sa.src, sb.src) src_b
+         |  FROM pp JOIN sr sa ON pp.id_a = sa.doc_id
+         |    JOIN sr sb ON pp.id_b = sb.doc_id),
+         |dt AS (SELECT src_a, src_b, count(DISTINCT id)::BIGINT n_docs
+         |  FROM (SELECT src_a, src_b, unnest([id_a, id_b]) id FROM tagged)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT src_a, src_b, count(*)::BIGINT n_pairs,
+         |    sum(jaccard::DECIMAL(20,4)) jsum FROM tagged GROUP BY 1, 2)
+         |SELECT a.src_a, a.src_b, a.n_pairs, dt.n_docs,
+         |  round(a.jsum::DOUBLE / a.n_pairs, 4) mean_jaccard,
+         |  round(a.n_pairs::DOUBLE / (CASE WHEN a.src_a = a.src_b
+         |    THEN (ca.n * (ca.n - 1) / 2)::DOUBLE
+         |    ELSE (ca.n * cb.n)::DOUBLE END), 8) pair_rate
+         |FROM agg a JOIN dt USING (src_a, src_b)
+         |  JOIN cnt ca ON a.src_a = ca.src
+         |  JOIN cnt cb ON a.src_b = cb.src""".stripMargin,
+
     // NFC + control-strip twin: DuckDB's nfc_normalize is the same NFC
     // normal form as java.text.Normalizer; the strip class mirrors
     // StringKernels.isStripped exactly (keep \t \n \r, drop other C0,

@@ -719,6 +719,13 @@ object SparkEntry {
     "q110_dedup_stats" -> ((s, dir) =>
       operators.Dedup.dedupStats(Tables.documents(s, dir), "doc_id", "text", "source")),
 
+    // cross-source near-dup ATTRIBUTION (r10): who duplicates whom —
+    // one row per unordered source pair with pair count, docs touched,
+    // mean jaccard, and the pair-universe-normalized rate
+    "q118_dedup_source_matrix" -> ((s, dir) =>
+      operators.Dedup.nearDupSourceMatrix(
+        Tables.documents(s, dir), "doc_id", "text", "source")),
+
     // model-based quality filter (FineWeb-Edu/DCLM shape): an all-long
     // batch perceptron over hashed uni+bigram buckets, weak labels from
     // two rule signals, trained on a BOUNDED slice (even ids below the

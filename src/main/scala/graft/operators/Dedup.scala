@@ -1006,4 +1006,65 @@ object Dedup {
         round(coalesce(col("n_neardup_docs"), lit(0L)).cast("double")
           / col("n_docs"), 4).as("neardup_rate"))
   }
+
+  /** q118: cross-source near-dup ATTRIBUTION — where q110 answers "how
+    * duplicated is each source", this answers "who duplicates WHOM": the
+    * provenance matrix a corpus operator reads before deciding which feed
+    * to throttle, which mirror cluster to collapse to one canonical
+    * crawl, and which source pair's overlap means a licensing problem
+    * (RefinedWeb/C4 post-mortems report exactly this source-pair view).
+    *
+    * One row per unordered source pair (same-source rows included — the
+    * diagonal is each source's internal redundancy):
+    * (src_a ≤ src_b, n_pairs, n_docs — distinct docs touched by the
+    * pair's near-dups, mean_jaccard 4 dp, pair_rate 8 dp = n_pairs over
+    * the pair-universe n_a·n_b, or C(n_a,2) on the diagonal — the
+    * normalization that makes a 5-pair overlap between two 100-doc
+    * sources loud and the same 5 pairs between two 1M-doc crawls noise).
+    *
+    * Shape: reuses [[minHashPairs]] (verified pairs, output-sensitive);
+    * two id-keyed hash joins tag each pair end with its source (pair-
+    * sized, never corpus²); per-source doc counts ride as ONE broadcast
+    * row per source. mean_jaccard sums the 4-dp pair values as DECIMAL
+    * before the divide (the Relational.scala discipline — double
+    * summation order must not leak into the hash); pair_rate is a single
+    * IEEE divide, engine-identical. n_docs counts distinct (pair, end)
+    * ids via an exploded distinct — near-dup-sized, not corpus-sized.
+    */
+  def nearDupSourceMatrix(
+      docs: DataFrame, idCol: String, textCol: String, srcCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    // '(null)' coalesce (the q92 discipline): least/greatest NULL
+    // semantics differ across engines, so a null source must never
+    // reach the pair-ordering expressions
+    val src = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(srcCol), lit("(null)")).as("src"))
+    val counts = src.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = minHashPairs(docs, idCol, textCol, threshold = threshold)
+      .join(src.select(col("id").as("id_a"), col("src").as("sa")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("src").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+    val docsTouched = pairs
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+    pairs.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(20,4)")).as("jsum"))
+      .join(docsTouched, Seq("src_a", "src_b"))
+      .join(broadcast(counts.select(col("src").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(counts.select(col("src").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs"),
+        round(col("jsum").cast("double") / col("n_pairs"), 4).as("mean_jaccard"),
+        round(col("n_pairs").cast("double") /
+          when(col("src_a") === col("src_b"),
+            (col("n_a") * (col("n_a") - 1) / 2).cast("double"))
+            .otherwise((col("n_a") * col("n_b")).cast("double")), 8)
+          .as("pair_rate"))
+  }
 }

@@ -52,6 +52,27 @@ class DedupSpec extends SparkTestBase {
     assert(out("C") == (("C", 1L, 0L, 0L, 0.0, 0.0)), s"${out("C")}")
   }
 
+  test("source matrix: attribution rows with known cross-source plants") {
+    val w = (0 until 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // A-internal exact pair + both near-dup B's doc -> diagonal (A,A)
+      // row and a cross (A,B) row; C's unique doc appears nowhere
+      (1L, "A", w), (2L, "A", w),
+      (10L, "B", w.replace("w3", "zz")),
+      (20L, "C", "the only document in this source entirely"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.nearDupSourceMatrix(docs, "doc_id", "text", "source")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("A", "A"), ("A", "B")), s"${out.keySet}")
+    // (A,A): the one exact pair over a 2-doc universe -> rate 1, j = 1
+    assert(out(("A", "A")) == (("A", "A", 1L, 2L, 1.0, 1.0)), s"${out(("A", "A"))}")
+    // (A,B): both A docs pair with B's mutated doc; universe 2*1
+    val ab = out(("A", "B"))
+    assert(ab._3 == 2L && ab._4 == 3L && ab._6 == 1.0, s"$ab")
+    assert(ab._5 > 0.7 && ab._5 < 1.0, s"cross-source mean jaccard: $ab")
+  }
+
   test("leakage-safe split: cluster members share a split; singletons match q79") {
     val out = Dedup.leakageSafeSplits(corpus, "doc_id", "text")
       .as[(Long, Long, String)].collect()
