@@ -80,6 +80,12 @@ object ScaleCurve {
     for (dir <- dirs; name <- names) {
       var best = Double.MaxValue
       var line = ""
+      // stage ledger SNAPSHOTTED when `best` is taken, so the printed
+      // drill-down always describes the same rep as the headline line —
+      // printing the live ledger would show the LAST rep's stages next to
+      // the BEST rep's numbers (the misattribution this tool exists to
+      // prevent)
+      var bestStages = Seq.empty[(Int, (String, Long, Long, Long, Long))]
       for (_ <- 1 to reps) {
         stats.reset()
         val t0 = System.nanoTime()
@@ -95,12 +101,13 @@ object ScaleCurve {
           line = f"""{"query":"$name","dir":"$dir","sec":$sec%.2f,""" +
             s""""shufRecords":${stats.shufRecords},"maxTaskRecords":${stats.maxTaskRecords},""" +
             s""""inputRecords":${stats.inputRecords},"maxTaskMs":${stats.maxTaskMs}}"""
+          import scala.jdk.CollectionConverters._
+          bestStages = stats.stages.asScala.toSeq
         }
       }
       if (line.nonEmpty) println(line)
       if (sys.env.get("SPARK_GRAFT_STAGE_DETAIL").contains("1")) {
-        import scala.jdk.CollectionConverters._
-        stats.stages.asScala.toSeq.sortBy(-_._2._5).take(8).foreach {
+        bestStages.sortBy(-_._2._5).take(8).foreach {
           case (sid, (nm, tasks, read, maxRead, maxMs)) =>
             println(s"""  [stage $sid] "$nm" tasks=$tasks read=$read maxTaskRead=$maxRead maxTaskMs=$maxMs""")
         }

@@ -1040,12 +1040,17 @@ object Dedup {
     val src = docs.select(col(idCol).cast("long").as("id"),
       coalesce(col(srcCol), lit("(null)")).as("src"))
     val counts = src.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    // the tagged pair table feeds TWO aggregations (docs-touched and the
+    // pair rollup) — checkpoint it or the whole shingle→band→verify
+    // pipeline executes twice (the TfidfSim four-consumer discipline);
+    // the table is near-dup-sized, so pinning it is cheap
     val pairs = minHashPairs(docs, idCol, textCol, threshold = threshold)
       .join(src.select(col("id").as("id_a"), col("src").as("sa")), Seq("id_a"))
       .join(src.select(col("id").as("id_b"), col("src").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("jaccard"),
         least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"))
+      .localCheckpoint()
     val docsTouched = pairs
       .select(col("src_a"), col("src_b"),
         explode(array(col("id_a"), col("id_b"))).as("id"))

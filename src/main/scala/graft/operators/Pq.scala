@@ -301,11 +301,25 @@ object Pq {
     * alongside the minhash one with the same replay semantics: day one
     * BUILDS the index (train + [[writeIndex]]); every later day appends
     * under the frozen model; a `_batches/<batchId>` marker makes each
-    * batch apply at most once (a replayed day is a no-op). The marker is
-    * created BEFORE the append (the StreamNearDup ordering): a crash in
-    * between leaves that day's vectors missing — repairable by deleting
-    * the marker — rather than DUPLICATED, which would silently poison
-    * probe shortlists. Returns rows applied, or -1 for a replay.
+    * batch apply at most once (a replayed day is a no-op).
+    *
+    * Crash protocol (r10, tightened by the self-review):
+    *  - Build vs append is decided by whether ANY batch marker exists —
+    *    NOT by the `_centroids` sidecar: [[writeIndex]] is an idempotent
+    *    overwrite, so a day-one crash between the index write and its
+    *    marker REBUILDS on replay instead of detouring into the append
+    *    branch and duplicating every day-one vector.
+    *  - Appends claim the batch with an EMPTY marker first (a crash
+    *    mid-append leaves the day missing, repairable by deleting the
+    *    marker — never duplicated: a failed Spark write job commits
+    *    nothing), then rewrite the marker with the applied row count on
+    *    success. A gate must trust only a NON-EMPTY marker
+    *    ([[appendBatchApplied]]) — an empty one is a claimed-but-dead
+    *    batch that a retry would otherwise report as silently green.
+    *    Residual window: a crash between the append's commit and the
+    *    one-file marker rewrite reads as red with the data applied —
+    *    surfaced for an operator, never silent either way.
+    * Returns rows applied, or -1 for a replay.
     */
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
@@ -315,31 +329,56 @@ object Pq {
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return -1L
+    def commitMarker(n: Long): Unit = {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")
-    if (!fs.exists(built)) {
+    val batchesDir = marker.getParent
+    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir).nonEmpty
+    if (!fs.exists(built) || !anyApplied) {
+      // build branch — also taken on a day-one replay whose first attempt
+      // wrote the index but died before the marker: writeIndex overwrites,
+      // so rebuilding is exactly-once where appending would duplicate
       // day one may be smaller than the target cell count — cap nlist (and
       // the codebook size) at what exists; probing a small index is then
       // exhaustive, and the cell layout grows into its skew from there
       val n = emb.filter(col(vecCol).isNotNull).count()
       if (n == 0L) { // nothing to build an index FROM — mark and move on
-        fs.mkdirs(marker.getParent)
-        fs.create(marker, true).close()
+        commitMarker(0L)
         return 0L
       }
       val effNlist = math.min(nlist.toLong, n).toInt
       val effK = math.min(k.toLong, n).toInt
       writeIndex(emb, idCol, vecCol, train(emb, idCol, vecCol, m, effK),
         indexDir, effNlist)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+      commitMarker(n)
       n
     } else {
       val idx = readIndex(spark, indexDir)
       fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
-      appendToIndex(idx, emb, idCol, vecCol)
+      fs.create(marker, true).close() // claim (empty = not yet applied)
+      val n = appendToIndex(idx, emb, idCol, vecCol)
         .agg(coalesce(sum(col("n_added")), lit(0L))).collect().head.getLong(0)
+      commitMarker(n)
+      n
     }
+  }
+
+  /** True iff `batchId` was APPLIED to the index at `indexDir` — the gate
+    * a DAG task must use instead of bare marker existence: the marker is
+    * claimed empty before the (non-idempotent) append and rewritten with
+    * the applied row count only after it commits, so an empty marker is a
+    * crashed attempt that bare `exists` would report as green forever.
+    */
+  def appendBatchApplied(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.getFileStatus(p).getLen > 0
   }
 
   /** Occupancy-DRIFT gate for a persisted index: when appends under the

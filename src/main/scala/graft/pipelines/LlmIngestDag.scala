@@ -170,11 +170,12 @@ object LlmIngestDag {
           batchId = date.toEpochDay)
         ()
       }, retries = retries,
-        gate = () => {
-          val p = new org.apache.hadoop.fs.Path(
-            s"$annDir/_batches/${date.toEpochDay}")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        })
+        // gate on the marker's CONTENT, not its existence: the append
+        // branch claims with an empty marker before the non-idempotent
+        // write, so bare exists() would report a crashed append green
+        gate = () =>
+          graft.operators.Pq.appendBatchApplied(
+            spark, annDir, date.toEpochDay))
     }
     val annEdges = embeddingsFor.toSeq.flatMap { _ =>
       Seq("cross_day_neardup" -> "grow_ann_index",

@@ -42,9 +42,17 @@ object StreamLines {
       stream: DataFrame, boiler: Array[Long],
       textCol: String = "text", maxRemovedFrac: Double = 0.3): DataFrame = {
     val spark = stream.sparkSession
-    val bc = spark.sparkContext.broadcast(boiler.toSet)
+    // broadcast a SORTED primitive array probed by binary search — an
+    // immutable Set[Long] boxes every entry (~40-60 B each vs the
+    // advertised 8 B/line): at the documented millions-of-lines scale
+    // that is the difference between an 80 MB artifact and a
+    // ~0.5-1 GB-per-executor one
+    val sorted = boiler.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = spark.sparkContext.broadcast(sorted)
     val mask = udf((hs: Seq[java.lang.Long]) =>
-      hs.map(h => h != null && bc.value.contains(h.longValue)))
+      hs.map(h => h != null &&
+        java.util.Arrays.binarySearch(bc.value, h.longValue) >= 0))
     stream.filter(col(textCol).isNotNull)
       .withColumn("__lines", split(col(textCol), "\n"))
       .withColumn("__lh", transform(col("__lines"),

@@ -182,6 +182,56 @@ class PqSpec extends SparkTestBase {
     assert(tripped.getAs[Boolean]("retrain_due"))
   }
 
+  test("appendBatch crash protocol: day-one replay rebuilds (never duplicates); a claimed-but-dead append reads red") {
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6)
+    val dir = java.nio.file.Files.createTempDirectory("pq_crash").toString + "/idx"
+
+    // normal day one: build + marker with content -> gate green
+    val n1 = Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8)
+    assert(n1 == day1.count())
+    assert(Pq.appendBatchApplied(spark, dir, 1L))
+    assert(!Pq.appendBatchApplied(spark, dir, 2L))
+
+    // simulate a day-one crash BETWEEN writeIndex and the marker: delete
+    // the marker (index files remain). The replay must take the BUILD
+    // branch (idempotent overwrite) — the old decision keyed on
+    // _centroids existing and would have detoured into append,
+    // duplicating every day-one vector
+    val m1 = new java.io.File(s"$dir/_batches/1")
+    assert(m1.delete())
+    val n1b = Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8)
+    assert(n1b == day1.count())
+    val afterReplay = spark.read.parquet(dir)
+      .select("id").as[Long].collect()
+    assert(afterReplay.length == afterReplay.distinct.length,
+      "day-one replay duplicated vectors")
+    assert(afterReplay.toSet == day1.select($"vec_id".cast("long"))
+      .as[Long].collect().toSet)
+
+    // normal day two appends and reads applied
+    val n2 = Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8)
+    assert(n2 == day2.count() && Pq.appendBatchApplied(spark, dir, 2L))
+
+    // simulate a crashed day-three append: an EMPTY claim marker. The
+    // replay is a no-op (-1, missing-not-duplicated) and the gate reads
+    // RED — bare exists() would have reported it green forever
+    val m3 = new java.io.File(s"$dir/_batches/3")
+    m3.getParentFile.mkdirs()
+    assert(m3.createNewFile())
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == -1L)
+    assert(!Pq.appendBatchApplied(spark, dir, 3L))
+    // the documented repair: delete the claim, replay applies
+    assert(m3.delete())
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == day2.count())
+    assert(Pq.appendBatchApplied(spark, dir, 3L))
+  }
+
   test("determinism: same model and ranks under different partitioning") {
     val a = Pq.train(clustered.repartition(7), "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val b = Pq.train(clustered.repartition(2), "vec_id", "embedding", m = 4, k = 8, iters = 2)
