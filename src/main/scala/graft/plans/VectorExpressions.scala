@@ -131,29 +131,11 @@ object VectorKernels {
     else dot / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
   }
 
-  /** Merge-walk of two term-sorted sparse vectors; exact LONG sum. The
-    * arrays MUST be sorted ascending by binary UTF8 order (what
-    * `sort_array` yields) — an unsorted input silently under-counts, so
-    * callers own the sort; kept private to the TfidfSim path for that
-    * reason.
-    */
-  def sparseDotLong(ka: ArrayData, va: ArrayData, kb: ArrayData, vb: ArrayData): Long = {
-    val na = ka.numElements(); val nb = kb.numElements()
-    var i = 0; var j = 0; var dot = 0L
-    while (i < na && j < nb) {
-      val c = ka.getUTF8String(i).compareTo(kb.getUTF8String(j))
-      if (c == 0) { dot += va.getLong(i) * vb.getLong(j); i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    dot
-  }
-
-  /** [[sparseDotLong]] over LONG-keyed sparse vectors (sorted ascending by
-    * key). Long compares instead of per-element UTF8String allocation +
-    * byte-compare — the q63 verify hot loop runs ~5× faster when term
-    * keys are pre-hashed (xxhash64) once per posting instead of
-    * re-compared as strings once per CANDIDATE they appear in.
+  /** Merge-walk dot of two LONG-keyed sparse vectors (sorted ascending by
+    * key; keys are xxhash64(term), hashed once per posting upstream —
+    * r10 replaced the original UTF8String-keyed merge, which paid a
+    * per-element string allocation + byte-compare per CANDIDATE, ~5× the
+    * long-compare cost in the q63 verify hot loop).
     */
   def sparseDotLongKeys(ka: ArrayData, va: ArrayData, kb: ArrayData, vb: ArrayData): Long = {
     val na = ka.numElements(); val nb = kb.numElements()
@@ -394,57 +376,25 @@ object VectorKernels {
   }
 }
 
-/** Sorted-merge sparse dot product over two quantized term-weight vectors:
-  * `(terms_a sorted asc, wns_a, terms_b sorted asc, wns_b) → Σ wn_a·wn_b`
-  * over the shared terms — the verification kernel of TF-IDF cosine pairs
-  * (SURVEY §2 `q63_tfidf_cosine_pairs`).
+/** Sorted-merge sparse dot product over two quantized, LONG-keyed
+  * term-weight vectors: `(keys_a sorted asc, wns_a, keys_b sorted asc,
+  * wns_b) → Σ wn_a·wn_b` over shared keys — the verification kernel of
+  * TF-IDF cosine pairs (SURVEY §2 `q63_tfidf_cosine_pairs`). A key is
+  * the term's xxhash64, hashed ONCE per (doc, term) posting upstream
+  * instead of string-compared once per candidate the posting reaches
+  * (r10 — this replaced a UTF8String-keyed variant, ~5× slower in the
+  * verify hot loop).
   *
   * Why an expression and not a re-join? Verifying a candidate pair by
   * re-joining the (doc, term, wn) table term-at-a-time costs two shuffles
   * and a 2·|terms| row explosion PER PAIR; this kernel walks the two
   * sorted arrays once inside whole-stage codegen — candidate verification
-  * becomes a map over the pair list. Term arrays compare as binary
-  * UTF8 (the same total order `sort_array` produces), weights are the
-  * 6-dp quantized LONGs, so the sum is an exact integer: deterministic,
-  * order-independent, engine-identical.
-  */
-case class SparseDotLong(
-    termsA: Expression, wnsA: Expression, termsB: Expression, wnsB: Expression)
-    extends QuaternaryExpression with ExpectsInputTypes {
-
-  override def first: Expression = termsA
-  override def second: Expression = wnsA
-  override def third: Expression = termsB
-  override def fourth: Expression = wnsB
-
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(StringType), ArrayType(LongType),
-      ArrayType(StringType), ArrayType(LongType))
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    VectorKernels.sparseDotLong(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
-      s"${ev.value} = graft.plans.VectorKernels.sparseDotLong($a, $b, $c, $d);")
-
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
-    copy(termsA = f, wnsA = s, termsB = t, wnsB = q)
-}
-
-/** [[SparseDotLong]]'s LONG-keyed twin: `(keys_a sorted asc, wns_a,
-  * keys_b sorted asc, wns_b) → Σ wn_a·wn_b` over shared keys, where a key
-  * is the term's xxhash64 — hashed ONCE per (doc, term) posting upstream
-  * instead of string-compared once per candidate the posting reaches.
-  * Same exact-LONG contract; the (astronomically unlikely, ~L²/2⁶⁵ per
-  * pair) xxhash64 key collision would perturb the dot and surface as an
-  * oracle mismatch — the q71 gram-hash discipline, where the cross-engine
-  * twin doubles as the collision check.
+  * becomes a map over the pair list. Weights are the 6-dp quantized
+  * LONGs, so the sum is an exact integer: deterministic,
+  * order-independent, engine-identical. The (astronomically unlikely,
+  * ~L²/2⁶⁵ per pair) xxhash64 key collision would perturb the dot and
+  * surface as an oracle mismatch — the q71 gram-hash discipline, where
+  * the cross-engine twin doubles as the collision check.
   */
 case class SparseDotLongKeys(
     keysA: Expression, wnsA: Expression, keysB: Expression, wnsB: Expression)
@@ -658,12 +608,6 @@ object VectorFunctions {
   def cosineSimilarityInt8(a: Column, b: Column): Column =
     GraftColumnShim.column(
       Int8CosineSimilarity(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
-
-  /** Column API for [[SparseDotLong]]. */
-  def sparseDotLong(ta: Column, wa: Column, tb: Column, wb: Column): Column =
-    GraftColumnShim.column(SparseDotLong(
-      GraftColumnShim.expression(ta), GraftColumnShim.expression(wa),
-      GraftColumnShim.expression(tb), GraftColumnShim.expression(wb)))
 
   /** Column API for [[SparseDotLongKeys]]. */
   def sparseDotLongKeys(ka: Column, wa: Column, kb: Column, wb: Column): Column =
