@@ -214,6 +214,53 @@ object StreamDedupStats {
     hits.count()
   }
 
+  /** The LIVE half of q118's attribution matrix (r10): roll the
+    * monitor's accumulated pair hits up per unordered source pair —
+    * who duplicates WHOM, continuously. A new mirror or feed replay
+    * shows up as a spiking (src_a, src_b) row between nightly batch
+    * runs. Same columns and discipline as
+    * [[graft.operators.Dedup.nearDupSourceMatrix]] ('(null)' coalesce,
+    * pair-universe rate with the C(n,2) diagonal) MINUS mean_jaccard —
+    * the monitor records hit ids, not scores; the spec pins row-for-row
+    * equality with the batch matrix's remaining columns on a fully
+    * delivered corpus, which is the anti-drift device. `docs` supplies
+    * the id → source map AND the per-source universe counts, so pass the
+    * corpus the hits accumulated over.
+    */
+  def sourceMatrixRollup(hits: DataFrame, docs: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(srcCol), lit("(null)")).as("src"))
+    val counts = src.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    // two consumers (docs-touched and the pair count) — checkpoint, the
+    // nearDupSourceMatrix discipline
+    val tagged = hits.select(col("id_a"), col("id_b"))
+      .join(src.select(col("id").as("id_a"), col("src").as("sa")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("src").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .localCheckpoint()
+    val docsTouched = tagged
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+    tagged.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(docsTouched, Seq("src_a", "src_b"))
+      .join(broadcast(counts.select(col("src").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(counts.select(col("src").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs"),
+        round(col("n_pairs").cast("double") /
+          when(col("src_a") === col("src_b"),
+            (col("n_a") * (col("n_a") - 1) / 2).cast("double"))
+            .otherwise((col("n_a") * col("n_b")).cast("double")), 8)
+          .as("pair_rate"))
+  }
+
   /** Join the two halves back into `Dedup.dedupStats`' exact output
     * shape: `stats` are the finalized [[WindowDedupStats]] rows (summed
     * per source), `hits` the recorded pair hits (read from `hitsDir`),

@@ -87,6 +87,17 @@ class StreamDedupStatsSpec extends SparkTestBase {
       spark, batch1.toDF("doc_id", "ts", "source", "text"), "doc_id", "text",
       indexDir, hitsDir, batchId = 0L)
     assert(rc == -1L)
+
+    // the live attribution matrix from the same accumulated hits equals
+    // batch q118 on the delivered corpus, column for column minus
+    // mean_jaccard (the monitor records hit ids, not scores)
+    val gotM = StreamDedupStats.sourceMatrixRollup(
+      spark.read.parquet(hitsDir), docs, "doc_id", "source")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val wantM = Dedup.nearDupSourceMatrix(docs, "doc_id", "text", "source")
+      .drop("mean_jaccard")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(gotM.nonEmpty && gotM == wantM, s"stream matrix $gotM != batch $wantM")
   }
 
   test("a replayed doc id does not match ITSELF in the monitor index") {
