@@ -507,6 +507,71 @@ object OracleSql {
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
+    // q119's twin: the 56-bit audio envelope hash recomputed from the
+    // deterministic container geometry (mono even ids / stereo odd,
+    // 16-bit LE PCM over the text bytes zero-padded to a frame boundary —
+    // so the sample count ns = ceil(n / 2ch)·ch; ASCII corpus so
+    // ascii(char) = the byte and every sample is non-negative — |s| = s).
+    // The interleaved rectified sample stream, 57-window cell map,
+    // cross-multiplied gradient compares and the bit layout mirror
+    // Multimodal.envelopeOf/gradientHash operation-for-operation.
+    "q119_audio_fingerprint" ->
+      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
+        |    (1 + doc_id % 2)::BIGINT ch
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, text, n,
+        |    (((n + 2*ch - 1) // (2*ch)) * ch)::BIGINT ns FROM b),
+        |mx AS (SELECT doc_id, ns, [
+        |    (CASE WHEN 2*m < n THEN ascii(text[(2*m+1)::INT]) ELSE 0 END)
+        |    + 256*(CASE WHEN 2*m+1 < n THEN ascii(text[(2*m+2)::INT]) ELSE 0 END)
+        |    for m in range(0, ns)] mix FROM d),
+        |cs AS (SELECT doc_id,
+        |  [list_sum([CASE WHEN m*57//ns = wi THEN mix[(m+1)::INT]::BIGINT
+        |     ELSE 0::BIGINT END for m in range(0, ns)]) for wi in range(0,57)] s,
+        |  [list_sum([CASE WHEN m*57//ns = wi THEN 1::BIGINT
+        |     ELSE 0::BIGINT END for m in range(0, ns)]) for wi in range(0,57)] cnt
+        | FROM mx),
+        |f AS (SELECT doc_id, CAST(coalesce(list_sum([
+        |  CASE WHEN s[(i+1)::INT] * cnt[(i+2)::INT]
+        |         > s[(i+2)::INT] * cnt[(i+1)::INT]
+        |       THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END
+        |  for i in range(0,56)]), 0) AS BIGINT) ph FROM cs)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
+
+    // q120's twin: the 56-bit video fingerprint — frame table nfr =
+    // n div 64 + 1 (the container's stsz), every 10th frame sampled, the
+    // hash sequence = the sampled frames' byte stream (step i reads
+    // payload byte 640·(i div 64) + (i mod 64), 0 past the payload);
+    // then the same 57-window gradient as q119.
+    "q120_video_fingerprint" ->
+      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, text, n,
+        |    (((n // 64 + 1 + 9) // 10) * 64)::BIGINT L FROM b),
+        |sq AS (SELECT doc_id, L, [
+        |    CASE WHEN 640*(i//64) + (i%64) < n
+        |         THEN ascii(text[(640*(i//64) + (i%64) + 1)::INT])
+        |         ELSE 0 END
+        |    for i in range(0, L)] v FROM d),
+        |cs AS (SELECT doc_id,
+        |  [list_sum([CASE WHEN i*57//L = wi THEN v[(i+1)::INT]::BIGINT
+        |     ELSE 0::BIGINT END for i in range(0, L)]) for wi in range(0,57)] s,
+        |  [list_sum([CASE WHEN i*57//L = wi THEN 1::BIGINT
+        |     ELSE 0::BIGINT END for i in range(0, L)]) for wi in range(0,57)] cnt
+        | FROM sq),
+        |f AS (SELECT doc_id, CAST(coalesce(list_sum([
+        |  CASE WHEN s[(i+1)::INT] * cnt[(i+2)::INT]
+        |         > s[(i+2)::INT] * cnt[(i+1)::INT]
+        |       THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END
+        |  for i in range(0,56)]), 0) AS BIGINT) ph FROM cs)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
+
     "q103_pagerank" -> pageRankSql(5),
 
     "q01_filter_project" ->

@@ -518,6 +518,19 @@ object SparkEntry {
     "q117_image_phash" -> ((s, dir) =>
       Multimodal.imagePhashPairs(Tables.documents(s, dir))),
 
+    // perceptual AUDIO near-dup (r10): 56-bit envelope gradient hash over
+    // the decoded PCM (real RIFF walk, channel downmix + rectify), paired
+    // through the same lossless chunk-pair Hamming blocking as q117 —
+    // with q120 this completes the near-dup pillar across all three
+    // media modalities
+    "q119_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprintPairs(Tables.documents(s, dir))),
+
+    // perceptual VIDEO near-dup (r10): stride-sampled frame-luma gradient
+    // hash over the decoded ISO-BMFF frame table, same pairing machinery
+    "q120_video_fingerprint" -> ((s, dir) =>
+      Multimodal.videoFingerprintPairs(Tables.documents(s, dir))),
+
     // gate for q59's approx-cut scale path: sketch cuts inside the exact
     // quantile window, per source (q37's gated-sketch discipline)
     "q69_winsorize_gate" -> ((s, dir) =>

@@ -283,9 +283,18 @@ object Multimodal {
     * collect. The fingerprint scan itself is one corpus pass; only
     * (id, 8-byte hash, key) rows shuffle, never pixels.
     */
-  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    hammingPairs56(imagePhash(docs), maxHamming)
+
+  /** Lossless Hamming-ball self-join over any 56-bit fingerprint column —
+    * the blocked pair machinery [[imagePhashPairs]] documents, shared by
+    * the image (dHash), audio (envelope) and video (frame-luma)
+    * fingerprints so every modality's near-dup rides one implementation.
+    * `hashes` must carry (doc_id, ph); returns (id_a, id_b, hamming).
+    */
+  def hammingPairs56(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
-    val t = imagePhash(docs)
+    val t = hashes
     def chunk(c: Int): Column = shiftrightunsigned(col("ph"), c * 8) % 256
     val pairs: Seq[(Int, Int)] =
       if (maxHamming <= 2) Seq((0, 1), (2, 3), (4, 5))
@@ -641,4 +650,193 @@ object Multimodal {
       it.grouped(DecodeBatchSize).flatMap(batch => decodeWav(batch))
     }.toDF()
   }
+
+  // ------------------------------------- perceptual fingerprints: audio/video
+
+  /** 56-bit all-integer GRADIENT hash over any per-step magnitude
+    * sequence — the temporal sibling of [[perceptualHash]]'s 8×8 spatial
+    * grid, shared by the audio envelope and the video frame-luma
+    * fingerprints. The sequence downsamples to 57 windows (step i owns
+    * window i·57 div n — same integer cell map as the image grid) and bit
+    * i in 0..55 compares consecutive window AVERAGES by
+    * cross-multiplication (sum·cnt — no division, no float), so a copy
+    * with shifted amplitude or a few edited steps keeps almost every bit
+    * while an unrelated signal resamples to noise. Sequences shorter than
+    * 57 steps leave trailing windows empty (cnt 0 — both comparisons
+    * false); an empty sequence hashes to 0. 56 bits keeps the value
+    * sign-safe as a BIGINT in both engines (the q22/q117 discipline), and
+    * the cross-products stay inside a long for any per-doc payload a
+    * document row can hold (window sum < 2³² needs payloads < ~65 GB/doc).
+    */
+  def gradientHash(vals: Array[Long]): Long = {
+    val n = vals.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](57)
+    val cnts = new Array[Long](57)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 57 / n).toInt
+      sums(w) += vals(i)
+      cnts(w) += 1
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 56) {
+      if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
+  /** Decode a WAV payload to its rectified sample-magnitude envelope: the
+    * real chunk walk ([[decodeWav]]'s rules — fmt for the PCM geometry,
+    * data located by walking, word-aligned skips), then every signed
+    * 16-bit LE sample contributes |sample|, channels in interleave order.
+    * Rectification is the front half of any audio fingerprinter
+    * (Chromaprint-class systems run the same rectified energy before
+    * their filter banks). Full sample resolution — not a per-frame
+    * downmix — makes the fingerprint CHANNEL-LAYOUT invariant: a mono →
+    * stereo re-containering of the same byte stream yields the same
+    * sample sequence (up to one trailing pad sample), where a per-frame
+    * sum would move window boundaries and flip near-tie gradient bits
+    * (measured at 6/56 on a one-sentence signal — outside the Hamming
+    * ball this operator promises for re-containered copies). The
+    * envelope — never the samples — is what leaves the decode.
+    */
+  def envelopeOf(r: MediaRecord): Array[Long] = {
+    val p = r.payload
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"doc ${r.doc_id}: $msg (${p.length} bytes)")
+    if (p.length < 12 || new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(p, 8, 4, "US-ASCII") != "WAVE") fail("not a RIFF/WAVE container")
+    val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0; var bits = 0; var block = 0
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= p.length && dataLen < 0) {
+      val fourcc = new String(p, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > p.length) fail(s"chunk $fourcc overruns container")
+      fourcc match {
+        case "fmt " =>
+          if (len < 16) fail("fmt chunk too short")
+          channels = buf.getShort(pos + 10).toInt
+          block = buf.getShort(pos + 20).toInt
+          bits = buf.getShort(pos + 22).toInt
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (dataLen < 0) fail("no data chunk")
+    if (channels <= 0 || bits != 16 || block != 2 * channels)
+      fail(s"unsupported PCM geometry (channels=$channels block=$block bits=$bits)")
+    val nSamples = (dataLen / 2).toInt
+    val out = new Array[Long](nSamples)
+    var m = 0
+    while (m < nSamples) {
+      out(m) = math.abs(buf.getShort(dataOff + 2 * m).toLong)
+      m += 1
+    }
+    out
+  }
+
+  /** (doc_id, ph) — the 56-bit audio envelope fingerprint per document,
+    * batched-decode shape ([[extractMeta]]); only 8 bytes per doc leave
+    * the scan, never samples.
+    */
+  def audioFingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asAudio(docs).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        (r.doc_id, gradientHash(envelopeOf(r)))
+      })
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Perceptual AUDIO near-dup pairs (SURVEY §2 q119) — the re-encoded /
+    * re-contained / lightly-edited audio copy detector: mono and stereo
+    * containers of the same signal share the interleaved rectified sample
+    * stream ([[envelopeOf]]), so near copies land within a small Hamming
+    * ball. Same lossless chunk-pair blocking as q117 ([[hammingPairs56]]).
+    */
+  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    hammingPairs56(audioFingerprint(docs), maxHamming)
+
+  /** Decode an MP4 payload to the byte-magnitude sequence of its
+    * stride-sampled frames: the real box walk ([[decodeMp4]] supplies
+    * frame count and geometry checks), the `mdat` body located by the same
+    * top-level walk, then each SAMPLED frame (every [[Mp4SampleStride]]-th
+    * — the frame-sample step a vision pipeline feeds its encoder)
+    * contributes its [[Mp4BytesPerFrame]]-byte payload slice byte by byte
+    * (bytes past the payload read as 0, matching the container's declared
+    * frame table). Byte granularity — not one luma per frame — keeps the
+    * fingerprint discriminating on SHORT clips too: a clip under
+    * stride×frame bytes still yields a full first-frame signature, where a
+    * per-frame rollup would collapse every short clip to a single step
+    * (and so to one shared hash — measured as the all-pairs explosion
+    * this design replaced). Two clips differing only in unsampled frames
+    * fingerprint identically: inherent to frame sampling, exactly as a
+    * keyframe-based video fingerprinter behaves.
+    */
+  def sampledFrameBytesOf(r: MediaRecord): Array[Long] = {
+    val meta = decodeMp4(Seq(r)).head // full tree walk: validates + frame count
+    val p = r.payload
+    val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.BIG_ENDIAN)
+    var pos = 0L
+    var dataOff = -1L; var dataEnd = -1L
+    while (pos + 8 <= p.length && dataOff < 0) {
+      val size = buf.getInt(pos.toInt).toLong & 0xffffffffL
+      val fourcc = new String(p, pos.toInt + 4, 4, "US-ASCII")
+      val end = if (size == 0) p.length.toLong
+        else if (size == 1) pos + buf.getLong(pos.toInt + 8)
+        else pos + size
+      if (fourcc == "mdat") {
+        dataOff = if (size == 1) pos + 16 else pos + 8
+        dataEnd = end
+      }
+      pos = end
+    }
+    // decodeMp4 already failed on a missing mdat; dataOff is set here
+    val n = (dataEnd - dataOff).toInt
+    val nSampled = meta.n_frames_sampled.toInt
+    val out = new Array[Long](nSampled * Mp4BytesPerFrame)
+    var j = 0
+    while (j < nSampled) {
+      val start = j.toLong * Mp4SampleStride * Mp4BytesPerFrame
+      var k = 0
+      while (k < Mp4BytesPerFrame) {
+        out(j * Mp4BytesPerFrame + k) =
+          if (start + k < n) (p((dataOff + start + k).toInt) & 0xff).toLong else 0L
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** (doc_id, ph) — the 56-bit video fingerprint per document:
+    * stride-sample the frames, gradient-hash the sampled frames' byte
+    * stream ([[sampledFrameBytesOf]]). Pixels/frames never leave the
+    * decode scan.
+    */
+  def videoFingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asVideo(docs).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        (r.doc_id, gradientHash(sampledFrameBytesOf(r)))
+      })
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Perceptual VIDEO near-dup pairs (SURVEY §2 q120): re-containered or
+    * lightly re-edited clips share their sampled-frame luma trajectory, so
+    * copies land within a small Hamming ball while unrelated clips
+    * resample to noise. Same lossless blocking as q117/q119.
+    */
+  def videoFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    hammingPairs56(videoFingerprint(docs), maxHamming)
 }

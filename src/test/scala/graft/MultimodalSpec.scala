@@ -246,6 +246,79 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("audio fingerprint: mono/stereo envelope invariance; edit lands close, noise far") {
+    // the envelope survives the channel layout: mono (even id) and stereo
+    // (odd id) containers of the SAME byte stream decode to the same
+    // interleaved rectified sample sequence (pad samples equal here), so
+    // the two fingerprints are identical — the re-containering case
+    val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val edited = text.updated(10, 'Q')
+    val noise = (0 until text.length).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    val docs = Seq((0L, text), (1L, text), (2L, edited), (3L, noise))
+      .toDF("doc_id", "text")
+    val ph = Multimodal.audioFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ph.values.forall(_ >= 0L)) // 56 bits: sign-safe in both engines
+    assert(ham(ph(0L), ph(1L)) == 0,
+      s"stereo re-containering moved the envelope ${ham(ph(0L), ph(1L))} bits")
+    assert(ham(ph(0L), ph(2L)) <= 4,
+      s"one-character edit moved the envelope ${ham(ph(0L), ph(2L))} bits")
+    assert(ham(ph(0L), ph(3L)) > 4,
+      s"unrelated audio landed ${ham(ph(0L), ph(3L))} bits away")
+
+    // the registered pair query: planted near-copies pair up, noise doesn't
+    val pairs = Multimodal.audioFingerprintPairs(docs, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // blocked pairing is lossless vs brute force on these hashes
+    val brute = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      if ham(ph(a), ph(b)) <= 4
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
+  test("video fingerprint: stride semantics — unsampled-frame edits are invisible") {
+    // 1400 chars -> 22 frames of 64 bytes -> sampled frames {0, 10, 20}:
+    // an edit inside frame 5 (bytes 320..383) never reaches the hash; the
+    // same edit inside sampled frame 10 (bytes 640..703) does
+    val base = (("abcdefgh" * 8) + ("ijklmnop" * 8) + ("qrstuvwx" * 8)).*(6).take(1400)
+    val editUnsampled = base.updated(330, 'Z')
+    val editSampled = base.updated(650, 'Z')
+    val headEdit = base.updated(5, 'Z')
+    val docs = Seq((0L, base), (1L, editUnsampled), (2L, editSampled), (3L, headEdit))
+      .toDF("doc_id", "text")
+    val ph = Multimodal.videoFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ph(0L) == ph(1L),
+      "an edit in an unsampled frame must not change the fingerprint")
+    assert(ph(0L) != ph(2L) || ham(ph(0L), ph(2L)) == 0,
+      "an edit in a sampled frame should perturb the fingerprint") // may still be close
+    assert(ham(ph(0L), ph(2L)) <= 4 && ham(ph(0L), ph(3L)) <= 4,
+      "single-byte edits stay within the Hamming ball")
+
+    // registered pair query pulls all planted variants together and the
+    // blocked join equals brute force
+    val pairs = Multimodal.videoFingerprintPairs(docs, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    val brute = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      if ham(ph(a), ph(b)) <= 4
+    } yield (a, b)).toSet
+    assert(pairs == brute && pairs.contains((0L, 1L)))
+
+    // a clip rewritten from its first frame on is NOT a near-dup
+    val other = (0 until 1400).map(i => ('a' + (i * 11 + 5) % 26).toChar).mkString
+    val docs2 = Seq((0L, base), (9L, other)).toDF("doc_id", "text")
+    val ph2 = Multimodal.videoFingerprint(docs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(ph2(0L), ph2(9L)) > 4)
+  }
+
   test("streaming sentiment twin matches batch pivot on the same rows") {
     import java.sql.Timestamp
     val docs = Seq(
