@@ -465,21 +465,13 @@ object OracleSql {
          |  FROM documents) USING (doc_id)
          |GROUP BY 1""".stripMargin
 
-  val sql: Map[String, String] = Map(
-
-    "q76_bpe_tokenize" -> bpeTrainedTokenizeSql(50, 100000),
-
-    "q92_bpe_fertility" -> bpeTrainedFertilitySql(50, 100000),
-
-    "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
-
-    // q117's twin: the 56-bit dHash recomputed from the deterministic
-    // container geometry (the q40 discipline — the raster is the text's
-    // bytes zero-padded to 3wh; ASCII corpus, so ascii(char) = the byte),
-    // then brute-force Hamming pairs. Cell membership, cross-multiplied
-    // gradient compares and the bit layout mirror
-    // Multimodal.perceptualHash operation-for-operation, all-integer.
-    "q117_image_phash" ->
+  // q117's twin: the 56-bit dHash recomputed from the deterministic
+  // container geometry (the q40 discipline — the raster is the text's
+  // bytes zero-padded to 3wh; ASCII corpus, so ascii(char) = the byte),
+  // then brute-force Hamming pairs. Cell membership, cross-multiplied
+  // gradient compares and the bit layout mirror
+  // Multimodal.perceptualHash operation-for-operation, all-integer.
+  private val imagePhashPairsSql =
       """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
         |    (16 + length(text) % 49)::BIGINT w
         |  FROM documents WHERE text IS NOT NULL),
@@ -506,16 +498,17 @@ object OracleSql {
         |SELECT a.doc_id id_a, b.doc_id id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
-    // q119's twin: the 56-bit audio envelope hash recomputed from the
-    // deterministic container geometry (mono even ids / stereo odd,
-    // 16-bit LE PCM over the text bytes zero-padded to a frame boundary —
-    // so the sample count ns = ceil(n / 2ch)·ch; ASCII corpus so
-    // ascii(char) = the byte and every sample is non-negative — |s| = s).
-    // The interleaved rectified sample stream, 57-window cell map,
-    // cross-multiplied gradient compares and the bit layout mirror
-    // Multimodal.envelopeOf/gradientHash operation-for-operation.
-    "q119_audio_fingerprint" ->
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
+
+  // q119's twin: the 56-bit audio envelope hash recomputed from the
+  // deterministic container geometry (mono even ids / stereo odd,
+  // 16-bit LE PCM over the text bytes zero-padded to a frame boundary —
+  // so the sample count ns = ceil(n / 2ch)·ch; ASCII corpus so
+  // ascii(char) = the byte and every sample is non-negative — |s| = s).
+  // The interleaved rectified sample stream, 57-window cell map,
+  // cross-multiplied gradient compares and the bit layout mirror
+  // Multimodal.envelopeOf/gradientHash operation-for-operation.
+  private val audioFpPairsSql =
       """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
         |    (1 + doc_id % 2)::BIGINT ch
         |  FROM documents WHERE text IS NOT NULL),
@@ -539,14 +532,14 @@ object OracleSql {
         |SELECT a.doc_id id_a, b.doc_id id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
 
-    // q120's twin: the 56-bit video fingerprint — frame table nfr =
-    // n div 64 + 1 (the container's stsz), every 10th frame sampled, the
-    // hash sequence = the sampled frames' byte stream (step i reads
-    // payload byte 640·(i div 64) + (i mod 64), 0 past the payload);
-    // then the same 57-window gradient as q119.
-    "q120_video_fingerprint" ->
+  // q120's twin: the 56-bit video fingerprint — frame table nfr =
+  // n div 64 + 1 (the container's stsz), every 10th frame sampled, the
+  // hash sequence = the sampled frames' byte stream (step i reads
+  // payload byte 640·(i div 64) + (i mod 64), 0 past the payload);
+  // then the same 57-window gradient as q119.
+  private val videoFpPairsSql =
       """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n
         |  FROM documents WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, text, n,
@@ -570,7 +563,45 @@ object OracleSql {
         |SELECT a.doc_id id_a, b.doc_id id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin,
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    "q76_bpe_tokenize" -> bpeTrainedTokenizeSql(50, 100000),
+
+    "q92_bpe_fertility" -> bpeTrainedFertilitySql(50, 100000),
+
+    "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
+
+    "q117_image_phash" -> imagePhashPairsSql,
+    "q119_audio_fingerprint" -> audioFpPairsSql,
+    "q120_video_fingerprint" -> videoFpPairsSql,
+
+    // q121's twin: union the four pair twins into one signal-tagged edge
+    // list, min-label fixpoint (q34's recursive CTE), then per-component
+    // signal and size rollups. Every state-carrying CTE referenced twice
+    // is MATERIALIZED (the exponential-inlining trap).
+    "q121_crossmodal_clusters" ->
+      s"""WITH RECURSIVE
+         |  pr AS MATERIALIZED (
+         |    SELECT id_a, id_b, 'text' signal FROM ($jaccardPairs) tq
+         |    UNION ALL SELECT id_a, id_b, 'image' FROM ($imagePhashPairsSql) iq
+         |    UNION ALL SELECT id_a, id_b, 'audio' FROM ($audioFpPairsSql) aq
+         |    UNION ALL SELECT id_a, id_b, 'video' FROM ($videoFpPairsSql) vq),
+         |  edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |            UNION ALL SELECT id_b, id_a FROM pr),
+         |  cc(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b
+         |  ),
+         |  comp AS MATERIALIZED (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |  sig AS (SELECT c.component,
+         |      array_to_string(list_sort(list_distinct(list(p.signal))), ',') signals
+         |    FROM pr p JOIN comp c ON c.id = p.id_a GROUP BY 1),
+         |  sz AS (SELECT component, count(*) n_members FROM comp GROUP BY 1)
+         |SELECT comp.id doc_id, comp.component, sz.n_members, sig.signals
+         |FROM comp JOIN sz USING (component) JOIN sig USING (component)""".stripMargin,
 
     "q103_pagerank" -> pageRankSql(5),
 

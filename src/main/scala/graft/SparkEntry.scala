@@ -531,6 +531,14 @@ object SparkEntry {
     "q120_video_fingerprint" -> ((s, dir) =>
       Multimodal.videoFingerprintPairs(Tables.documents(s, dir))),
 
+    // cross-modal dedup clusters (r10): the four verified pair tables
+    // (text minhash, image dHash, audio envelope, video frame-luma)
+    // union into one signal-tagged edge list, components over the union,
+    // per-cluster signal audit column — one dedup decision per document
+    // across every modality
+    "q121_crossmodal_clusters" -> ((s, dir) =>
+      Multimodal.crossModalClusters(Tables.documents(s, dir))),
+
     // gate for q59's approx-cut scale path: sketch cuts inside the exact
     // quantile window, per source (q37's gated-sketch discipline)
     "q69_winsorize_gate" -> ((s, dir) =>

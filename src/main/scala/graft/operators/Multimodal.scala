@@ -839,4 +839,50 @@ object Multimodal {
     */
   def videoFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
     hammingPairs56(videoFingerprint(docs), maxHamming)
+
+  /** Cross-modal near-dup CLUSTERS (SURVEY §2 q121) — ONE dedup decision
+    * per document across every modality. A pipeline that dedups text,
+    * images, audio and video independently keeps a document whose text
+    * was rewritten but whose media is byte-identical (and vice versa);
+    * the production rule is "near-dup under ANY signal ⇒ same cluster".
+    * This unions the four verified pair tables — text minhash (q21),
+    * image dHash (q117), audio envelope (q119), video frame-luma
+    * (q120) — into one signal-tagged edge list, runs
+    * [[Dedup.connectedComponents]] (min-label + pointer jumping) over the
+    * union, and emits one row per CLUSTERED doc:
+    *   (doc_id, component, n_members, signals)
+    * where `signals` is the sorted distinct set of edge signals observed
+    * anywhere in the component (comma-joined) — the audit column that
+    * says WHY a cluster holds together (a "text"-only cluster is a
+    * paraphrase set; an "audio,image,text,video" cluster is a true copy).
+    * Docs in no pair emit nothing (churn-sized output, q88's discipline).
+    *
+    * Scale: the edge list is near-dup-OUTPUT-sized (never corpus²), built
+    * once and localCheckpointed — components, the signal rollup and the
+    * size rollup all reuse it without re-running the four pair pipelines.
+    * Components cost O(|E|+|V|) shuffle per round for O(log diameter)
+    * rounds; the per-component rollups are |components|-row tables that
+    * AQE broadcasts back onto the member list.
+    */
+  def crossModalClusters(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), lit("text").as("signal"))
+      .unionByName(imagePhashPairs(docs, maxHamming)
+        .select(col("id_a"), col("id_b"), lit("image").as("signal")))
+      .unionByName(audioFingerprintPairs(docs, maxHamming)
+        .select(col("id_a"), col("id_b"), lit("audio").as("signal")))
+      .unionByName(videoFingerprintPairs(docs, maxHamming)
+        .select(col("id_a"), col("id_b"), lit("video").as("signal")))
+      .localCheckpoint()
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val sig = pairs
+      .join(comp.select(col("id").as("id_a"), col("component")), Seq("id_a"))
+      .groupBy("component")
+      .agg(array_join(sort_array(collect_set(col("signal"))), ",").as("signals"))
+    val size = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    comp.select(col("id").as("doc_id"), col("component"))
+      .join(size, Seq("component"))
+      .join(sig, Seq("component"))
+      .select(col("doc_id"), col("component"), col("n_members"), col("signals"))
+  }
 }

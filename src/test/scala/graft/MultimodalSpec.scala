@@ -319,6 +319,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(ham(ph2(0L), ph2(9L)) > 4)
   }
 
+  test("cross-modal clusters: signal union, per-cluster audit column, absent singletons") {
+    // cluster {0,1,2}: 0 and 1 are byte-identical (every signal fires);
+    // 2 is a one-word different-LENGTH rewrite of 0 — shingle jaccard
+    // stays high (repeated sentence: the replaced 3-grams still appear in
+    // later repetitions) but the +1 byte shift re-pairs every PCM sample,
+    // changes the raster geometry (w = 16 + n % 49) and rewrites sampled
+    // frame 0, so it joins by TEXT while the cluster's signal union stays
+    // the full set via the 0-1 edge
+    val a = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val a2 = a.replaceFirst("quick", "speedy")
+    // cluster {4,5}: same construction, different sentence — the rewrite
+    // joins only by text, so the audit column must read exactly "text"
+    val b = ("pack my box with five dozen liquor jugs " * 6).trim
+    val b2 = b.replaceFirst("box", "crate")
+    // cluster {6,7}: 1400-char clip pair whose ~40 large edits all avoid
+    // the stride-sampled frames (0/10/20 -> bytes [0,64)+[640,704)+
+    // [1280,1344)) — video-invisible by construction while the edits
+    // scatter the envelope, the raster and the shingle set
+    val words = Seq("alpha", "bravo", "copper", "delta", "eagle", "frost",
+      "grain", "holly", "ivory", "jet")
+    val base = Iterator.continually(words).flatten.take(300).mkString(" ").take(1400)
+    val sampled = (p: Int) => (p / 64) % 10 == 0
+    val editPos = (64 until 1400 by 9).filterNot(sampled)
+    val edited = editPos.foldLeft(base) { (s, p) =>
+      if (s(p) == ' ') s else s.updated(p, '!')
+    }
+    val noise = (0 until 500).map(i => ('a' + (i * 13 + 7) % 26).toChar).mkString
+    val docs = Seq((0L, a), (1L, a), (2L, a2), (4L, b), (5L, b2),
+      (6L, base), (7L, edited), (9L, noise)).toDF("doc_id", "text")
+
+    val out = Multimodal.crossModalClusters(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L),
+      s"unexpected membership: ${out.toSeq}") // 9 is a singleton: absent
+    assert(Seq(0L, 1L, 2L).map(byDoc(_)._2).distinct == Seq(0L)) // min-label
+    assert(byDoc(0L)._3 == 3 && byDoc(0L)._4 == "audio,image,text,video")
+    assert(byDoc(4L)._2 == 4L && byDoc(4L)._3 == 2 && byDoc(4L)._4 == "text")
+    assert(byDoc(6L)._2 == 6L && byDoc(6L)._3 == 2 && byDoc(6L)._4 == "video")
+  }
+
   test("streaming sentiment twin matches batch pivot on the same rows") {
     import java.sql.Timestamp
     val docs = Seq(
