@@ -519,7 +519,9 @@ object SparkEntry {
       Multimodal.imagePhashPairs(Tables.documents(s, dir))),
 
     // perceptual AUDIO near-dup (r10): 56-bit envelope gradient hash over
-    // the decoded PCM (real RIFF walk, channel downmix + rectify), paired
+    // the decoded PCM (real RIFF walk, rectified FULL-RESOLUTION
+    // interleaved samples — deliberately no downmix: the interleaved
+    // stream is what makes the fingerprint channel-layout invariant), paired
     // through the same lossless chunk-pair Hamming blocking as q117 —
     // with q120 this completes the near-dup pillar across all three
     // media modalities
@@ -592,7 +594,11 @@ object SparkEntry {
     // checkpointed variant (GraphSpec), so the oracle is shared.
     // bucketed edge table built ONCE per (session, sf dir) — the evenIdLm
     // amortization; each invocation reuses the persisted artifact and only
-    // the N-row rank vector shuffles per iteration
+    // the N-row rank vector shuffles per iteration. KEY CONTRACT
+    // (bucketedEdgeTableOnce): the key must identify the edge CONTENT —
+    // here the immutable testdata sf dir is the content's identity; a
+    // mutable corpus would need a version/batch stamp folded in, or the
+    // cache serves the first build's ranks forever
     "q103_pagerank" -> ((s, dir) =>
       operators.Graph.purchaseRankBucketedOnce(s, s"purchase:$dir",
         Tables.orders(s, dir), Tables.lineitem(s, dir))),

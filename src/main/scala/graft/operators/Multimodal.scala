@@ -286,36 +286,115 @@ object Multimodal {
   def imagePhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
     hammingPairs56(imagePhash(docs), maxHamming)
 
+  /** The chunk-pair list covering Hamming ≤ `maxHamming` over 7 8-bit
+    * chunks (see [[imagePhashPairs]]'s covering-graph proof), in
+    * ascending pairIdx order — the canonical-key rule below relies on
+    * the ordering only through `least`, not positionally.
+    */
+  private def chunkPairs(maxHamming: Int): Seq[(Int, Int)] =
+    if (maxHamming <= 2) Seq((0, 1), (2, 3), (4, 5))
+    else if (maxHamming == 3) Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
+    else if (maxHamming == 4)
+      Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6))
+    else for { i <- 0 until 7; j <- (i + 1) until 7 } yield (i, j)
+
+  /** Blocking keys of a (doc_id, ph) fingerprint table: one row per
+    * (doc, chunk pair), bk packed as (pairIdx << 16) | cv_i << 8 | cv_j.
+    * Public because the STREAMING twin persists exactly these rows as its
+    * fingerprint index and probes it with the same key expression.
+    */
+  def bandKeys56(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
+    def chunk(c: Int): Column = shiftrightunsigned(col("ph"), c * 8) % 256
+    val keys = chunkPairs(maxHamming).map { case (i, j) =>
+      (lit((i * 7 + j).toLong << 16) + chunk(i) * 256 + chunk(j)).as("bk")
+    }
+    hashes.select(col("doc_id").as("id"), col("ph"),
+      explode(array(keys: _*)).as("bk"))
+  }
+
+  /** The canonical-key rule (q53's intersection-first-bin discipline):
+    * a pair within the Hamming ball shares one blocking key per chunk
+    * pair on which BOTH hashes agree — emitting at every shared key is
+    * why the r10 implementation needed a `distinct()` (a full re-exchange
+    * of the pair stream). Instead, each side of a match carries its bk,
+    * and the pair is kept only where bk's pairIdx equals the SMALLEST
+    * pairIdx the two hashes share — computable post-join from the XOR
+    * alone, so duplicate emissions die in the join filter and the pair
+    * stream needs no downstream dedup. `least` skips the null branches
+    * (non-agreeing chunk pairs); the covering guarantees at least one
+    * shared key whenever hamming ≤ maxHamming, so the minimum exists for
+    * every reportable pair.
+    */
+  private def canonicalBk(
+      phA: Column, phB: Column, bk: Column, maxHamming: Int): Column = {
+    val x = phA.bitwiseXOR(phB)
+    def agree(c: Int): Column = (shiftrightunsigned(x, c * 8) % 256) === 0
+    val minShared = least(chunkPairs(maxHamming).map { case (i, j) =>
+      when(agree(i) && agree(j), lit((i * 7 + j).toLong))
+    }: _*)
+    shiftrightunsigned(bk, 16) === minShared
+  }
+
   /** Lossless Hamming-ball self-join over any 56-bit fingerprint column —
     * the blocked pair machinery [[imagePhashPairs]] documents, shared by
     * the image (dHash), audio (envelope) and video (frame-luma)
     * fingerprints so every modality's near-dup rides one implementation.
-    * `hashes` must carry (doc_id, ph); returns (id_a, id_b, hamming).
+    * `hashes` must carry (doc_id, ph); returns (id_a, id_b, hamming),
+    * each qualifying pair emitted EXACTLY once ([[canonicalBk]] — no
+    * pair-stream distinct, no re-exchange).
+    *
+    * `bucketCap` > 0 arms the hot-bucket guard (the q21/q63 discipline,
+    * r10 verdict #1): a large class of near-identical fingerprints (a
+    * placeholder logo re-encoded across millions of pages) collapses
+    * into one blocking key = one sort-merge match group doing O(class²)
+    * work in a single task. With the guard, a per-key count splits each
+    * key's membership into ⌈n/cap⌉ hash chunks joined TRIANGLE-wise
+    * (side A explodes (g, hi ≥ g), side B (lo ≤ g, g) — every chunk pair
+    * meets exactly once), so no task's candidate volume exceeds ~cap²
+    * regardless of fingerprint skew, and — unlike the text family's
+    * capped variant — losslessly: chunking only re-keys the SAME
+    * candidate set. Cost of arming: one extra count aggregation over the
+    * banded stream and a wider join key; leave it 0 (off) when the
+    * corpus is exact-deduped upstream and fingerprint classes are known
+    * bounded.
     */
-  def hammingPairs56(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
-    val t = hashes
-    def chunk(c: Int): Column = shiftrightunsigned(col("ph"), c * 8) % 256
-    val pairs: Seq[(Int, Int)] =
-      if (maxHamming <= 2) Seq((0, 1), (2, 3), (4, 5))
-      else if (maxHamming == 3) Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
-      else if (maxHamming == 4)
-        Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6))
-      else for { i <- 0 until 7; j <- (i + 1) until 7 } yield (i, j)
-    // packed 64-bit blocking key per chunk pair: (pairIdx << 16) | cv_i << 8 | cv_j
-    val keys = pairs.map { case (i, j) =>
-      (lit((i * 7 + j).toLong << 16) + chunk(i) * 256 + chunk(j)).as("bk")
+  def hammingPairs56(
+      hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
+    val banded = bandKeys56(hashes, maxHamming)
+    if (bucketCap <= 0) {
+      val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.bk") === col("b.bk")
+            && col("a.id") < col("b.id")
+            && ham <= maxHamming
+            && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+    } else {
+      // per-key membership counts decide the chunk grid; both triangle
+      // sides explode from the counted stream, so materialize it once
+      // (the q63 pc discipline)
+      val cnt = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      val pc = banded.join(cnt, Seq("bk"))
+        .withColumn("chunks", ceil(col("n") / lit(bucketCap)).cast("int"))
+        .withColumn("g", pmod(xxhash64(col("id")), col("chunks")).cast("int"))
+        .localCheckpoint()
+      val aSide = pc.select(col("bk"), col("id").as("id_1"), col("ph").as("ph_1"),
+        col("g").as("lo"), explode(sequence(col("g"), col("chunks") - 1)).as("hi"))
+      val bSide = pc.select(col("bk"), col("id").as("id_2"), col("ph").as("ph_2"),
+        explode(sequence(lit(0), col("g"))).as("lo"), col("g").as("hi"))
+      val ham = bit_count(col("ph_1").bitwiseXOR(col("ph_2"))).cast("int")
+      // a (lo < hi) cell meets each cross pair once with arbitrary side
+      // order; a (lo == hi) cell meets both orders — keep one
+      aSide.join(bSide, Seq("bk", "lo", "hi"))
+        .filter((col("lo") < col("hi") || col("id_1") < col("id_2"))
+          && col("id_1") =!= col("id_2")
+          && ham <= maxHamming
+          && canonicalBk(col("ph_1"), col("ph_2"), col("bk"), maxHamming))
+        .select(least(col("id_1"), col("id_2")).as("id_a"),
+          greatest(col("id_1"), col("id_2")).as("id_b"), ham.as("hamming"))
     }
-    val banded = t.select(col("doc_id").as("id"), col("ph"),
-      explode(array(keys: _*)).as("bk"))
-    val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.bk") === col("b.bk")
-          && col("a.id") < col("b.id")
-          && ham <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
-      .distinct()
   }
 
   // ---------------------------------------------------------------- audio
@@ -664,9 +743,16 @@ object Multimodal {
     * while an unrelated signal resamples to noise. Sequences shorter than
     * 57 steps leave trailing windows empty (cnt 0 — both comparisons
     * false); an empty sequence hashes to 0. 56 bits keeps the value
-    * sign-safe as a BIGINT in both engines (the q22/q117 discipline), and
-    * the cross-products stay inside a long for any per-doc payload a
-    * document row can hold (window sum < 2³² needs payloads < ~65 GB/doc).
+    * sign-safe as a BIGINT in both engines (the q22/q117 discipline).
+    * Overflow margin, PER input domain (the cross-product is bounded by
+    * window² · maxStep): byte-valued steps (video frame bytes, image
+    * luma ≤ 765) stay inside a long up to ~10⁹ steps per window — far
+    * beyond the JVM's 2 GB byte-array cap on any payload this container
+    * can hold; 16-bit audio magnitudes (≤ 32767/step) only up to
+    * ~1.7·10⁷ steps per window ≈ 1.9 GB of PCM per doc — in THIS
+    * pipeline the 2 GB array cap binds first so the margin is real but
+    * thin, and a heavier decoder feeding longer magnitude sequences must
+    * clamp or rescale window sums before reusing this hash.
     */
   def gradientHash(vals: Array[Long]): Long = {
     val n = vals.length

@@ -243,6 +243,12 @@ class MultimodalSpec extends SparkTestBase {
       val blocked = Multimodal.imagePhashPairs(docs, maxHamming = h)
         .as[(Long, Long, Int)].collect().toSet
       assert(blocked == brute, s"maxHamming=$h: blocked ${blocked.size} vs brute ${brute.size}")
+      // the armed hot-bucket guard (forced: cap 3 on 24 docs) re-keys the
+      // same candidate set — bit-identical output at every maxHamming
+      val capped = Multimodal.hammingPairs56(
+        Multimodal.imagePhash(docs), maxHamming = h, bucketCap = 3)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(capped == brute, s"maxHamming=$h: capped ${capped.size} vs brute ${brute.size}")
     }
   }
 
@@ -317,6 +323,39 @@ class MultimodalSpec extends SparkTestBase {
     val ph2 = Multimodal.videoFingerprint(docs2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ham(ph2(0L), ph2(9L)) > 4)
+  }
+
+  test("hot fingerprint class: forced chunking equals the unchunked join exactly") {
+    // the r10 verdict's scale-hardening ask: one placeholder-logo class —
+    // hundreds of IDENTICAL fingerprints — collapses every blocking key
+    // it touches into one sort-merge match group; the armed bucketCap
+    // must split it into a chunk triangle WITHOUT changing the result
+    val hot = 0x00a5c3e1f0b49dL // arbitrary 56-bit value
+    val hashes = (
+      (0L until 600L).map(i => (i, hot)) ++ // the hot class
+        // a near ladder: 1..4 bit flips land inside the ball, 9 flips out
+        (0 until 50).map { k =>
+          val flips = 1 + k % 5
+          val ph = (0 until flips).foldLeft(hot)((h, b) => h ^ (1L << ((b * 11 + k) % 56)))
+          (600L + k, ph)
+        } ++
+        (0 until 30).map(k => (700L + k, (hot ^ 0x5557fdeb01aa55L) & ((1L << 56) - 1)))
+      ).toDF("doc_id", "ph")
+    def collectSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.as[(Long, Long, Int)].collect().toSet
+    val unchunked = Multimodal.hammingPairs56(hashes, maxHamming = 4)
+    val chunked = Multimodal.hammingPairs56(hashes, maxHamming = 4, bucketCap = 64)
+    // forced chunking: the hot class is ~10x the cap on every shared key
+    val cu = collectSet(unchunked)
+    val cc = collectSet(chunked)
+    assert(cu == cc, s"chunked ${cc.size} pairs vs unchunked ${cu.size}")
+    // the hot class alone contributes exactly C(600,2) zero-distance pairs
+    assert(cu.count(_._3 == 0) >= 600 * 599 / 2)
+    // each pair appears exactly ONCE in the raw (uncollapsed) stream —
+    // the canonical-key rule replaced the distinct(), so duplicates
+    // would surface as multiset inflation here
+    assert(unchunked.count() == cu.size.toLong)
+    assert(chunked.count() == cc.size.toLong)
   }
 
   test("cross-modal clusters: signal union, per-cluster audit column, absent singletons") {

@@ -162,6 +162,25 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q117 phash pairs: ONE exchange (reused by both join sides), no pair-stream dedup") {
+    audited {
+      // r11: the canonical-key rule emits each pair exactly once inside
+      // the join filter, so the r10 distinct() — a full re-exchange of
+      // the verified pair stream — is gone: the only shuffle left is the
+      // banded (id, ph, bk) stream, planned once and reused on side b
+      val df = SparkEntry.queries("q117_image_phash")(spark, dir)
+      val ex = shuffles(df)
+      assert(ex.size == 1,
+        s"phash pairs must shuffle only the banded stream, found ${ex.size}:\n" +
+          df.queryExecution.executedPlan)
+      val aggs = df.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(aggs.isEmpty, s"unexpected aggregation (distinct crept back?):\n$aggs")
+    }
+  }
+
   test("q22 simhash: blocking-key shuffles carry (id, sim, bk) fixed-width rows") {
     audited {
       val df = SparkEntry.queries("q22_dedup_simhash")(spark, dir)
