@@ -122,8 +122,8 @@ object Graph {
     * subsequent invocation iterates against the existing table, which is
     * exactly the production contract ([[pageRankBucketed]]'s caller-named
     * path: written once, reused across refreshes). Dead sessions evict
-    * from the map; their managed tables stay in the warehouse like any
-    * other session-owned artifact until the warehouse is cleaned.
+    * from the map and their scratch tables are reaped by the next live
+    * caller (see [[bucketedEdgeTableOnce]]).
     */
   private val edgeTableCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -131,12 +131,39 @@ object Graph {
 
   /** Build (or reuse) the src-bucketed edge table for `key` in this
     * session. `edges` is by-name: only evaluated on a cache miss.
+    *
+    * KEY CONTRACT (read before choosing `key`): the cache trusts the key
+    * COMPLETELY — it never fingerprints the edge frame. Two different
+    * corpora (or a corpus mutated between calls) sharing one key in one
+    * session will silently serve the FIRST corpus's ranks forever. The
+    * key must therefore identify the edge CONTENT, not the query: fold in
+    * everything the edges derive from (source directory, snapshot/batch
+    * id — e.g. `"purchase:" + dir`), and mint a NEW key when the
+    * underlying data changes (append a version or row-count stamp for
+    * mutable corpora). Same-key-different-content is a caller bug this
+    * API cannot detect.
+    *
+    * Eviction reaps: a dead session cannot drop its own scratch tables,
+    * so each call drops evicted entries' `graft_pr_edges_*` tables with
+    * the CALLING session (same warehouse wherever the cache is shared —
+    * one JVM) instead of stranding them until a manual warehouse sweep.
     */
   def bucketedEdgeTableOnce(
       spark: org.apache.spark.sql.SparkSession, key: String,
       edges: => DataFrame, srcCol: String, dstCol: String,
       buckets: Int = 32): String = {
-    edgeTableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val it = edgeTableCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        try spark.sql(s"DROP TABLE IF EXISTS ${e.getValue}")
+        catch { case err: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"could not reap evicted scratch table ${e.getValue}: $err")
+        }
+        it.remove()
+      }
+    }
     edgeTableCache.computeIfAbsent((spark, key), _ => {
       val name =
         "graft_pr_edges_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -309,17 +309,21 @@ object Pq {
     *    overwrite, so a day-one crash between the index write and its
     *    marker REBUILDS on replay instead of detouring into the append
     *    branch and duplicating every day-one vector.
-    *  - Appends claim the batch with an EMPTY marker first (a crash
-    *    mid-append leaves the day missing, repairable by deleting the
-    *    marker — never duplicated: a failed Spark write job commits
-    *    nothing), then rewrite the marker with the applied row count on
-    *    success. A gate must trust only a NON-EMPTY marker
+    *  - Appends record the pre-append data-file manifest in a
+    *    `<batchId>.pre` sidecar, then claim the batch with an EMPTY
+    *    marker, then write, then rewrite the marker with the applied row
+    *    count. On re-entry an EMPTY marker (a crashed attempt) is
+    *    SELF-HEALING in the common case (r10 ADVICE): the retry compares
+    *    the current manifest to the `.pre` snapshot — identical means the
+    *    failed write committed nothing (the Spark commit protocol's
+    *    failure guarantee), so the append simply re-runs; a changed
+    *    manifest is the narrow commit-vs-marker window where data DID
+    *    land, and only that case returns -1 with the gate red for manual
+    *    repair (delete the marker after confirming/undoing the partial
+    *    day). A gate must trust only a NON-EMPTY marker
     *    ([[appendBatchApplied]]) — an empty one is a claimed-but-dead
-    *    batch that a retry would otherwise report as silently green.
-    *    Residual window: a crash between the append's commit and the
-    *    one-file marker rewrite reads as red with the data applied —
-    *    surfaced for an operator, never silent either way.
-    * Returns rows applied, or -1 for a replay.
+    *    batch that bare `exists` would report as silently green.
+    * Returns rows applied, or -1 for a replay / an unrepairable claim.
     */
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
@@ -327,8 +331,22 @@ object Pq {
       nlist: Int = 32, m: Int = 8, k: Int = 16): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+    val pre = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId.pre")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return -1L
+    if (fs.exists(marker)) {
+      if (fs.getFileStatus(marker).getLen > 0) return -1L // applied replay
+      // claimed-but-dead: re-run ONLY if provably nothing landed —
+      // manifest unchanged since the claim. No `.pre` (a legacy or
+      // hand-made claim) means no proof: stay red for the operator.
+      val safe = fs.exists(pre) && {
+        val in = fs.open(pre)
+        val recorded = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        recorded == dataFileManifest(fs, indexDir)
+      }
+      if (!safe) return -1L
+      fs.delete(marker, false) // fall through and retry the append
+    }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
@@ -337,7 +355,8 @@ object Pq {
     }
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")
     val batchesDir = marker.getParent
-    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir).nonEmpty
+    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
+      .exists(_.getPath.getName.forall(_.isDigit))
     if (!fs.exists(built) || !anyApplied) {
       // build branch — also taken on a day-one replay whose first attempt
       // wrote the index but died before the marker: writeIndex overwrites,
@@ -359,12 +378,40 @@ object Pq {
     } else {
       val idx = readIndex(spark, indexDir)
       fs.mkdirs(marker.getParent)
+      // record what the data dir looked like BEFORE this attempt, so a
+      // crashed attempt's retry can prove "nothing landed" and self-heal
+      val out = fs.create(pre, true)
+      out.write(dataFileManifest(fs, indexDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
       fs.create(marker, true).close() // claim (empty = not yet applied)
       val n = appendToIndex(idx, emb, idCol, vecCol)
         .agg(coalesce(sum(col("n_added")), lit(0L))).collect().head.getLong(0)
       commitMarker(n)
+      fs.delete(pre, false)
       n
     }
+  }
+
+  /** Sorted `relativePath:length` lines of every DATA file under an index
+    * root ("_"/"."-prefixed names — sidecars, markers, _SUCCESS — skipped
+    * at every level). Spark part-file names are unique per write attempt,
+    * so manifest equality means no write since the snapshot committed
+    * anything. Bounded by the index's file count (the same budget the
+    * compaction item manages).
+    */
+  private[graft] def dataFileManifest(
+      fs: org.apache.hadoop.fs.FileSystem, root: String): String = {
+    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_")
+          || st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(s"${st.getPath.toString.stripPrefix(base.toString)}:${st.getLen}")
+        }
+    if (!fs.exists(base)) "" else walk(base).sorted.mkString("\n")
   }
 
   /** True iff `batchId` was APPLIED to the index at `indexDir` — the gate
@@ -414,6 +461,57 @@ object Pq {
       .withColumn("retrain_due",
         col("cur_skew") > col("build_skew") * maxSkewGrowth
           || col("growth") > maxGrowth)
+  }
+
+  /** ACT on [[occupancyDrift]] (r10 verdict #4 — the gate used to flag
+    * retrain-due and nothing consumed it): when the gate fires, retrain
+    * the coarse centroids AND the PQ codebooks on the union corpus and
+    * rewrite the index wholesale ([[writeIndex]] — fresh `_occupancy`
+    * reference, so the gate re-arms at the new distribution); when it
+    * does not, touch NOTHING (the no-drift day leaves every artifact
+    * byte on disk identical — spec-asserted). The `_batches` replay
+    * markers are snapshotted around the overwrite: the rebuilt index
+    * already CONTAINS every applied day, so a replayed day must still
+    * no-op afterwards. `unionCorpus` must carry the full vectors of
+    * everything indexed (the embedding store the appends drew from) —
+    * codes are lossy, an index cannot retrain from itself. Returns true
+    * iff a rebuild happened.
+    *
+    * Scale shape: the gate itself reads only the partition column + the
+    * nlist-row sidecar; a fired rebuild costs one train (iters+1 scans,
+    * bounded model collect) + one encode scan + the partitioned write —
+    * the full-build price, paid only when drift says the cheap appends
+    * have degraded probe pruning enough to matter.
+    */
+  def rebuildIfDrifted(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      unionCorpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 32, m: Int = 8, k: Int = 16,
+      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean = {
+    val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)
+      .select(col("retrain_due")).head().getBoolean(0)
+    if (!due) return false
+    val bdir = new org.apache.hadoop.fs.Path(s"$indexDir/_batches")
+    val fs = bdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val markers: Seq[(String, Array[Byte])] =
+      if (!fs.exists(bdir)) Nil
+      else fs.listStatus(bdir).toSeq.filter(_.isFile).map { st =>
+        val in = fs.open(st.getPath)
+        try (st.getPath.getName, in.readAllBytes()) finally in.close()
+      }
+    val n = unionCorpus.filter(col(vecCol).isNotNull).count()
+    require(n > 0, "rebuildIfDrifted: empty union corpus")
+    val effNlist = math.min(nlist.toLong, n).toInt
+    val effK = math.min(k.toLong, n).toInt
+    writeIndex(unionCorpus, idCol, vecCol,
+      train(unionCorpus, idCol, vecCol, m, effK), indexDir, effNlist)
+    fs.mkdirs(bdir)
+    markers.foreach { case (name, bytes) =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(bdir, name), true)
+      out.write(bytes)
+      out.close()
+    }
+    true
   }
 
   /** Rehydrate a persisted index: two bounded sidecar reads (nlist

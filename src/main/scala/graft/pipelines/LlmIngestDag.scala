@@ -67,6 +67,16 @@ object LlmIngestDag {
     * model ([[graft.operators.Pq.appendBatch]] — day one builds, every
     * later day appends, batch-marker idempotent exactly like the minhash
     * index), so BOTH dedup-index artifacts grow together day by day.
+    *
+    * `annUnionEmbeddings` (r11, optional, needs `embeddingsFor`): the
+    * FULL embedding store — (doc_id, embedding) for every doc ever
+    * embedded. When present, a `rebuild_ann_if_drifted` task runs after
+    * the append: if [[graft.operators.Pq.occupancyDrift]] says the frozen
+    * model has drifted, the index retrains + re-encodes on all surviving
+    * docs' vectors ([[graft.operators.Pq.rebuildIfDrifted]]); a no-drift
+    * day touches nothing. This closes the loop the r10 gate only
+    * observed: appends stay cheap daily, the full-build price is paid
+    * exactly when probe pruning has actually degraded.
     */
   def build(
       spark: SparkSession,
@@ -76,7 +86,8 @@ object LlmIngestDag {
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
       retries: Int = 1, minRows: Long = 1,
       compactMaxFiles: Int = 8,
-      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None): Build = {
+      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None,
+      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None): Build = {
     val rawPath = s"$outputRoot/warehouse/raw/date=$date"
     val cleanPath = s"$outputRoot/warehouse/clean_daily/date=$date"
     val survivorsDir = s"$outputRoot/warehouse/corpus"
@@ -176,10 +187,30 @@ object LlmIngestDag {
         gate = () =>
           graft.operators.Pq.appendBatchApplied(
             spark, annDir, date.toEpochDay))
-    }
+    } ++ (for (_ <- embeddingsFor.toSeq; unionEmb <- annUnionEmbeddings.toSeq)
+      yield Dag.Task("rebuild_ann_if_drifted", () => {
+        // rebuild corpus = every SURVIVOR's vector (exactly what the
+        // index holds: appends only ever indexed survivors)
+        val union = unionEmb().join(
+          spark.read.parquet(survivorsDir).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.operators.Pq.rebuildIfDrifted(
+          spark, annDir, union, "doc_id", "embedding")
+        ()
+      }, retries = retries,
+        // done = the gate no longer flags drift (a fresh build's
+        // occupancy reference makes this true by construction; a
+        // no-drift day was already green)
+        gate = () => !graft.operators.Pq.occupancyDrift(spark, annDir)
+          .select(col("retrain_due")).head().getBoolean(0)))
     val annEdges = embeddingsFor.toSeq.flatMap { _ =>
-      Seq("cross_day_neardup" -> "grow_ann_index",
-        "grow_ann_index" -> "finish")
+      if (annUnionEmbeddings.isDefined)
+        Seq("cross_day_neardup" -> "grow_ann_index",
+          "grow_ann_index" -> "rebuild_ann_if_drifted",
+          "rebuild_ann_if_drifted" -> "finish")
+      else
+        Seq("cross_day_neardup" -> "grow_ann_index",
+          "grow_ann_index" -> "finish")
     }
 
     val edges = Seq(
@@ -212,13 +243,14 @@ object LlmIngestDag {
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(dropPplTail = true),
       retries: Int = 1, minRows: Long = 1,
       compactMaxFiles: Int = 8,
-      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None)
+      embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None,
+      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None)
       : Seq[Catchup.DayRun] = {
     val wm = s"$outputRoot/_catchup_watermark"
     var details = Map.empty[LocalDate, Seq[Dag.Outcome]]
     val ran = Catchup.run(spark, wm, startDate, untilExclusive) { d =>
       val b = build(spark, inputRoot, outputRoot, d, connect, cfg,
-        retries, minRows, compactMaxFiles, embeddingsFor)
+        retries, minRows, compactMaxFiles, embeddingsFor, annUnionEmbeddings)
       val out = Dag.run(b.tasks, b.edges)
       details += d -> out
       out.forall(_.status == Dag.Succeeded)

@@ -216,6 +216,65 @@ class LlmIngestDagSpec extends SparkTestBase {
     assert(annIds().size == survivors.size, "replayed day must not re-grow the ANN index")
   }
 
+  test("rebuild_ann_if_drifted: no-drift day is a no-op, a drift-tripping day retrains in-DAG") {
+    val root = Files.createTempDirectory("graft-llm-annrb").toString
+    val d1 = LocalDate.parse("2021-08-01")
+    val d2 = LocalDate.parse("2021-08-02")
+    // day 1 tiny (4 docs), day 2 big (20 docs): the append grows the
+    // index ~6x past occupancyDrift's default maxGrowth=4, so day 2's
+    // rebuild task must FIRE where day 1's was a green no-op
+    writeDay(root, d1, (0L until 4L).map(i => (i, sentence(i.toInt), "web")))
+    writeDay(root, d2, (10L until 30L).map(i => (i, sentence(i.toInt), "web")))
+    val connect = connectTo("graft_llm_annrb")
+    val c0 = connect(); LlmIngestDag.ensureCountsTable(c0); c0.close()
+    val cfg = CorpusPipeline.Config(
+      maxTopWordFrac = 0.5, samplePerSource = 1000, dropPplTail = false)
+
+    val embFor: LocalDate => org.apache.spark.sql.DataFrame = _ => {
+      val all = (0L until 30L).map { id =>
+        val raw = (0 until 16).map(j => math.sin(id * 31 + j + 1))
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        (id, raw.map(x => (x / n).toFloat).toArray)
+      }
+      all.toDF("doc_id", "embedding")
+    }
+
+    val runs = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      embeddingsFor = Some(embFor),
+      annUnionEmbeddings = Some(() => embFor(d1)))
+    runs.foreach(r => assert(r.ok, s"${r.date}: ${r.detail.mkString("; ")}"))
+    assert(runs.flatMap(_.detail).count(_.id == "rebuild_ann_if_drifted") == 2)
+
+    val annDir = s"$root/out/warehouse/ann_index"
+    val survivors = spark.read.parquet(s"$root/out/warehouse/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    val ids = spark.read.parquet(annDir).select("id").as[Long].collect().toSeq
+    assert(ids.toSet == survivors && ids.size == survivors.size,
+      "rebuilt index must hold each survivor exactly once")
+
+    // the rebuild really happened: the occupancy REFERENCE now counts the
+    // union (a day-1-build reference would still say n_build = day-1 size,
+    // growth ~6x, gate red) — and the gate is re-armed green
+    val drift = graft.operators.Pq.occupancyDrift(spark, annDir).collect().head
+    assert(drift.getAs[Long]("n_build") == survivors.size.toLong)
+    assert(drift.getAs[Double]("growth") == 1.0 && !drift.getAs[Boolean]("retrain_due"))
+
+    // replay markers survived the rebuild: a re-run of day 2 no-ops and
+    // the index keeps exactly one row per survivor
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$root/out/_catchup_watermark/date=$d2"))
+    val replay = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      embeddingsFor = Some(embFor),
+      annUnionEmbeddings = Some(() => embFor(d1)))
+    assert(replay.map(_.date) == Seq(d2) && replay.head.ok)
+    val ids2 = spark.read.parquet(annDir).select("id").as[Long].collect().toSeq
+    assert(ids2.size == survivors.size, "replay after rebuild re-grew the index")
+  }
+
   test("default config composes the ppl stage: dag green, per-source tail dropped") {
     val root = Files.createTempDirectory("graft-llm-ppl").toString
     val d1 = LocalDate.parse("2021-06-01")

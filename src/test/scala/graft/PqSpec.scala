@@ -232,6 +232,107 @@ class PqSpec extends SparkTestBase {
     assert(Pq.appendBatchApplied(spark, dir, 3L))
   }
 
+  test("claimed-but-dead append SELF-HEALS when the manifest proves nothing landed; red only when data DID land") {
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6)
+    val dir = java.nio.file.Files.createTempDirectory("pq_heal").toString + "/idx"
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == day1.count())
+
+    // simulate a crash right AFTER the claim (the common case: the Spark
+    // write never committed) — exactly the on-disk state the real claim
+    // leaves: a .pre manifest of the current data files + an empty marker
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_batches/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
+    put("2.pre", Pq.dataFileManifest(fs, dir))
+    put("2", "")
+    assert(!Pq.appendBatchApplied(spark, dir, 2L))
+    // the retry (a Dag.Task retry calls appendBatch again) self-heals:
+    // the r10 behavior was -1 + red-forever until a manual marker delete
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == day2.count())
+    assert(Pq.appendBatchApplied(spark, dir, 2L))
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "self-heal duplicated vectors")
+    assert(ids.toSet == clustered.select($"vec_id".cast("long")).as[Long].collect().toSet)
+
+    // the narrow commit-vs-marker window: the manifest recorded at claim
+    // time does NOT match the files on disk (the append landed, the
+    // marker rewrite died) — must stay red for the operator, NOT re-append
+    put("3.pre", "stale-manifest-from-before-the-commit")
+    put("3", "")
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == -1L)
+    assert(!Pq.appendBatchApplied(spark, dir, 3L))
+    // a legacy/hand-made empty claim with NO manifest: no proof, stays red
+    val m3 = new java.io.File(s"$dir/_batches/3")
+    val p3 = new java.io.File(s"$dir/_batches/3.pre")
+    assert(p3.delete())
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == -1L)
+    assert(m3.delete()) // the documented manual repair still works
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == day2.count())
+  }
+
+  test("rebuildIfDrifted: a no-drift day leaves every byte alone; drift rebuilds to fresh-build probes with replay markers intact") {
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6)
+    val dir = java.nio.file.Files.createTempDirectory("pq_rebuild").toString + "/idx"
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == day1.count())
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == day2.count())
+
+    def snapshot(): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+    }
+
+    // generous thresholds: gate green -> NOTHING is touched (names,
+    // lengths, mtimes all identical across the whole artifact)
+    val before = snapshot()
+    assert(!Pq.rebuildIfDrifted(spark, dir, clustered, "vec_id", "embedding",
+      nlist = 4, m = 8, k = 8, maxSkewGrowth = 100.0, maxGrowth = 100.0))
+    assert(snapshot() == before, "a no-drift rebuild check modified the artifact")
+
+    // force the gate (growth since build ~1.67 > 1.01) -> full rebuild
+    assert(Pq.rebuildIfDrifted(spark, dir, clustered, "vec_id", "embedding",
+      nlist = 4, m = 8, k = 8, maxGrowth = 1.01))
+
+    // post-rebuild probes == a FRESH build of the union corpus (same
+    // train/write path, so model + centroids + codes all agree)
+    val freshDir = java.nio.file.Files.createTempDirectory("pq_fresh").toString + "/idx"
+    val fresh = Pq.writeIndex(clustered, "vec_id", "embedding",
+      Pq.train(clustered, "vec_id", "embedding", m = 8, k = 8), freshDir, nlist = 4)
+    val rebuilt = Pq.readIndex(spark, dir)
+    val q = clustered.filter($"vec_id" < 3)
+    def probe(i: Pq.IvfPqIndex) =
+      Pq.ivfTopKIndexed(i, clustered, q, "vec_id", "embedding", 5,
+        nprobe = 4, refine = 20).as[(Long, Int, Long)].collect().toSet
+    assert(probe(rebuilt) == probe(fresh))
+
+    // the rebuilt reference re-arms the gate at the new distribution...
+    val drift = Pq.occupancyDrift(spark, dir).collect().head
+    assert(drift.getAs[Double]("growth") == 1.0 && !drift.getAs[Boolean]("retrain_due"))
+    // ...and the replay markers survived the overwrite: both applied days
+    // still no-op instead of re-appending into the rebuilt index
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == -1L)
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == -1L)
+    assert(Pq.appendBatchApplied(spark, dir, 1L) && Pq.appendBatchApplied(spark, dir, 2L))
+  }
+
   test("determinism: same model and ranks under different partitioning") {
     val a = Pq.train(clustered.repartition(7), "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val b = Pq.train(clustered.repartition(2), "vec_id", "embedding", m = 4, k = 8, iters = 2)
