@@ -202,15 +202,23 @@ object LlmIngestDag {
         // occupancy reference makes this true by construction; a
         // no-drift day was already green)
         gate = () => !graft.operators.Pq.occupancyDrift(spark, annDir)
-          .select(col("retrain_due")).head().getBoolean(0)))
+          .select(col("retrain_due")).head().getBoolean(0))) ++
+      // each append adds one small file set per touched cell; without
+      // maintenance a year of days = hundreds of KB files per cell and
+      // the probe's pruned scan pays per-file open cost. Same Compaction
+      // the survivor warehouse gets, pointed at the cell partitions —
+      // content-preserving, so probes are unchanged (PqSpec)
+      embeddingsFor.toSeq.map { _ =>
+        Dag.Task("compact_ann_index", () => {
+          Compaction.compact(spark, annDir, "cell", maxFiles = compactMaxFiles)
+          ()
+        }, retries = retries)
+      }
     val annEdges = embeddingsFor.toSeq.flatMap { _ =>
-      if (annUnionEmbeddings.isDefined)
-        Seq("cross_day_neardup" -> "grow_ann_index",
-          "grow_ann_index" -> "rebuild_ann_if_drifted",
-          "rebuild_ann_if_drifted" -> "finish")
-      else
-        Seq("cross_day_neardup" -> "grow_ann_index",
-          "grow_ann_index" -> "finish")
+      val chain = Seq("cross_day_neardup", "grow_ann_index") ++
+        (if (annUnionEmbeddings.isDefined) Seq("rebuild_ann_if_drifted") else Nil) ++
+        Seq("compact_ann_index", "finish")
+      chain.zip(chain.tail)
     }
 
     val edges = Seq(
