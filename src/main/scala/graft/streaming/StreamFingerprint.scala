@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous MEDIA near-dup ingest — the fingerprint family's streaming
+  * twin (q117/q119/q120 live): new media on the feed checks against a
+  * PERSISTED fingerprint index instead of waiting for the nightly batch
+  * pair job, exactly as [[StreamNearDup]] does for text. What persists is
+  * [[Multimodal.bandKeys56]]'s rows — (id, 56-bit fingerprint, packed
+  * chunk-pair blocking key), ~24 B/doc/key, never a pixel or sample:
+  * the batch job and the stream share one blocking design, so a pair the
+  * nightly q117 would report is exactly a pair the stream drops.
+  *
+  * `fingerprint` maps a doc micro-batch to (doc_id, ph) — pass
+  * [[Multimodal.imagePhash]], [[Multimodal.audioFingerprint]] or
+  * [[Multimodal.videoFingerprint]]; one started stream per modality
+  * (their hash spaces are unrelated — cross-modal fusion is q121's batch
+  * job, which consumes the same survivors).
+  *
+  * Layout under `indexDir`: `keys/` parquet (append-only) plus
+  * `_batches/<id>` markers. Survivors (full input rows) land in
+  * `survivorsDir/batch=<id>/`, overwritten per batch id.
+  *
+  * Delivery semantics — [[StreamNearDup]]'s write order, verbatim:
+  *   1. marker exists → the batch is fully applied: skip (checkpoint
+  *      replay changes nothing).
+  *   2. survivors are computed against the CURRENT index and written
+  *      overwrite to the batch's own directory — a retried batch
+  *      recomputes the identical result and overwrites in place.
+  *   3. the marker commits BEFORE the index append: a crash inside the
+  *      append window can only LOSE index keys for this batch's
+  *      survivors (future batches miss a dedup opportunity), never lose
+  *      survivor rows and never double-drop.
+  *
+  * Scale shape: the decode+hash is one scan of the micro-batch (pixels
+  * die inside the scan); the index side is pruned to the BATCH's
+  * blocking keys by a semi-join BEFORE anything is verified, so each
+  * micro-batch pays O(|batch| · keys/doc + touched index rows), never
+  * O(|index|) — the [[graft.operators.Dedup.incrementalNearDup]] ingest
+  * contract. Cross-match verification is existence-only (any hit drops
+  * the doc), so no pair stream materializes. `bucketCap` forwards to the
+  * within-batch [[Multimodal.hammingPairs56]] guard.
+  */
+object StreamFingerprint {
+
+  def start(
+      docs: DataFrame, idCol: String,
+      fingerprint: DataFrame => DataFrame,
+      indexDir: String, survivorsDir: String, checkpointDir: String,
+      maxHamming: Int = 4, bucketCap: Int = 0,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val kept = applyBatch(
+          batch.sparkSession, batch, idCol, fingerprint,
+          indexDir, survivorsDir, batchId, maxHamming, bucketCap)
+        onBatch(batchId, kept)
+      }
+      .start()
+
+  /** One batch of the protocol above (factored out so the semantics are
+    * unit-testable without a streaming runtime). Returns the number of
+    * survivors written, or -1 if the batch was already applied.
+    */
+  def applyBatch(
+      spark: SparkSession, batch: DataFrame, idCol: String,
+      fingerprint: DataFrame => DataFrame,
+      indexDir: String, survivorsDir: String, batchId: Long,
+      maxHamming: Int = 4, bucketCap: Int = 0): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return -1L
+
+    // decode+hash once; both the cross check and the within check read
+    // the same banded rows (the incrementalNearDup materialize-once rule)
+    val hashes = fingerprint(batch).localCheckpoint()
+    val banded = Multimodal.bandKeys56(hashes, maxHamming).localCheckpoint()
+
+    val keysPath = new Path(s"$indexDir/keys")
+    val ham: Column = bit_count(col("ph").bitwiseXOR(col("ph_b"))).cast("int")
+    val crossDrop: DataFrame =
+      if (!fs.exists(keysPath)) banded.limit(0).select(col("id"))
+      else {
+        // prune the persisted index to the batch's buckets BEFORE any
+        // verify — the index grows forever, the touched slice is
+        // O(|batch| · keys/doc) for bounded buckets. Self-hits (a
+        // re-delivered id already indexed) deliberately match at
+        // hamming 0 and drop — the dedup contract.
+        val touched = spark.read.parquet(keysPath.toString)
+          .join(banded.select("bk").distinct(), Seq("bk"), "left_semi")
+        banded.join(
+          touched.select(col("bk"), col("ph").as("ph_b")), Seq("bk"))
+          .filter(ham <= maxHamming)
+          .select(col("id")).distinct()
+      }
+
+    // within-batch: the shared blocked pair join (canonical-key single
+    // emission; opt-in hot-bucket chunking) — the larger id drops
+    val withinDrop = Multimodal.hammingPairs56(hashes, maxHamming, bucketCap)
+      .select(col("id_b").as("id")).distinct()
+
+    val keptRows = batch.join(
+      crossDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(withinDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .localCheckpoint() // pin the result BEFORE the index mutates
+
+    keptRows.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    banded.join(
+      keptRows.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+      .write.mode("append").parquet(keysPath.toString)
+    keptRows.count()
+  }
+}
