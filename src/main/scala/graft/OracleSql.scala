@@ -471,10 +471,10 @@ object OracleSql {
   // then brute-force Hamming pairs. Cell membership, cross-multiplied
   // gradient compares and the bit layout mirror
   // Multimodal.perceptualHash operation-for-operation, all-integer.
-  private val imagePhashPairsSql =
-      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
+  private def imagePhashPairsSqlOver(src: String): String =
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
         |    (16 + length(text) % 49)::BIGINT w
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM $src WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, text, n, w,
         |    greatest(1, (n + 3*w - 1) // (3*w))::BIGINT h FROM b),
         |px AS (SELECT doc_id, w, h,
@@ -500,6 +500,8 @@ object OracleSql {
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
 
+  private val imagePhashPairsSql = imagePhashPairsSqlOver("documents")
+
   // q119's twin: the 56-bit audio envelope hash recomputed from the
   // deterministic container geometry (mono even ids / stereo odd,
   // 16-bit LE PCM over the text bytes zero-padded to a frame boundary —
@@ -508,10 +510,10 @@ object OracleSql {
   // The interleaved rectified sample stream, 57-window cell map,
   // cross-multiplied gradient compares and the bit layout mirror
   // Multimodal.envelopeOf/gradientHash operation-for-operation.
-  private val audioFpPairsSql =
-      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
+  private def audioFpPairsSqlOver(src: String): String =
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT n,
         |    (1 + doc_id % 2)::BIGINT ch
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM $src WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, text, n,
         |    (((n + 2*ch - 1) // (2*ch)) * ch)::BIGINT ns FROM b),
         |mx AS (SELECT doc_id, ns, [
@@ -534,14 +536,16 @@ object OracleSql {
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
 
+  private val audioFpPairsSql = audioFpPairsSqlOver("documents")
+
   // q120's twin: the 56-bit video fingerprint — frame table nfr =
   // n div 64 + 1 (the container's stsz), every 10th frame sampled, the
   // hash sequence = the sampled frames' byte stream (step i reads
   // payload byte 640·(i div 64) + (i mod 64), 0 past the payload);
   // then the same 57-window gradient as q119.
-  private val videoFpPairsSql =
-      """WITH b AS (SELECT doc_id, text, length(text)::BIGINT n
-        |  FROM documents WHERE text IS NOT NULL),
+  private def videoFpPairsSqlOver(src: String): String =
+      s"""WITH b AS (SELECT doc_id, text, length(text)::BIGINT n
+        |  FROM $src WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, text, n,
         |    (((n // 64 + 1 + 9) // 10) * 64)::BIGINT L FROM b),
         |sq AS (SELECT doc_id, L, [
@@ -564,6 +568,8 @@ object OracleSql {
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 4""".stripMargin
+
+  private val videoFpPairsSql = videoFpPairsSqlOver("documents")
 
   val sql: Map[String, String] = Map(
 
@@ -1641,6 +1647,79 @@ object OracleSql {
          |UNION ALL SELECT 11, 'split_test', (SELECT count(*) FROM sp WHERE split = 'test')
          |UNION ALL SELECT 12, 'interleave_train_xor',
          |  (SELECT coalesce(bit_xor(h * (ordinal + 1)), 0) FROM io)""".stripMargin
+    },
+
+    // The CROSS-MODAL v2 chain (r10 verdict #7): q47b's CTEs with the
+    // near-dup edge list extended by the three media fingerprint twins
+    // recomputed OVER THE EXACT-DEDUP SURVIVORS (s4 — i.e. the media
+    // pair twins' `documents` source swapped for the stage relation, so
+    // the oracle's containers derive from the same normalized text the
+    // pipeline hashes). Duplicate edges (a pair near under several
+    // signals) are harmless to the min-label fixpoint on both engines.
+    "q47d_corpus_pipeline_xmodal" -> {
+      val c = graft.pipelines.CorpusPipeline.Config(crossModalDedup = true)
+      s"""WITH RECURSIVE
+         |n0 AS (SELECT * REPLACE (regexp_replace(nfc_normalize(text),
+         |  '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]', '', 'g')
+         |  AS text) FROM documents),
+         |s0 AS (SELECT * FROM n0
+         |  WHERE len(trim(text, ' ' || chr(9) || chr(10) || chr(13))) > 0),
+         |s1 AS (SELECT * FROM s0
+         |  WHERE len(list_filter(string_split(text,' '), t -> t IN $stop)) > 0),
+         |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= ${c.minTokens}),
+         |rw AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM s2),
+         |rc AS (SELECT doc_id, tok, count(*) cnt FROM rw GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, round(max(cnt) / sum(cnt)::DOUBLE, 6) topf
+         |  FROM rc GROUP BY 1),
+         |s3 AS (SELECT s2.* FROM s2 JOIN ra USING (doc_id)
+         |  WHERE topf <= ${c.maxTopWordFrac}),
+         |s4 AS (SELECT * FROM s3 QUALIFY row_number() OVER (
+         |  PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+         |  ORDER BY doc_id) = 1),
+         |${jaccardPairCteOver("s4")},
+         |pr AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM p WHERE jaccard >= ${c.jaccardThreshold}
+         |  UNION ALL SELECT id_a, id_b FROM (${imagePhashPairsSqlOver("s4")}) iq
+         |  UNION ALL SELECT id_a, id_b FROM (${audioFpPairsSqlOver("s4")}) aq
+         |  UNION ALL SELECT id_a, id_b FROM (${videoFpPairsSqlOver("s4")}) vq),
+         |edges AS MATERIALIZED (SELECT id_a a, id_b b FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         |cc(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, c.lbl FROM cc c JOIN edges e ON e.a = c.id AND c.lbl < e.b),
+         |comp AS MATERIALIZED (SELECT id, min(lbl) component FROM cc GROUP BY id),
+         |tok AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens
+         |  FROM s4),
+         |ranked AS (SELECT c2.id doc_id, c2.component,
+         |    row_number() OVER (PARTITION BY c2.component
+         |      ORDER BY t.n_tokens DESC, c2.id) rn
+         |  FROM comp c2 JOIN tok t ON t.doc_id = c2.id),
+         |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT id FROM comp)
+         |  OR doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)),
+         |s6 AS (SELECT * FROM s5 QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+         |    doc_id) <= ${c.samplePerSource}),
+         |k AS (SELECT s6.doc_id, coalesce(c3.component, s6.doc_id) split_key
+         |  FROM s6 LEFT JOIN comp c3 ON c3.id = s6.doc_id),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bp < 8000 THEN 'train' WHEN bp < 9000 THEN 'val'
+         |       ELSE 'test' END split
+         |  FROM (SELECT doc_id,
+         |    (((split_key % 2147483647) * 1103515245 + 12345) % 2147483647
+         |        * 48271 + 11) % 2147483647
+         |      * 10000 // 2147483647 bp FROM k))
+         |SELECT CAST(0 AS INT) stage_idx, 'input' stage, (SELECT count(*) FROM documents) n_docs
+         |UNION ALL SELECT 1, 'normalize', (SELECT count(*) FROM s0)
+         |UNION ALL SELECT 2, 'lang', (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 4, 'repetition', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 5, 'exact_dedup', (SELECT count(*) FROM s4)
+         |UNION ALL SELECT 6, 'canonical', (SELECT count(*) FROM s5)
+         |UNION ALL SELECT 7, 'sample', (SELECT count(*) FROM s6)
+         |UNION ALL SELECT 8, 'split_train', (SELECT count(*) FROM sp WHERE split = 'train')
+         |UNION ALL SELECT 9, 'split_val', (SELECT count(*) FROM sp WHERE split = 'val')
+         |UNION ALL SELECT 10, 'split_test', (SELECT count(*) FROM sp WHERE split = 'test')""".stripMargin
     },
 
     // Bloom gate: the true semi-join count is recomputed; the filter's

@@ -409,6 +409,16 @@ object SparkEntry {
     "q47c_corpus_pipeline_v3" -> ((s, dir) =>
       pipelines.CorpusPipeline.auditCountsV3(Tables.documents(s, dir))),
 
+    // the CROSS-MODAL variant of the v2 chain (r10 verdict #7): the
+    // near-dup edge list unions the q117/q119/q120 media fingerprint
+    // pairs with the text minhash pairs, so canonical picks and the
+    // leak-safe split key make ONE keep decision per doc across
+    // modalities — a media-copy-with-rewritten-text drops here where
+    // q47b keeps it
+    "q47d_corpus_pipeline_xmodal" -> ((s, dir) =>
+      pipelines.CorpusPipeline.auditCountsV2(Tables.documents(s, dir),
+        pipelines.CorpusPipeline.Config(crossModalDedup = true))),
+
     // bloom-filter semi-join reduction (runtime-filter pattern), gated:
     // exact semi-join count + no-false-negatives + bounded-fp booleans
     "q46_bloom_prefilter" -> ((s, dir) => {

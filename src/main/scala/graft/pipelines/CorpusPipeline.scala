@@ -43,7 +43,15 @@ object CorpusPipeline {
       clsBuckets: Int = 1024,
       clsIters: Int = 10,
       interleaveBp: Seq[(String, Int)] =
-        (0 until 20).map(i => ("src" + i, if (i < 4) 1000 else 375)))
+        (0 until 20).map(i => ("src" + i, if (i < 4) 1000 else 375)),
+      // cross-modal dedup (r10 verdict #7): when on, the near-dup
+      // clustering stage unions the three media fingerprint pair tables
+      // (q117/q119/q120) with the text minhash pairs, so canonical picks
+      // AND the leak-safe split key see ONE component per document across
+      // every modality — a doc whose text was rewritten but whose media
+      // is a near-copy clusters (and drops) where text-only dedup keeps it
+      crossModalDedup: Boolean = false,
+      mediaMaxHamming: Int = 4)
 
   /** Stage DataFrames, each the survivors of the previous stage. `docs`
     * must carry (doc_id, text, source). Heavier stages are
@@ -160,10 +168,26 @@ object CorpusPipeline {
       input: DataFrame, cfg: Config, checkpoint: Boolean): DedupSplitTail = {
     val s4raw = Dedup.exactSurvivors(input, "doc_id", "text")
     val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val textPairs = Dedup.minHashPairs(
+      s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    // q121 in the chain: the edge list is the UNION of the modalities'
+    // verified pairs, so one components pass makes one keep decision per
+    // doc across all of them (each pair table is near-dup-output-sized)
+    val pairs =
+      if (!cfg.crossModalDedup) textPairs
+      else {
+        import graft.operators.Multimodal
+        textPairs
+          .unionByName(Multimodal.imagePhashPairs(s4, cfg.mediaMaxHamming)
+            .select(col("id_a"), col("id_b")))
+          .unionByName(Multimodal.audioFingerprintPairs(s4, cfg.mediaMaxHamming)
+            .select(col("id_a"), col("id_b")))
+          .unionByName(Multimodal.videoFingerprintPairs(s4, cfg.mediaMaxHamming)
+            .select(col("id_a"), col("id_b")))
+      }
     // one clustering pass, three consumers (canonical, split key, audit)
-    val compRaw = Dedup.connectedComponents(
-      Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold),
-      "id_a", "id_b")
+    val compRaw = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val comp = if (checkpoint) compRaw.localCheckpoint() else compRaw
     val keepIds = Dedup.canonicalPicksFrom(s4, "doc_id", "text", comp)
       .filter(col("keep")).select(col("doc_id"))

@@ -91,6 +91,50 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(row11 == 11L)
   }
 
+  test("cross-modal stage: the media-only dup drops ONLY when the flag is on") {
+    // the r10-verdict plant: scrambling every long word's characters
+    // leaves ZERO shared word shingles (text dedup is blind to it) but
+    // barely moves the deterministic containers' coarse luma/envelope —
+    // ProbeXmodalPlant: image hamming 0, audio hamming 0. A pipeline
+    // that dedups per-modality keeps doc 2; the cross-modal chain makes
+    // ONE component of {1, 2} and canonical-picks a single survivor.
+    val base = "alpha bravo gamma delta the zulu echo foxtrot kilo lima"
+    val scrambled = base.split(' ')
+      .map(w => if (w.length <= 3) w else w.sorted).mkString(" ")
+    // the control doc must be media-far from base in EVERY modality —
+    // uniform lowercase prose is nearly envelope-flat (audio hamming 0 to
+    // unrelated text!), so it mixes single letters and a descending run
+    // (ProbeXmodalPlant: img 4, aud 25, vid 26 — outside the h=2 ball)
+    val control = "the zyx wvu tsr qpo nml kji hgf edc ba " +
+      "z y x w v u t s r q p o n m l k j i h g f e d c b a"
+    val docs = Seq(
+      (1L, base, "s1"),
+      (2L, scrambled, "s1"), // media-only dup of 1
+      (3L, control, "s1"))
+      .toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 4, maxTopWordFrac = 0.5, jaccardThreshold = 0.6,
+      samplePerSource = 10, mediaMaxHamming = 2)
+
+    // text-only v2: shingle jaccard(1,2) = 0 — all three docs survive
+    assert(CorpusPipeline.cleanV2(docs, cfg)
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // cross-modal: {1,2} cluster under the image+audio signals; equal
+    // token counts so the canonical pick is the smaller id
+    val xm = CorpusPipeline.cleanV2(docs, cfg.copy(crossModalDedup = true))
+    assert(xm.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the survivor's split key is the CROSS-MODAL component label, so a
+    // media near-dup of a test doc can never straddle the split either
+    assert(xm.filter($"doc_id" === 1L)
+      .select($"split_key").as[Long].collect().head == 1L)
+
+    // audit shape unchanged (the flag changes the edge list, not stages)
+    val audit = CorpusPipeline.auditCountsV2(docs, cfg.copy(crossModalDedup = true))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(audit.map(t => (t._2, t._3)).toMap.apply("canonical") == 2L)
+  }
+
   test("v3 chain: the trained gate drops the held-out junk doc; checksum pins the train order") {
     def pool(tag: String) = (1 to 24).map(j => s"$tag$j").mkString(" ")
     def good(p: String, extra: String = "") =
