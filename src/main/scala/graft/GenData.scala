@@ -59,35 +59,66 @@ object GenData {
         floor(pow(lit(vocabSize.toDouble), u)), lit(vocabSize.toDouble)).cast("long"))
     }
 
-  /** Fresh word array for one id: uniform length 10..100, iid words. */
-  private def freshWords(id: Column, vocabSize: Int): Column = {
-    val len = (lit(10) + pmod(xxhash64(lit("len"), id), lit(91L)).cast("int"))
+  /** Fresh word array for one id: uniform length minWords..maxWords, iid
+    * words. The 10..100 default mirrors the driver corpus; the fingerprint
+    * family's decade corpora (r11) use 250..500 so the derived containers
+    * are big enough for FULL-RANK fingerprints — an image under ~1536
+    * bytes decodes to fewer than 8 pixel rows, which leaves whole dHash
+    * grid rows empty (their 7 bits forced zero) and collapses the hash
+    * space into dense accidental Hamming balls. Short-doc corpora are the
+    * degenerate regime (measured separately — the hot-bucket guard's
+    * domain); long-doc corpora are the realistic one.
+    */
+  private def freshWords(
+      id: Column, vocabSize: Int, minWords: Int, maxWords: Int): Column = {
+    val len = (lit(minWords) + pmod(xxhash64(lit("len"), id),
+      lit((maxWords - minWords + 1).toLong)).cast("int"))
     transform(sequence(lit(0), len - 1), p => word("w", id, p, vocabSize))
   }
 
-  def documents(spark: SparkSession, nDocs: Long, vocabSize: Int = 31): DataFrame = {
+  def documents(spark: SparkSession, nDocs: Long, vocabSize: Int = 31,
+      minWords: Int = 10, maxWords: Int = 100): DataFrame = {
     val base = spark.range(nDocs).toDF("doc_id")
-      .withColumn("words", freshWords(col("doc_id"), vocabSize))
+      .withColumn("words", freshWords(col("doc_id"), vocabSize, minWords, maxWords))
 
     // Duplicate structure: per-mille draw decides fresh / exact copy /
-    // perturbed copy; copy targets reach back ≤97 ids so base text arrives
-    // via a self-join on doc ids, never a driver loop.
+    // perturbed copy / MEDIA-only copy; copy targets reach back ≤97 ids so
+    // base text arrives via a self-join on doc ids, never a driver loop.
+    // The "media" kind (r11, for the fingerprint family's decade rows) is
+    // the q47d plant shape at scale: every word ≥4 chars has its
+    // characters sorted in place, so the copy shares ZERO word shingles
+    // with its base (text dedup is blind) while the deterministic
+    // containers' coarse luma/envelope barely move (image/audio Hamming
+    // ~0) — the planted rate the cross-modal operators must recover.
     val roll = pmod(xxhash64(lit("dup"), col("doc_id")), lit(1000L))
     val tagged = base
       .withColumn("kind",
         when(col("doc_id") < 100, lit("fresh"))
           .when(roll < 2, lit("exact"))
           .when(roll < 5, lit("near"))
+          .when(roll < 8, lit("media"))
           .otherwise(lit("fresh")))
       .withColumn("base_id",
         when(col("kind") =!= "fresh",
           col("doc_id") - 1 - pmod(xxhash64(lit("back"), col("doc_id")), lit(97L))))
 
-    val copies = tagged.filter(col("kind") =!= "fresh")
-      .select(col("doc_id"), col("kind"), col("base_id"))
+    // broadcast the ~0.8%-of-corpus copy-spec side EXPLICITLY: both sides
+    // derive from range() whose post-filter stats Spark can't estimate,
+    // and at sf10 it picked the full 500k-doc words side for the
+    // broadcast — a >1 GB driver collect (maxResultSize abort)
+    val copies = broadcast(tagged.filter(col("kind") =!= "fresh")
+      .select(col("doc_id"), col("kind"), col("base_id")))
       .join(base.select(col("doc_id").as("base_id"), col("words").as("bwords")), "base_id")
       .withColumn("words",
         when(col("kind") === "exact", col("bwords"))
+          .when(col("kind") === "media",
+            // media-only dup: sort each long word's chars in place (zero
+            // shared shingles, near-zero container distance). split on ""
+            // yields one element per char in Spark; filter guards the
+            // empty tail element some regex engines append
+            transform(col("bwords"), w =>
+              when(length(w) <= 3, w).otherwise(
+                array_join(array_sort(filter(split(w, ""), c => c =!= "")), ""))))
           .otherwise(
             // near-dup: re-roll ~1/20 of positions of the base words
             transform(col("bwords"), (w, i) =>
@@ -134,12 +165,14 @@ object GenData {
     val outDir = args(0)
     val sf = args(1).toDouble
     val vocabSize = if (args.length > 2) args(2).toInt else vocab.size
+    val minWords = if (args.length > 3) args(3).toInt else 10
+    val maxWords = if (args.length > 4) args(4).toInt else 100
     val nDocs = math.round(50000 * sf)
     val nVecs = math.round(20000 * sf)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    documents(spark, nDocs, vocabSize)
+    documents(spark, nDocs, vocabSize, minWords, maxWords)
       .repartition(math.max(4, (sf * 16).toInt))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     embeddings(spark, nVecs)

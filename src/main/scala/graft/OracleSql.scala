@@ -580,6 +580,8 @@ object OracleSql {
     "q76b_bpe_apply" -> bpeApplySql(graft.functions.Bpe.DemoMerges),
 
     "q117_image_phash" -> imagePhashPairsSql,
+    // the capped variant is LOSSLESS by contract: same twin as q117
+    "q117b_image_phash_capped" -> imagePhashPairsSql,
     "q119_audio_fingerprint" -> audioFpPairsSql,
     "q120_video_fingerprint" -> videoFpPairsSql,
 

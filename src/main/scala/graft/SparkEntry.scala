@@ -532,6 +532,15 @@ object SparkEntry {
     "q117_image_phash" -> ((s, dir) =>
       Multimodal.imagePhashPairs(Tables.documents(s, dir))),
 
+    // the hot-bucket-GUARDED q117 (r11): bucketCap 16 forces the chunk
+    // grid to engage on the driver corpus (its short-doc fingerprints
+    // form classes well over 16), so the lossless-by-construction claim
+    // of the triangle-wise chunk join is oracle-checked cross-engine —
+    // the same DuckDB twin as q117, because capped output == uncapped
+    // output is exactly the guard's contract
+    "q117b_image_phash_capped" -> ((s, dir) =>
+      Multimodal.imagePhashPairs(Tables.documents(s, dir), bucketCap = 16)),
+
     // perceptual AUDIO near-dup (r10): 56-bit envelope gradient hash over
     // the decoded PCM (real RIFF walk, rectified FULL-RESOLUTION
     // interleaved samples — deliberately no downmix: the interleaved

@@ -283,8 +283,9 @@ object Multimodal {
     * collect. The fingerprint scan itself is one corpus pass; only
     * (id, 8-byte hash, key) rows shuffle, never pixels.
     */
-  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
-    hammingPairs56(imagePhash(docs), maxHamming)
+  def imagePhashPairs(
+      docs: DataFrame, maxHamming: Int = 4, bucketCap: Int = 0): DataFrame =
+    hammingPairs56(imagePhash(docs), maxHamming, bucketCap)
 
   /** The chunk-pair list covering Hamming ≤ `maxHamming` over 7 8-bit
     * chunks (see [[imagePhashPairs]]'s covering-graph proof), in
@@ -358,6 +359,14 @@ object Multimodal {
     * banded stream and a wider join key; leave it 0 (off) when the
     * corpus is exact-deduped upstream and fingerprint classes are known
     * bounded.
+    *
+    * CAP SIZING (SCALING_r11): the per-task bound is ~cap², but the
+    * exploded exchange volume is Σ n²/cap per hot key — a small cap
+    * trades skew for volume. For million-member classes size the cap so
+    * cap² fits a task comfortably while n/cap stays modest: ~1024 is
+    * the production default (1M-candidate tasks, 64× less exchange
+    * volume than cap 16). The q117b registration's cap 16 exists to
+    * force engagement on the tiny driver corpus, not as guidance.
     */
   def hammingPairs56(
       hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
@@ -380,14 +389,33 @@ object Multimodal {
         .withColumn("chunks", ceil(col("n") / lit(bucketCap)).cast("int"))
         .withColumn("g", pmod(xxhash64(col("id")), col("chunks")).cast("int"))
         .localCheckpoint()
+        // the checkpointed stream is SMALL (rows, not candidates), so AQE
+        // coalesces it to ~1 partition — which would make each explode
+        // below a single serial task over the FULL n²/cap exploded volume
+        // (measured: 2×35 s single-task stages on the 50k-doc degenerate
+        // corpus). Repartition by (bk, g) first: a hot class's rows carry
+        // `chunks` distinct g values, so its explode work spreads across
+        // the grid rows it is about to generate. The EXPLICIT partition
+        // count is deliberate — byte-based AQE coalescing re-merges the
+        // small pre-explode stream (rows ≠ work here) and re-serializes
+        // the explode
+        .repartition(hashes.sparkSession.sessionState.conf.numShufflePartitions,
+          col("bk"), col("g"))
       val aSide = pc.select(col("bk"), col("id").as("id_1"), col("ph").as("ph_1"),
         col("g").as("lo"), explode(sequence(col("g"), col("chunks") - 1)).as("hi"))
       val bSide = pc.select(col("bk"), col("id").as("id_2"), col("ph").as("ph_2"),
         explode(sequence(lit(0), col("g"))).as("lo"), col("g").as("hi"))
       val ham = bit_count(col("ph_1").bitwiseXOR(col("ph_2"))).cast("int")
       // a (lo < hi) cell meets each cross pair once with arbitrary side
-      // order; a (lo == hi) cell meets both orders — keep one
-      aSide.join(bSide, Seq("bk", "lo", "hi"))
+      // order; a (lo == hi) cell meets both orders — keep one.
+      // The merge hint is load-bearing: Catalyst sizes both sides from
+      // the pre-explode checkpoint (explode cardinality is opaque), so
+      // on a hot corpus it happily plans a BROADCAST of a multi-GiB
+      // exploded stream (measured: a 13.5 GiB broadcast attempt on the
+      // 50k-doc degenerate corpus). Forcing sort-merge keeps the
+      // exploded sides partitioned by (bk, lo, hi) — the grid cells the
+      // guard exists to spread
+      aSide.hint("merge").join(bSide.hint("merge"), Seq("bk", "lo", "hi"))
         .filter((col("lo") < col("hi") || col("id_1") < col("id_2"))
           && col("id_1") =!= col("id_2")
           && ham <= maxHamming
