@@ -954,6 +954,42 @@ object Multimodal {
   def videoFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
     hammingPairs56(videoFingerprint(docs), maxHamming)
 
+  /** All three media fingerprints in ONE corpus pass — (doc_id,
+    * ph_image, ph_audio, ph_video). [[crossModalClusters]] and the
+    * pipeline's cross-modal stage consume several modalities of the same
+    * corpus; running [[imagePhash]]/[[audioFingerprint]]/
+    * [[videoFingerprint]] separately re-reads the parquet and re-decodes
+    * the containers once per modality (SCALING_r11: the two slowest q121
+    * stages at 500k docs are decode scans). Here each record builds and
+    * decodes its three containers inside one mapPartitions batch; only
+    * the 32-byte hash rows leave the scan, and each downstream pair join
+    * band-explodes the slim hash table instead of re-decoding. Container
+    * choices mirror [[asMedia]]/[[asAudio]]/[[asVideo]] byte-for-byte
+    * (spec-asserted equal to the per-modality fingerprints).
+    */
+  def mediaFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(_.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val (w, h) = rasterDims(bytes.length.toLong)
+          val img =
+            if (id % 2 == 0) MediaRecord(id, "ppm", encodePpm(bytes, w, h))
+            else MediaRecord(id, "bmp", encodeBmp(bytes, w, h))
+          val (iw, ih, px) = rasterOf(img)
+          val aud = MediaRecord(id, "wav",
+            encodeWav(bytes, 1 + (id % 2).toInt, id % 3 == 0))
+          val vid = MediaRecord(id, "mp4", encodeMp4(bytes, id))
+          (id, perceptualHash(iw, ih, px), gradientHash(envelopeOf(aud)),
+            gradientHash(sampledFrameBytesOf(vid)))
+        })
+      }.toDF("doc_id", "ph_image", "ph_audio", "ph_video")
+  }
+
   /** Cross-modal near-dup CLUSTERS (SURVEY §2 q121) — ONE dedup decision
     * per document across every modality. A pipeline that dedups text,
     * images, audio and video independently keeps a document whose text
@@ -979,13 +1015,19 @@ object Multimodal {
     * AQE broadcasts back onto the member list.
     */
   def crossModalClusters(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    // one decode pass for all three media hashes (see [[mediaFingerprints]]);
+    // the checkpoint pins the 32-byte rows so the three pair joins read
+    // them instead of re-decoding
+    val fp = mediaFingerprints(docs).localCheckpoint()
+    def modality(c: String) =
+      hammingPairs56(fp.select(col("doc_id"), col(c).as("ph")), maxHamming)
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), lit("text").as("signal"))
-      .unionByName(imagePhashPairs(docs, maxHamming)
+      .unionByName(modality("ph_image")
         .select(col("id_a"), col("id_b"), lit("image").as("signal")))
-      .unionByName(audioFingerprintPairs(docs, maxHamming)
+      .unionByName(modality("ph_audio")
         .select(col("id_a"), col("id_b"), lit("audio").as("signal")))
-      .unionByName(videoFingerprintPairs(docs, maxHamming)
+      .unionByName(modality("ph_video")
         .select(col("id_a"), col("id_b"), lit("video").as("signal")))
       .localCheckpoint()
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")

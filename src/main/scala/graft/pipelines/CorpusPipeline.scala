@@ -178,13 +178,17 @@ object CorpusPipeline {
       if (!cfg.crossModalDedup) textPairs
       else {
         import graft.operators.Multimodal
+        // one decode pass for all three media hashes (Multimodal
+        // .mediaFingerprints — the r11 shared scan), checkpointed so the
+        // three pair joins band-explode the slim hash rows
+        val fp = Multimodal.mediaFingerprints(s4).localCheckpoint()
+        def modality(c: String) = Multimodal.hammingPairs56(
+          fp.select(col("doc_id"), col(c).as("ph")), cfg.mediaMaxHamming)
+          .select(col("id_a"), col("id_b"))
         textPairs
-          .unionByName(Multimodal.imagePhashPairs(s4, cfg.mediaMaxHamming)
-            .select(col("id_a"), col("id_b")))
-          .unionByName(Multimodal.audioFingerprintPairs(s4, cfg.mediaMaxHamming)
-            .select(col("id_a"), col("id_b")))
-          .unionByName(Multimodal.videoFingerprintPairs(s4, cfg.mediaMaxHamming)
-            .select(col("id_a"), col("id_b")))
+          .unionByName(modality("ph_image"))
+          .unionByName(modality("ph_audio"))
+          .unionByName(modality("ph_video"))
       }
     // one clustering pass, three consumers (canonical, split key, audit)
     val compRaw = Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -358,6 +358,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(chunked.count() == cc.size.toLong)
   }
 
+  test("shared decode pass: mediaFingerprints equals the three per-modality hashes") {
+    // the single-pass scan must mirror asMedia/asAudio/asVideo's container
+    // choices byte-for-byte — ids cover both parities (ppm/bmp, mono/
+    // stereo) and the %3 compression flag
+    val docs = (0L until 12L).map(i =>
+      (i, s"doc $i body ${"x" * (i * 7 % 60).toInt} tail")).toDF("doc_id", "text")
+    val fused = Multimodal.mediaFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val img = Multimodal.imagePhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aud = Multimodal.audioFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vid = Multimodal.videoFingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet == img.keySet)
+    for ((id, (pi, pa, pv)) <- fused) {
+      assert(pi == img(id), s"image hash diverged for doc $id")
+      assert(pa == aud(id), s"audio hash diverged for doc $id")
+      assert(pv == vid(id), s"video hash diverged for doc $id")
+    }
+  }
+
   test("cross-modal clusters: signal union, per-cluster audit column, absent singletons") {
     // cluster {0,1,2}: 0 and 1 are byte-identical (every signal fires);
     // 2 is a one-word different-LENGTH rewrite of 0 — shingle jaccard
