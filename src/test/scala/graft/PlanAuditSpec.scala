@@ -162,6 +162,37 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q117b capped: exploded sides never broadcast; explode parallelism is pinned") {
+    // deliberately NOT `audited`: the two r11 planner bugs lived under
+    // DEFAULT settings (AQE on, broadcast on) — Catalyst sized the
+    // triangle join from the pre-explode checkpoint and planned a
+    // multi-GiB broadcast of an exploded side, and AQE coalesced the
+    // small pre-explode stream to one partition, serializing the explode
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike, REPARTITION_BY_NUM}
+    val df = SparkEntry.queries("q117b_image_phash_capped")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val nodes = walk(df.queryExecution.executedPlan)
+    val badBroadcast = nodes.collect {
+      case b: BroadcastExchangeLike
+        if walk(b).exists(_.getClass.getSimpleName == "GenerateExec") => b
+    }
+    assert(badBroadcast.isEmpty,
+      s"an exploded triangle side was planned broadcast:\n${badBroadcast.headOption}")
+    // the pre-explode repartition carries an explicit count, which AQE
+    // must leave alone (REPARTITION_BY_NUM)
+    val pinned = nodes.collect {
+      case s: ShuffleExchangeLike if s.shuffleOrigin == REPARTITION_BY_NUM => s
+    }
+    assert(pinned.nonEmpty, "pinned pre-explode repartition missing from the plan")
+  }
+
   test("q117 phash pairs: ONE exchange (reused by both join sides), no pair-stream dedup") {
     audited {
       // r11: the canonical-key rule emits each pair exactly once inside
