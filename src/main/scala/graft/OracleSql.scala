@@ -2020,6 +2020,42 @@ object OracleSql {
         |FROM cnt c LEFT JOIN agg a USING (doc_id)
         |LEFT JOIN txt x USING (doc_id)""".stripMargin,
 
+    // Intra-doc line dedup over the same deterministic re-lining at
+    // width 2: first occurrence per (doc, normalized line) survives,
+    // later ones drop. Dedups on the normalized STRING where Spark uses
+    // xxhash64 — the twin doubles as the collision check (q71 rule).
+    "q122_intradoc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |ld AS (SELECT doc_id,
+        |    [array_to_string(toks[i*2+1 : i*2+2], ' ')
+        |     for i in range(0, cast(ceil(len(toks)/2.0) AS INT))] lines FROM t),
+        |lx AS (SELECT doc_id, unnest(lines) line,
+        |    generate_subscripts(lines, 1) - 1 pos FROM ld),
+        |nz AS (SELECT doc_id, pos, line,
+        |    lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) k
+        |  FROM lx WHERE len(trim(line)) > 0),
+        |fo AS (SELECT doc_id, k, min(pos) fp FROM nz GROUP BY doc_id, k),
+        |dr AS (SELECT n.doc_id, n.pos FROM nz n
+        |  JOIN fo f ON n.doc_id = f.doc_id AND n.k = f.k WHERE n.pos > f.fp),
+        |agg AS (SELECT doc_id, count(*) nd FROM dr GROUP BY doc_id),
+        |keepl AS (SELECT l.doc_id, l.pos, l.line
+        |  FROM lx l ANTI JOIN dr USING (doc_id, pos)),
+        |txt AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) text_clean
+        |  FROM keepl GROUP BY doc_id),
+        |cnt AS (SELECT doc_id,
+        |    len(list_filter(lines, l -> len(trim(l)) > 0)) nc FROM ld)
+        |SELECT c.doc_id, c.nc::BIGINT n_lines,
+        |  coalesce(a.nd, 0)::BIGINT n_dupes,
+        |  round(CASE WHEN c.nc > 0
+        |    THEN coalesce(a.nd, 0) / c.nc::DOUBLE ELSE 0.0 END, 4) dup_frac,
+        |  (CASE WHEN c.nc > 0
+        |    THEN coalesce(a.nd, 0) / c.nc::DOUBLE ELSE 0.0 END) <= 0.5 keep,
+        |  coalesce(x.text_clean, '') text_clean
+        |FROM cnt c LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN txt x USING (doc_id)""".stripMargin,
+
     // Latest-wins upsert: update rows (version 1) replace base rows for
     // their key; src breaks the tie exactly like upsert's _src column.
     "q50_upsert" ->

@@ -736,6 +736,24 @@ object SparkEntry {
         minDocs = 2, maxRemovedFrac = 0.5)
     }),
 
+    // WITHIN-doc line dedup (r11): self-repetition removed keeping the
+    // first occurrence — zero-shuffle fold per row. 2-token lines here:
+    // the degenerate 31-word vocab makes intra-doc repeats common at
+    // width 2 (174/500 docs at sf0.001), the regime the operator exists
+    // for, while q113's 8-token lining would see none
+    "q122_intradoc_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lined = Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), ceil(size(toks) / lit(2.0)).cast("int") - 1),
+            i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")),
+          "\n").as("text"))
+      operators.Lines.intraDocDedup(lined, "doc_id", "text",
+        maxDupFrac = 0.5)
+    }),
+
     "q79_train_split" -> ((s, dir) =>
       operators.Sampling.assignSplits(
         Tables.documents(s, dir).select("doc_id", "source"), "doc_id")),

@@ -97,4 +97,75 @@ object Lines {
           "\n"))
         .as("text_clean"))
   }
+
+  /** INTRA-document line dedup (SURVEY §2 q122) — the within-doc half of
+    * the line rule that [[lineDedup]]'s cross-corpus boilerplate pass does
+    * not cover: a line whose normalized form already occurred EARLIER in
+    * the SAME document is self-repetition (scraper loops, template echo,
+    * chat transcripts quoting themselves) and is dropped, keeping the
+    * FIRST occurrence (unlike boilerplate, where no copy survives — a
+    * repeated content line is still content once). A document whose
+    * duplicate fraction exceeds `maxDupFrac` is flagged drop — the Gopher
+    * repetition signals (q38) applied as a removal decision.
+    *
+    * Shape: this is the cheapest operator in the dedup family — ZERO
+    * shuffle. The fold over a document's lines is one codegen'd
+    * `aggregate` higher-order function per row (seen-hash array + kept
+    * array accumulator), so the operator is embarrassingly parallel and
+    * scales with scan bandwidth alone; nothing leaves the input
+    * partitioning. Membership is `array_contains` over the per-doc seen
+    * array — O(L²) in a document's CONTENT line count, fine for web docs
+    * (≲10³ lines); pathological million-line docs should be chunked
+    * upstream (q73) first.
+    *
+    * Whitespace-only lines are structural (q113's discipline): never
+    * counted, never deduped, always kept in place. Duplicate detection is
+    * on `xxhash64(normalized(line))`; the DuckDB twin dedups on the
+    * normalized STRING, so the oracle doubles as the collision check (the
+    * q71 discipline).
+    *
+    * Returns (doc_id, n_lines, n_dupes, dup_frac, keep, text_clean) —
+    * n_lines counts content lines BEFORE removal.
+    */
+  def intraDocDedup(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val folded = aggregate(
+      lines,
+      struct(
+        lit(Array.empty[Long]).as("seen"),
+        lit(Array.empty[String]).as("kept"),
+        lit(0).as("dups"),
+        lit(0).as("content")),
+      (acc, l) => {
+        val h = xxhash64(Dedup.normalized(l))
+        when(length(trim(l)) === 0,
+          struct(acc.getField("seen"),
+            concat(acc.getField("kept"), array(l)).as("kept"),
+            acc.getField("dups"), acc.getField("content")))
+          .when(array_contains(acc.getField("seen"), h),
+            struct(acc.getField("seen"), acc.getField("kept"),
+              (acc.getField("dups") + 1).as("dups"),
+              (acc.getField("content") + 1).as("content")))
+          .otherwise(
+            struct(concat(acc.getField("seen"), array(h)).as("seen"),
+              concat(acc.getField("kept"), array(l)).as("kept"),
+              acc.getField("dups"),
+              (acc.getField("content") + 1).as("content")))
+      })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), folded.as("f"))
+      .select(
+        col("doc_id"),
+        col("f.content").cast("long").as("n_lines"),
+        col("f.dups").cast("long").as("n_dupes"),
+        round(when(col("f.content") > 0,
+          col("f.dups").cast("double") / col("f.content")).otherwise(lit(0.0)),
+          4).as("dup_frac"),
+        (when(col("f.content") > 0,
+          col("f.dups").cast("double") / col("f.content")).otherwise(lit(0.0))
+          <= maxDupFrac).as("keep"),
+        array_join(col("f.kept"), "\n").as("text_clean"))
+  }
 }
