@@ -2395,6 +2395,33 @@ object OracleSql {
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY bm25 DESC, doc_id) AS INT) rk
         |FROM sc QUALIFY rk <= 10""".stripMargin,
 
+    // The indexed path's contract is exact equality with the full scan,
+    // so its twin IS q82's (the q117b precedent): any divergence between
+    // the postings artifact + pruned probe and the straight formula
+    // shows up as a hash mismatch here.
+    "q82b_bm25_indexed" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, lang, len(toks)::BIGINT dl,
+        |        len(list_filter(toks, x -> x = 'spark'))::BIGINT tf0,
+        |        len(list_filter(toks, x -> x = 'vector'))::BIGINT tf1,
+        |        len(list_filter(toks, x -> x = 'customer'))::BIGINT tf2 FROM t),
+        |s AS (SELECT count(*)::BIGINT n, sum(dl)::BIGINT tt,
+        |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT df0,
+        |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT df1,
+        |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT df2 FROM b),
+        |sc AS (SELECT lang, doc_id, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n / tt)), 4) bm25
+        |  FROM b, s WHERE tf0 + tf1 + tf2 > 0)
+        |SELECT lang, doc_id, bm25,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY bm25 DESC, doc_id) AS INT) rk
+        |FROM sc QUALIFY rk <= 10""".stripMargin,
+
     // Overlapping token-window chunks: integer chunk-count arithmetic,
     // slices truncate at the doc end in both engines.
     "q73_doc_chunks" ->

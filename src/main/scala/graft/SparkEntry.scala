@@ -592,6 +592,19 @@ object SparkEntry {
     "q82_bm25_topk" -> ((s, dir) =>
       operators.Bm25.retrieve(Tables.documents(s, dir))),
 
+    // BM25 against the PERSISTED inverted index (r11): the q107b posture
+    // for text retrieval — build the postings artifact once per
+    // (session, sf) via writeIndexOnce, rehydrate through readIndex, and
+    // probe with a statically bucket-pruned scan. Oracle is q82's twin
+    // VERBATIM: indexed results == full-scan results IS the contract
+    // (the same expression tree scores both paths)
+    "q82b_bm25_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/bm25_idx"
+      operators.Bm25.writeIndexOnce(docs, path)
+      operators.Bm25.retrieveIndexed(operators.Bm25.readIndex(s, path), s)
+    }),
+
     "q83_length_batches" -> ((s, dir) =>
       operators.Packing.lengthBatches(Tables.documents(s, dir))),
 

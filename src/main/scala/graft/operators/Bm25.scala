@@ -61,6 +61,19 @@ object Bm25 {
       tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"df_$c"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
 
+    scoreAndRank(base, stats, tfCols, k, k1, b)
+  }
+
+  /** The shared scoring tail of [[retrieve]] and [[retrieveIndexed]]:
+    * `base` is the narrow (doc_id, lang, dl, tf0…) frame, `stats` the
+    * one-row (n, tt, df_tf0…) frame. ONE expression tree serves both
+    * paths, so index-vs-scan equality is structural, not coincidental:
+    * the same double arithmetic in the same left-to-right term order as
+    * the SQL twin, rounded to 4 dp BEFORE ranking, doc_id tiebreak.
+    */
+  private def scoreAndRank(
+      base: DataFrame, stats: DataFrame, tfCols: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
     // score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl*N/tt)),
     // written term-by-term left to right exactly like the SQL twin
     val score = tfCols
@@ -90,5 +103,186 @@ object Bm25 {
         col("x._2").as("doc_id"),
         col("x._1").as("bm25"),
         (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // The PERSISTED inverted index (SURVEY §2 q82b) — [[retrieve]] pays a
+  // full corpus scan per query batch; at 100 TB a retrieval service pays
+  // the tokenize + (term, doc) aggregation ONCE and every probe after
+  // that reads O(df(query terms)) posting rows. The artifact is the
+  // third member of the engine's index family (minhash shingle index,
+  // IVF-PQ cell index) and follows their conventions: partitioned data
+  // dirs pruned statically at probe time, underscore sidecars making the
+  // artifact self-contained, a (session, path)-keyed build-once cache,
+  // and exact append maintenance.
+  //
+  // Layout at `path`:
+  //   pb=<bucket>/…      (term, doc_id, lang, dl, tf) posting rows,
+  //                      pb = pmod(xxhash64(term), buckets) — a probe
+  //                      for T terms opens ≤ T partitions' files
+  //   _stats/…           one row (buckets, n, tt): the bucketing constant
+  //                      and the collection stats the BM25 idf needs
+  // Per-term document frequencies are NOT a sidecar: df(t) is a count
+  // over exactly the posting rows a probe already reads, so it stays
+  // correct under appends for free.
+  //
+  // Unlike the ANN index there is NO frozen model — the only build-time
+  // state is the stateless hash bucketing — so append maintenance is
+  // EXACT: a grown index is bit-identical in probe results to a fresh
+  // build of the union corpus (Bm25Spec asserts it). Reference trace:
+  // the mandate's similarity-search family, impact-partitioned postings
+  // as in any production inverted index.
+  // ---------------------------------------------------------------------
+
+  /** Driver-side handle: `n` docs / `tt` total tokens live in `_stats`. */
+  final case class Bm25Index(path: String, buckets: Int, n: Long, tt: Long)
+
+  /** The (pb, term, doc_id, lang, dl, tf) posting rows of a corpus — the
+    * shared row shape of [[writeIndex]] (build) and [[appendToIndex]]
+    * (ingest): a stateless transform of the docs, which is WHY append
+    * maintenance is exact. One shuffle on (term, doc_id) builds it; the
+    * token explode that [[retrieve]] avoids per-query is paid here once.
+    */
+  private[graft] def postingRows(docs: DataFrame, buckets: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("lang"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("pb"),
+        col("term"), col("doc_id"), col("lang"), col("dl"), col("tf"))
+
+  private def writeStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int, n: Long, tt: Long): Unit = {
+    import spark.implicits._
+    Seq((buckets, n, tt)).toDF("buckets", "n", "tt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  def writeIndex(docs: DataFrame, path: String, buckets: Int = 64): Bm25Index = {
+    require(buckets > 0, "positive bucket count")
+    val sp = docs.sparkSession
+    postingRows(docs, buckets)
+      .write.partitionBy("pb").mode("overwrite").parquet(path)
+    val st = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)).as("tt"))
+      .collect().head
+    val (n, tt) = (st.getLong(0), st.getLong(1))
+    writeStats(sp, path, buckets, n, tt)
+    Bm25Index(path, buckets, n, tt)
+  }
+
+  /** Session-scoped build-once cache for [[writeIndexOnce]] — the
+    * `Pq.writeIndexOnce` / `bucketedEdgeTableOnce` pattern verbatim,
+    * including the KEY CONTRACT: the cache trusts the PATH completely
+    * and never fingerprints the corpus — derive the path from everything
+    * the index derives from and mint a new path when the corpus changes.
+    * Dead sessions' entries are reaped (artifact dir deleted) by the
+    * next live caller.
+    */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), Bm25Index]()
+
+  def writeIndexOnce(docs: DataFrame, path: String, buckets: Int = 64): Bm25Index = {
+    val it = builtIndexes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(e.getValue.path))
+        catch { case err: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"could not reap evicted index ${e.getValue.path}: $err")
+        }
+        it.remove()
+      }
+    }
+    builtIndexes.computeIfAbsent((docs.sparkSession, path), _ =>
+      writeIndex(docs, path, buckets))
+  }
+
+  def readIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
+    val st = spark.read.parquet(s"$path/_stats").collect().head
+    Bm25Index(path, st.getInt(0), st.getLong(1), st.getLong(2))
+  }
+
+  /** EXACT incremental maintenance: the delta's posting rows append into
+    * the pb partitions (untouched buckets' files never opened — the
+    * `PartitionedUpsert` discipline, spec-asserted) and `_stats` advances
+    * by the delta's (docs, tokens). Because posting rows are a stateless
+    * per-doc transform and df is probe-time-derived, the grown index's
+    * probe results are BIT-IDENTICAL to a fresh build of the union
+    * corpus — no frozen-model approximation, no drift gate needed. The
+    * caller must not split one document across batches (a doc's postings
+    * all carry its full dl). Stats write follows the data append; a
+    * crash between the two leaves scores computed from slightly-stale
+    * (n, tt) — detectable by recounting, and the batch-marker protocol
+    * of the DAG layer is the production answer, as with the ANN index.
+    */
+  def appendToIndex(index: Bm25Index, delta: DataFrame): Bm25Index = {
+    val sp = delta.sparkSession
+    postingRows(delta, index.buckets)
+      .write.partitionBy("pb").mode("append").parquet(index.path)
+    val st = delta.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)).as("tt"))
+      .collect().head
+    val grown = Bm25Index(index.path, index.buckets,
+      index.n + st.getLong(0), index.tt + st.getLong(1))
+    writeStats(sp, index.path, grown.buckets, grown.n, grown.tt)
+    grown
+  }
+
+  /** [[retrieve]] against the PERSISTED index: the probe resolves the
+    * query terms' buckets with the SAME hash expression the build used
+    * (one driver-side row — no hand-rolled xxhash reimplementation to
+    * drift), and the posting scan carries a static `pb IN (…)` predicate
+    * so partition pruning happens at planning time; a T-term query opens
+    * ≤ T of the `buckets` partitions regardless of corpus size
+    * (Bm25Spec asserts numFiles on the executed scan). df per term is
+    * counted from the pruned rows themselves; n and tt ride in from the
+    * sidecar as literals. The pruned scan is read twice (df pass + pivot
+    * pass) — it is O(df(terms)) rows, and keeping it un-checkpointed
+    * keeps both file scans visible to the plan assertions; at scale both
+    * reads stay pruned. Scoring and ranking are [[scoreAndRank]] —
+    * literally the same expression tree as the in-query path.
+    */
+  def retrieveIndexed(
+      index: Bm25Index,
+      spark: org.apache.spark.sql.SparkSession,
+      terms: Seq[String] = DefaultQuery,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "bounded query term list")
+    val tfCols = terms.indices.map(i => s"tf$i")
+
+    val bucketRow = spark.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(index.buckets))): _*).collect().head
+    val pbs = terms.indices.map(bucketRow.getLong(_)).distinct
+
+    val scan = spark.read.parquet(index.path)
+      .filter(col("pb").isin(pbs: _*))
+      .filter(col("term").isin(terms: _*))
+
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df_tf$i") }
+    val stats = scan.agg(dfCols.head, dfCols.tail: _*)
+      .withColumn("n", lit(index.n))
+      .withColumn("tt", lit(index.tt))
+
+    val pivotCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), col("tf")).otherwise(0L)).as(s"tf$i") }
+    val base = scan
+      .groupBy(col("doc_id"), col("lang"), col("dl"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+
+    scoreAndRank(base, stats, tfCols, k, k1, b)
   }
 }
