@@ -368,6 +368,13 @@ object Multimodal {
     * volume than cap 16). The q117b registration's cap 16 exists to
     * force engagement on the tiny driver corpus, not as guidance.
     */
+  /** The production default for [[hammingPairs56]]'s `bucketCap` — the
+    * CAP SIZING analysis above: ~1M-candidate tasks, 64× less exchange
+    * volume than cap 16, engaged by default in the production entry
+    * points ([[crossModalClusters]], CorpusPipeline's cross-modal stage).
+    */
+  val ProductionBucketCap: Int = 1024
+
   def hammingPairs56(
       hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
     val banded = bandKeys56(hashes, maxHamming)
@@ -876,8 +883,9 @@ object Multimodal {
     * stream ([[envelopeOf]]), so near copies land within a small Hamming
     * ball. Same lossless chunk-pair blocking as q117 ([[hammingPairs56]]).
     */
-  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
-    hammingPairs56(audioFingerprint(docs), maxHamming)
+  def audioFingerprintPairs(
+      docs: DataFrame, maxHamming: Int = 4, bucketCap: Int = 0): DataFrame =
+    hammingPairs56(audioFingerprint(docs), maxHamming, bucketCap)
 
   /** Decode an MP4 payload to the byte-magnitude sequence of its
     * stride-sampled frames: the real box walk ([[decodeMp4]] supplies
@@ -951,8 +959,9 @@ object Multimodal {
     * copies land within a small Hamming ball while unrelated clips
     * resample to noise. Same lossless blocking as q117/q119.
     */
-  def videoFingerprintPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
-    hammingPairs56(videoFingerprint(docs), maxHamming)
+  def videoFingerprintPairs(
+      docs: DataFrame, maxHamming: Int = 4, bucketCap: Int = 0): DataFrame =
+    hammingPairs56(videoFingerprint(docs), maxHamming, bucketCap)
 
   /** All three media fingerprints in ONE corpus pass — (doc_id,
     * ph_image, ph_audio, ph_video). [[crossModalClusters]] and the
@@ -1013,15 +1022,34 @@ object Multimodal {
     * Components cost O(|E|+|V|) shuffle per round for O(log diameter)
     * rounds; the per-component rollups are |components|-row tables that
     * AQE broadcasts back onto the member list.
+    *
+    * `bucketCap` arms [[hammingPairs56]]'s lossless hot-bucket guard on
+    * all three media pair joins and defaults ON at the documented
+    * production sizing: a placeholder logo re-encoded across millions of
+    * pages is exactly the skew this production entry point must survive,
+    * and the guard is lossless by construction, so arming it cannot
+    * change the clusters. Pass 0 only when fingerprint classes are known
+    * bounded and the extra count pass is worth skipping.
     */
-  def crossModalClusters(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+  /** The signal-tagged cross-modal edge list [[crossModalClusters]] (and
+    * CorpusPipeline's cross-modal stage) cluster over: text minhash plus
+    * the three media fingerprint pair tables from ONE shared decode scan,
+    * each tagged with its signal. Public so the plan audit can assert the
+    * armed-by-default guard's shape on the UNcheckpointed union (the
+    * cluster path checkpoints it, which hides the pair joins from the
+    * final plan).
+    */
+  def crossModalPairs(
+      docs: DataFrame, maxHamming: Int = 4,
+      bucketCap: Int = ProductionBucketCap): DataFrame = {
     // one decode pass for all three media hashes (see [[mediaFingerprints]]);
     // the checkpoint pins the 32-byte rows so the three pair joins read
     // them instead of re-decoding
     val fp = mediaFingerprints(docs).localCheckpoint()
     def modality(c: String) =
-      hammingPairs56(fp.select(col("doc_id"), col(c).as("ph")), maxHamming)
-    val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      hammingPairs56(fp.select(col("doc_id"), col(c).as("ph")), maxHamming,
+        bucketCap)
+    Dedup.minHashPairs(docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), lit("text").as("signal"))
       .unionByName(modality("ph_image")
         .select(col("id_a"), col("id_b"), lit("image").as("signal")))
@@ -1029,7 +1057,12 @@ object Multimodal {
         .select(col("id_a"), col("id_b"), lit("audio").as("signal")))
       .unionByName(modality("ph_video")
         .select(col("id_a"), col("id_b"), lit("video").as("signal")))
-      .localCheckpoint()
+  }
+
+  def crossModalClusters(
+      docs: DataFrame, maxHamming: Int = 4,
+      bucketCap: Int = ProductionBucketCap): DataFrame = {
+    val pairs = crossModalPairs(docs, maxHamming, bucketCap).localCheckpoint()
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val sig = pairs
       .join(comp.select(col("id").as("id_a"), col("component")), Seq("id_a"))

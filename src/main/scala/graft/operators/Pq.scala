@@ -377,6 +377,8 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
       nlist: Int = 32, m: Int = 8, k: Int = 16): Long = {
+    healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
+    // never be read as "no markers" (the silent single-day rebuild)
     val conf = spark.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
     val pre = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId.pre")
@@ -517,10 +519,13 @@ object Pq {
     * rewrite the index wholesale ([[writeIndex]] — fresh `_occupancy`
     * reference, so the gate re-arms at the new distribution); when it
     * does not, touch NOTHING (the no-drift day leaves every artifact
-    * byte on disk identical — spec-asserted). The `_batches` replay
-    * markers are snapshotted around the overwrite: the rebuilt index
-    * already CONTAINS every applied day, so a replayed day must still
-    * no-op afterwards. `unionCorpus` must carry the full vectors of
+    * byte on disk identical — spec-asserted). The rebuild is STAGED in a
+    * sibling dir — data, sidecars AND the `_batches` replay markers (the
+    * rebuilt index already CONTAINS every applied day, so a replayed day
+    * must still no-op) — then swapped in by rename once sealed, so no
+    * crash instant leaves markers absent while an index exists
+    * ([[healStagedRebuild]] finishes or discards an interrupted swap
+    * from every entry point). `unionCorpus` must carry the full vectors of
     * everything indexed (the embedding store the appends drew from) —
     * codes are lossy, an index cannot retrain from itself. Returns true
     * iff a rebuild happened.
@@ -536,11 +541,13 @@ object Pq {
       unionCorpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
       maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean = {
+    healStagedRebuild(spark, indexDir)
     val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)
       .select(col("retrain_due")).head().getBoolean(0)
     if (!due) return false
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val bdir = new org.apache.hadoop.fs.Path(s"$indexDir/_batches")
-    val fs = bdir.getFileSystem(spark.sessionState.newHadoopConf())
     val markers: Seq[(String, Array[Byte])] =
       if (!fs.exists(bdir)) Nil
       else fs.listStatus(bdir).toSeq.filter(_.isFile).map { st =>
@@ -551,15 +558,63 @@ object Pq {
     require(n > 0, "rebuildIfDrifted: empty union corpus")
     val effNlist = math.min(nlist.toLong, n).toInt
     val effK = math.min(k.toLong, n).toInt
+    // stage the whole rebuild in a SIBLING dir, markers included, then
+    // swap it in by rename — the live index (and its `_batches` replay
+    // markers) is never transiently absent (r11 ADVICE: the in-memory
+    // marker snapshot + in-place overwrite left a crash window in which
+    // the next appendBatch saw no markers, took the build branch, and
+    // silently rebuilt from a single day's vectors)
+    val staged = new org.apache.hadoop.fs.Path(stagedRebuildDir(indexDir))
+    fs.delete(staged, true)
     writeIndex(unionCorpus, idCol, vecCol,
-      train(unionCorpus, idCol, vecCol, m, effK), indexDir, effNlist)
-    fs.mkdirs(bdir)
+      train(unionCorpus, idCol, vecCol, m, effK), staged.toString, effNlist)
+    val sbdir = new org.apache.hadoop.fs.Path(staged, "_batches")
+    fs.mkdirs(sbdir)
     markers.foreach { case (name, bytes) =>
-      val out = fs.create(new org.apache.hadoop.fs.Path(bdir, name), true)
+      val out = fs.create(new org.apache.hadoop.fs.Path(sbdir, name), true)
       out.write(bytes)
       out.close()
     }
+    // sentinel: the staged tree is complete and may replace the index.
+    // Crash before it -> heal drops the stage (old index intact); crash
+    // after the delete -> heal finishes the rename (markers inside)
+    fs.create(new org.apache.hadoop.fs.Path(staged, SwapReady), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    fs.rename(staged, new org.apache.hadoop.fs.Path(indexDir))
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, SwapReady), false)
     true
+  }
+
+  /** The staged-rebuild sibling of an index root (outside it: the swap
+    * deletes the root wholesale) and the completeness sentinel inside a
+    * stage.
+    */
+  private def stagedRebuildDir(indexDir: String): String =
+    s"${indexDir.stripSuffix("/")}.rebuild.staged"
+  private val SwapReady = "_swap_ready"
+
+  /** Finish or discard an interrupted [[rebuildIfDrifted]] swap — called
+    * by every index entry point so a crashed rebuild can never be read as
+    * an empty/partial index. Three states: no stage (the common case,
+    * one exists check); stage present + live index present (crash before
+    * the swap, or an incomplete stage) -> drop the stage, the live index
+    * is authoritative; stage sealed ([[SwapReady]]) + live index ABSENT
+    * (crash between the delete and the rename) -> complete the rename,
+    * markers and sidecars included.
+    */
+  private[graft] def healStagedRebuild(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(stagedRebuildDir(indexDir))
+    if (!fs.exists(staged)) return
+    val swapReady = fs.exists(new org.apache.hadoop.fs.Path(staged, SwapReady))
+    if (swapReady && !fs.exists(idx)) {
+      fs.rename(staged, idx)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, SwapReady), false)
+    } else {
+      fs.delete(staged, true)
+    }
   }
 
   /** Rehydrate a persisted index: two bounded sidecar reads (nlist
@@ -567,6 +622,7 @@ object Pq {
     * stays on disk until a probe scans its cells.
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    healStagedRebuild(spark, path)
     val centroids = spark.read.parquet(s"$path/_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)

@@ -51,7 +51,13 @@ object CorpusPipeline {
       // every modality — a doc whose text was rewritten but whose media
       // is a near-copy clusters (and drops) where text-only dedup keeps it
       crossModalDedup: Boolean = false,
-      mediaMaxHamming: Int = 4)
+      mediaMaxHamming: Int = 4,
+      // hot-bucket guard for the three media pair joins (r11 verdict #1):
+      // lossless by construction (chunking only re-keys the same candidate
+      // set), so it defaults ON at the documented production sizing — a
+      // placeholder logo re-encoded across millions of pages must not
+      // become one O(class²) task. 0 disarms.
+      mediaBucketCap: Int = graft.operators.Multimodal.ProductionBucketCap)
 
   /** Stage DataFrames, each the survivors of the previous stage. `docs`
     * must carry (doc_id, text, source). Heavier stages are
@@ -183,7 +189,8 @@ object CorpusPipeline {
         // three pair joins band-explode the slim hash rows
         val fp = Multimodal.mediaFingerprints(s4).localCheckpoint()
         def modality(c: String) = Multimodal.hammingPairs56(
-          fp.select(col("doc_id"), col(c).as("ph")), cfg.mediaMaxHamming)
+          fp.select(col("doc_id"), col(c).as("ph")), cfg.mediaMaxHamming,
+          cfg.mediaBucketCap)
           .select(col("id_a"), col("id_b"))
         textPairs
           .unionByName(modality("ph_image"))

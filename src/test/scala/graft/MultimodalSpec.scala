@@ -419,6 +419,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(byDoc(0L)._3 == 3 && byDoc(0L)._4 == "audio,image,text,video")
     assert(byDoc(4L)._2 == 4L && byDoc(4L)._3 == 2 && byDoc(4L)._4 == "text")
     assert(byDoc(6L)._2 == 6L && byDoc(6L)._3 == 2 && byDoc(6L)._4 == "video")
+
+    // the production default arms the hot-bucket guard (r11 verdict #1);
+    // losslessness means cap choice can NEVER change the clusters — force
+    // chunking with a cap far below the class sizes and compare against
+    // the disarmed path row for row
+    val armed = Multimodal.crossModalClusters(docs, bucketCap = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val disarmed = Multimodal.crossModalClusters(docs, bucketCap = 0)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(armed == disarmed,
+      s"guard must be lossless: armed=$armed disarmed=$disarmed")
   }
 
   test("streaming sentiment twin matches batch pivot on the same rows") {

@@ -193,6 +193,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pinned.nonEmpty, "pinned pre-explode repartition missing from the plan")
   }
 
+  test("q121/q47d production cross-modal path: the hot-bucket guard is armed by default") {
+    // r11 verdict #1: crossModalClusters and the q47d pipeline defaulted
+    // to the UNCAPPED fingerprint join — one hot 16-bit blocking key = one
+    // O(class²) task. The guard now defaults ON at the production sizing;
+    // its plan signature is the pinned pre-explode repartition (one per
+    // media modality) and, as in q117b, no exploded side broadcast. The
+    // clusters path localCheckpoints the union (hiding the pair joins from
+    // the final plan), so the audit runs on the UNcheckpointed edge list —
+    // the same expression tree with the same defaults.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike, REPARTITION_BY_NUM}
+    assert(operators.Multimodal.ProductionBucketCap == 1024)
+    assert(pipelines.CorpusPipeline.Config().mediaBucketCap ==
+      operators.Multimodal.ProductionBucketCap,
+      "the pipeline config must arm the media guard by default")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val df = operators.Multimodal.crossModalPairs(docs)
+    df.write.format("noop").mode("overwrite").save()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val nodes = walk(df.queryExecution.executedPlan)
+    val pinned = nodes.collect {
+      case s: ShuffleExchangeLike if s.shuffleOrigin == REPARTITION_BY_NUM => s
+    }
+    assert(pinned.size >= 3,
+      s"expected one pinned pre-explode repartition per media modality, found ${pinned.size}")
+    // the text minhash leg's bounded pair explode (hot-bucket capped)
+    // MAY broadcast; the triangle-grid explodes — signature
+    // explode(sequence(g, chunks)) — must not (the r11 13.5 GiB bug)
+    val badBroadcast = nodes.collect {
+      case b: BroadcastExchangeLike if walk(b).exists {
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          g.generator.toString.contains("sequence(")
+        case _ => false
+      } => b
+    }
+    assert(badBroadcast.isEmpty,
+      s"an exploded triangle side was planned broadcast:\n${badBroadcast.headOption}")
+  }
+
   test("q117 phash pairs: ONE exchange (reused by both join sides), no pair-stream dedup") {
     audited {
       // r11: the canonical-key rule emits each pair exactly once inside

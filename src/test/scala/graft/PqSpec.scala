@@ -362,6 +362,42 @@ class PqSpec extends SparkTestBase {
     assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
       batchId = 2L, nlist = 4, k = 8) == -1L)
     assert(Pq.appendBatchApplied(spark, dir, 1L) && Pq.appendBatchApplied(spark, dir, 2L))
+
+    // --- crash-window recovery (r11 ADVICE): the rebuild is staged +
+    // rename-swapped, so interrupting it can never leave a marker-less
+    // index for appendBatch to silently rebuild from one day.
+    val stagedDir = new java.io.File(s"$dir.rebuild.staged")
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteTree); f.delete()
+    }
+    // window A: crash BEFORE the stage was sealed (no _swap_ready) —
+    // heal drops the stage, live index untouched
+    copyTree(new java.io.File(dir), stagedDir)
+    val liveBefore = snapshot()
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == -1L) // entry point heals + replays
+    assert(!stagedDir.exists(), "unsealed stage must be discarded")
+    assert(snapshot() == liveBefore, "healing an unsealed stage touched the live index")
+    // window B: crash BETWEEN the index delete and the rename — sealed
+    // stage present, live index ABSENT. Heal must finish the swap; the
+    // markers ride inside the stage, so the replayed days still no-op
+    // (the pre-fix failure mode: appendBatch saw no markers and rebuilt
+    // the index from day1 alone)
+    copyTree(new java.io.File(dir), stagedDir)
+    new java.io.File(stagedDir, "_swap_ready").createNewFile()
+    deleteTree(new java.io.File(dir))
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == -1L)
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == -1L)
+    assert(!stagedDir.exists() && !new java.io.File(dir, "_swap_ready").exists())
+    // the healed index still probes like the fresh union build
+    assert(probe(Pq.readIndex(spark, dir)) == probe(fresh))
   }
 
   test("ANN artifact compaction: 10 appends' small files fold to a bounded count, probes and sidecars untouched") {
