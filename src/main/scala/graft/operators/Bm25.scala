@@ -176,33 +176,23 @@ object Bm25 {
     Bm25Index(path, buckets, n, tt)
   }
 
-  /** Session-scoped build-once cache for [[writeIndexOnce]] — the
-    * `Pq.writeIndexOnce` / `bucketedEdgeTableOnce` pattern verbatim,
-    * including the KEY CONTRACT: the cache trusts the PATH completely
-    * and never fingerprints the corpus — derive the path from everything
-    * the index derives from and mint a new path when the corpus changes.
-    * Dead sessions' entries are reaped (artifact dir deleted) by the
-    * next live caller.
+  /** Session-scoped build-once cache for [[writeIndexOnce]] — a
+    * [[BuildOnce]] (key contract, parameter check and eviction rules live
+    * there). A cache hit with a different `buckets` fails loudly instead
+    * of silently serving the first build's layout (r11 ADVICE);
+    * `fingerprintBy` (e.g. `"doc_id, text"`) opts into content-checked
+    * keys so a mutated corpus at the same path rebuilds.
     */
-  private val builtIndexes =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), Bm25Index]()
+  private val builtIndexes = new BuildOnce[Bm25Index](
+    "Bm25.writeIndexOnce",
+    (_, v) => BuildOnce.deleteDir(v.path),
+    _.path)
 
-  def writeIndexOnce(docs: DataFrame, path: String, buckets: Int = 64): Bm25Index = {
-    val it = builtIndexes.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        try org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(e.getValue.path))
-        catch { case err: Throwable =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"could not reap evicted index ${e.getValue.path}: $err")
-        }
-        it.remove()
-      }
-    }
-    builtIndexes.computeIfAbsent((docs.sparkSession, path), _ =>
+  def writeIndexOnce(docs: DataFrame, path: String, buckets: Int = 64,
+      fingerprintBy: Option[String] = None): Bm25Index = {
+    val key = fingerprintBy.fold(path)(e =>
+      s"$path#${BuildOnce.fingerprint(docs, e)}")
+    builtIndexes.getOrBuild(docs.sparkSession, key, s"buckets=$buckets",
       writeIndex(docs, path, buckets))
   }
 

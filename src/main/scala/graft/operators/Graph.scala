@@ -125,54 +125,37 @@ object Graph {
     * from the map and their scratch tables are reaped by the next live
     * caller (see [[bucketedEdgeTableOnce]]).
     */
-  private val edgeTableCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), String]()
+  private val edgeTableCache = new BuildOnce[String](
+    "Graph.bucketedEdgeTableOnce",
+    (caller, table) => caller.sql(s"DROP TABLE IF EXISTS $table"),
+    identity)
 
   /** Build (or reuse) the src-bucketed edge table for `key` in this
-    * session. `edges` is by-name: only evaluated on a cache miss.
-    *
-    * KEY CONTRACT (read before choosing `key`): the cache trusts the key
-    * COMPLETELY — it never fingerprints the edge frame. Two different
-    * corpora (or a corpus mutated between calls) sharing one key in one
-    * session will silently serve the FIRST corpus's ranks forever. The
-    * key must therefore identify the edge CONTENT, not the query: fold in
-    * everything the edges derive from (source directory, snapshot/batch
-    * id — e.g. `"purchase:" + dir`), and mint a NEW key when the
-    * underlying data changes (append a version or row-count stamp for
-    * mutable corpora). Same-key-different-content is a caller bug this
-    * API cannot detect.
-    *
-    * Eviction reaps: a dead session cannot drop its own scratch tables,
-    * so each call drops evicted entries' `graft_pr_edges_*` tables with
-    * the CALLING session (same warehouse wherever the cache is shared —
+    * session. `edges` is by-name: only evaluated on a cache miss. The key
+    * contract, parameter check and eviction rules live on [[BuildOnce]] —
+    * the key must identify the edge CONTENT (fold in source dir +
+    * snapshot/batch id, mint a new key when the data changes), or pass
+    * `fingerprintBy` (e.g. `"src, dst"` over the edge frame) to fold a
+    * one-scan content digest into the key. Eviction drops dead sessions'
+    * `graft_pr_edges_*` tables with the CALLING session (same warehouse —
     * one JVM) instead of stranding them until a manual warehouse sweep.
     */
   def bucketedEdgeTableOnce(
       spark: org.apache.spark.sql.SparkSession, key: String,
       edges: => DataFrame, srcCol: String, dstCol: String,
-      buckets: Int = 32): String = {
-    val it = edgeTableCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        try spark.sql(s"DROP TABLE IF EXISTS ${e.getValue}")
-        catch { case err: Throwable =>
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"could not reap evicted scratch table ${e.getValue}: $err")
-        }
-        it.remove()
-      }
-    }
-    edgeTableCache.computeIfAbsent((spark, key), _ => {
-      val name =
-        "graft_pr_edges_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      graft.sources.BucketedTables.writeBucketed(
-        edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst")),
-        name, "src", buckets)
-      name
-    })
+      buckets: Int = 32, fingerprintBy: Option[String] = None): String = {
+    val k = fingerprintBy.fold(key)(e =>
+      s"$key#${BuildOnce.fingerprint(edges, e)}")
+    edgeTableCache.getOrBuild(spark, k,
+      s"buckets=$buckets,src=$srcCol,dst=$dstCol", {
+        val name =
+          "graft_pr_edges_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        graft.sources.BucketedTables.writeBucketed(
+          edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst")),
+          name, "src", buckets)
+        name
+      })
   }
 
   /** The damped all-long fixpoint over a prepared (src, dst) edge frame —

@@ -128,9 +128,11 @@ class GraphSpec extends SparkTestBase {
         .as[(Long, String, Long)].collect().toSet
       assert(once1 == plain && once2 == plain)
     } finally {
-      // a cache hit returns the rank run's table name without re-building
+      // a cache hit returns the rank run's table name without re-building —
+      // with the SAME params the rank run used (a differing bucket count
+      // now fails loudly, BuildOnceSpec)
       val tRank = Graph.bucketedEdgeTableOnce(spark, "spec-amortize-rank",
-        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", buckets = 2)
+        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
       Seq(t1, t3, tRank).distinct.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
