@@ -212,8 +212,9 @@ object Bm25 {
     * caller must not split one document across batches (a doc's postings
     * all carry its full dl). Stats write follows the data append; a
     * crash between the two leaves scores computed from slightly-stale
-    * (n, tt) — detectable by recounting, and the batch-marker protocol
-    * of the DAG layer is the production answer, as with the ANN index.
+    * (n, tt) — which is why production ingest goes through
+    * [[appendBatch]]'s marker protocol: a batch is only trusted once its
+    * marker committed AFTER data and stats both landed.
     */
   def appendToIndex(index: Bm25Index, delta: DataFrame): Bm25Index = {
     val sp = delta.sparkSession
@@ -227,6 +228,87 @@ object Bm25 {
       index.n + st.getLong(0), index.tt + st.getLong(1))
     writeStats(sp, index.path, grown.buckets, grown.n, grown.tt)
     grown
+  }
+
+  /** [[appendToIndex]] under the batch-marker replay protocol — the
+    * family discipline [[graft.operators.Pq.appendBatch]] established for
+    * the ANN index, applied verbatim to the posting index (r11 verdict
+    * #3; [[appendToIndex]]'s scaladoc already named this as the
+    * production answer to its stats-write crash window):
+    *  - a non-empty `_batches/<batchId>` marker → the batch is applied;
+    *    a replayed day no-ops (-1) instead of double-appending postings
+    *  - the first batch (or a day-one replay whose attempt died before
+    *    the marker) BUILDS via [[writeIndex]] — overwrite is exactly-once
+    *    where appending would duplicate
+    *  - append attempts record a `.pre` data-file manifest before
+    *    claiming; a claimed-but-dead batch self-heals (retries) only when
+    *    the manifest proves nothing landed, otherwise reads RED for the
+    *    operator (manual repair, as with the ANN index)
+    * Returns rows (docs) applied, or -1 for a replay / unrepairable claim.
+    */
+  def appendBatch(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      indexDir: String, batchId: Long, buckets: Int = 64): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+    val pre = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId.pre")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) {
+      if (fs.getFileStatus(marker).getLen > 0) return -1L // applied replay
+      val safe = fs.exists(pre) && {
+        val in = fs.open(pre)
+        val recorded = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        recorded == Pq.dataFileManifest(fs, indexDir)
+      }
+      if (!safe) return -1L
+      fs.delete(marker, false) // provably nothing landed: retry the append
+    }
+    def commitMarker(n: Long): Unit = {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    val built = new org.apache.hadoop.fs.Path(s"$indexDir/_stats")
+    val batchesDir = marker.getParent
+    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
+      .exists(_.getPath.getName.forall(_.isDigit))
+    if (!fs.exists(built) || !anyApplied) {
+      val n = docs.filter(col("text").isNotNull).count()
+      if (n == 0L) { commitMarker(0L); return 0L }
+      writeIndex(docs, indexDir, buckets)
+      commitMarker(n)
+      n
+    } else {
+      val idx = readIndex(spark, indexDir)
+      require(idx.buckets == buckets,
+        s"appendBatch: index at $indexDir was built with ${idx.buckets} " +
+          s"buckets, append requested $buckets — postings would route to " +
+          "the wrong partitions")
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(pre, true)
+      out.write(Pq.dataFileManifest(fs, indexDir)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      fs.create(marker, true).close() // claim (empty = not yet applied)
+      val grown = appendToIndex(idx, docs)
+      val n = grown.n - idx.n
+      commitMarker(n)
+      fs.delete(pre, false)
+      n
+    }
+  }
+
+  /** Non-empty-marker gate, the ANN index's [[Pq.appendBatchApplied]]
+    * twin: TRUE only for a batch that provably committed.
+    */
+  def appendBatchApplied(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.getFileStatus(p).getLen > 0
   }
 
   /** [[retrieve]] against the PERSISTED index: the probe resolves the
