@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   * {{{
   * start >> ingest_raw >> clean_corpus >> cross_day_neardup
   *       >> compact_warehouse >> publish_counts >> finish
+  *   (cross_day_neardup >> compact_neardup_index >> finish — the
+  *    band/shingle index's own small-file maintenance, r12)
   * }}}
   *
   * Composition, not new machinery: task bodies are the library's own
@@ -139,6 +141,19 @@ object LlmIngestDag {
         ()
       }, retries = retries),
 
+      // the band/shingle index appends one small file set per day forever
+      // without an owner (r11 verdict #5) — fold both flat dirs with the
+      // same knob as the warehouse; staged-swap rewrite, so a replayed or
+      // crashed compaction never half-rewrites the index (Compaction
+      // .compactFlat) and cross-day dedup results are unchanged
+      Dag.Task("compact_neardup_index", () => {
+        Compaction.compactFlat(spark, s"$indexDir/bands",
+          maxFiles = compactMaxFiles)
+        Compaction.compactFlat(spark, s"$indexDir/shingles",
+          maxFiles = compactMaxFiles)
+        ()
+      }, retries = retries),
+
       // publish per-source survivor counts, DELETE-then-INSERT on the
       // execution date so a re-run converges instead of duplicating
       Dag.Task("publish_counts", () => {
@@ -226,6 +241,8 @@ object LlmIngestDag {
       "ingest_raw" -> "clean_corpus",
       "clean_corpus" -> "cross_day_neardup",
       "cross_day_neardup" -> "compact_warehouse",
+      "cross_day_neardup" -> "compact_neardup_index",
+      "compact_neardup_index" -> "finish",
       "compact_warehouse" -> "publish_counts",
       "publish_counts" -> "finish") ++ annEdges
 

@@ -67,6 +67,9 @@ object StreamNearDup {
     // derive the schemas from the batch itself via a zero-row index build
     val empty = Dedup.nearDupIndex(batch.limit(0), idCol, textCol, n)
     def load(sub: String, or: DataFrame): DataFrame = {
+      // a compaction swap interrupted mid-rename must not read as "no
+      // index yet" — that would silently dedup against nothing
+      graft.sources.Compaction.healCompactFlat(spark, s"$indexDir/$sub")
       val p = new Path(s"$indexDir/$sub")
       if (p.getFileSystem(conf).exists(p)) spark.read.parquet(p.toString) else or
     }

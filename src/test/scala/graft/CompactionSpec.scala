@@ -43,4 +43,62 @@ class CompactionSpec extends SparkTestBase {
     assert(s.map(p => p.partition -> p.nFiles).toMap == Map("d1" -> 3))
     assert(s.head.totalBytes > 0)
   }
+
+  test("compactFlat folds a fragmented flat dir, preserves rows, skips healthy dirs") {
+    val dir = Files.createTempDirectory("compactflat").toString + "/bands"
+    // 10 "daily appends" of 2 files each — the neardup_index growth shape
+    for (d <- 0 until 10)
+      (1 to 20).map(i => (d * 100L + i, i.toLong)).toDF("id", "bh")
+        .repartition(2).write.mode("append").parquet(dir)
+    def nFiles: Int = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 20)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().sorted
+
+    assert(Compaction.compactFlat(spark, dir, maxFiles = 8))
+    assert(nFiles <= 8, s"still $nFiles files")
+    val after = spark.read.parquet(dir).as[(Long, Long)].collect().sorted
+    assert(after.toSeq == before.toSeq, "compaction must not change content")
+    // nothing staged or moved-aside is left behind
+    assert(!new java.io.File(s"$dir.compact.staged").exists())
+    assert(!new java.io.File(s"$dir.compact.old").exists())
+    // second pass: nothing to do
+    assert(!Compaction.compactFlat(spark, dir, maxFiles = 8))
+  }
+
+  test("compactFlat crash windows: sealed swap completes, unsealed stage discards") {
+    val root = Files.createTempDirectory("compactheal").toString
+    val dir = s"$root/shingles"
+    (1 to 30).map(i => (i.toLong, i * 7L)).toDF("id", "sh")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+
+    // crash BETWEEN the two renames: stage sealed, live dir moved aside —
+    // heal must finish the swap (the pre-fix read would have seen "no
+    // index yet" and deduped against nothing)
+    copyTree(new java.io.File(dir), new java.io.File(s"$dir.compact.staged"))
+    new java.io.File(s"$dir.compact.staged/_swap_ready").createNewFile()
+    new java.io.File(dir).renameTo(new java.io.File(s"$dir.compact.old"))
+    Compaction.healCompactFlat(spark, dir)
+    assert(new java.io.File(dir).exists())
+    assert(!new java.io.File(s"$dir.compact.staged").exists())
+    assert(!new java.io.File(s"$dir.compact.old").exists())
+    assert(!new java.io.File(s"$dir/_swap_ready").exists())
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == rows)
+
+    // crash BEFORE sealing: unsealed stage with the live dir intact —
+    // heal discards the stage and never touches the live dir
+    copyTree(new java.io.File(dir), new java.io.File(s"$dir.compact.staged"))
+    Compaction.healCompactFlat(spark, dir)
+    assert(!new java.io.File(s"$dir.compact.staged").exists())
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == rows)
+  }
 }

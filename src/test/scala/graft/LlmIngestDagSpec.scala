@@ -299,4 +299,63 @@ class LlmIngestDagSpec extends SparkTestBase {
       s"ppl tail must drop part of the corpus, kept ${survivors.size}/9")
     assert(survivors.subsetOf((0L until 9L).toSet))
   }
+
+  test("compact_neardup_index: N-day run bounds the band/shingle file count; dedup and replay semantics unchanged") {
+    val root = Files.createTempDirectory("graft-llm-ndc").toString
+    val d1 = LocalDate.parse("2021-07-01")
+    val days = (0 until 5).map(d1.plusDays(_))
+    // 5 days of 4 new docs each; days 3-5 also repeat one text from an
+    // EARLIER day, so the cross-day drop must keep working through the
+    // repeatedly-compacted index
+    days.zipWithIndex.foreach { case (d, i) =>
+      val fresh = (i * 10L until i * 10L + 4L).map(id => (id, sentence(id.toInt), "web"))
+      val repeat = if (i >= 2) Seq((i * 10L + 9L, sentence((i - 2) * 10), "web")) else Nil
+      writeDay(root, d, fresh ++ repeat)
+    }
+    val connect = connectTo("graft_llm_ndc")
+    val c0 = connect(); LlmIngestDag.ensureCountsTable(c0); c0.close()
+    val cfg = CorpusPipeline.Config(
+      maxTopWordFrac = 0.5, samplePerSource = 1000, dropPplTail = false)
+    // compactMaxFiles = 2: every day's append trips the fold
+    val runs = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, days.last.plusDays(1), cfg,
+      compactMaxFiles = 2)
+    assert(runs.size == 5 && runs.forall(_.ok),
+      runs.map(r => s"${r.date}: ${r.detail.mkString("; ")}").mkString("\n"))
+
+    // file counts bounded despite 5 appends (unbounded growth was the
+    // r11 gap: every other artifact had a compaction owner except this)
+    def nFiles(sub: String): Int = new java.io.File(
+      s"$root/out/warehouse/neardup_index/$sub").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("bands") <= 4, s"bands: ${nFiles("bands")} files")
+    assert(nFiles("shingles") <= 4, s"shingles: ${nFiles("shingles")} files")
+
+    // dedup through the compacted index: the cross-day repeats dropped
+    def batchIds(d: LocalDate) = spark.read
+      .parquet(s"$root/out/warehouse/corpus/batch=${d.toEpochDay}")
+      .select("doc_id").as[Long].collect().toSet
+    days.zipWithIndex.foreach { case (d, i) =>
+      assert(batchIds(d) == (i * 10L until i * 10L + 4L).toSet,
+        s"day ${i + 1}: repeats must drop through the compacted index")
+    }
+    // index holds survivors exactly once (compaction preserved rows)
+    val indexIds = spark.read
+      .parquet(s"$root/out/warehouse/neardup_index/shingles")
+      .select("id").as[Long].collect().toSeq
+    val allSurvivors = days.flatMap(batchIds).toSet
+    assert(indexIds.toSet == allSurvivors && indexIds.size == allSurvivors.size)
+
+    // replay after compaction: the batch marker still no-ops the day
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$root/out/_catchup_watermark/date=${days(2)}"))
+    val replay = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, days.last.plusDays(1), cfg,
+      compactMaxFiles = 2)
+    assert(replay.map(_.date) == Seq(days(2)) && replay.head.ok)
+    assert(spark.read.parquet(s"$root/out/warehouse/neardup_index/shingles")
+      .count() == allSurvivors.size, "replayed day must not re-grow the compacted index")
+  }
 }
