@@ -1188,6 +1188,22 @@ object OracleSql {
          |  id doc_id, rrf
          |FROM f QUALIFY rank <= 10""".stripMargin,
 
+    // The indexed lexical leg's contract is exact rank equality with the
+    // in-query legs (same df/tf/dl rows, same stats, same expression
+    // tree), so its twin IS q85's verbatim — the q82b discipline: any
+    // divergence between the posting artifact + pruned probe and the
+    // in-query tokenize shows up as a hash mismatch here.
+    "q85b_hybrid_rrf_indexed" ->
+      s"""$hybridLegsCte,
+         |f AS (SELECT coalesce(dr.qid, lr.qid) qid, coalesce(dr.id, lr.id) id,
+         |    round(coalesce(1.0 / (60.0 + rank_d), 0)
+         |        + coalesce(1.0 / (60.0 + rank_l), 0), 6) rrf
+         |  FROM dr FULL JOIN lr ON dr.qid = lr.qid AND dr.id = lr.id)
+         |SELECT qid query_id,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS INT) rank,
+         |  id doc_id, rrf
+         |FROM f QUALIFY rank <= 10""".stripMargin,
+
     // Hard negatives: the q85 legs subtracted instead of fused — lexical
     // top-k not present in the dense top-k, re-ranked by BM25 order.
     "q94_hard_negatives" ->

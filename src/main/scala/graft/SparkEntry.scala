@@ -615,6 +615,20 @@ object SparkEntry {
       operators.HybridRetrieval.rrfFuse(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    // hybrid RRF with the lexical leg probing the PERSISTED q82b posting
+    // index (r11 verdict #4): same artifact as q82b (writeIndexOnce —
+    // one build serves both), statically pb-pruned probe, ranks equal to
+    // the in-query legs by construction, so the oracle is q85's twin
+    // VERBATIM (the q82b/q117b discipline: indexed == in-query IS the
+    // contract)
+    "q85b_hybrid_rrf_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/bm25_idx"
+      operators.Bm25.writeIndexOnce(docs, path)
+      operators.HybridRetrieval.rrfFuseIndexed(
+        docs, Tables.embeddings(s, dir), operators.Bm25.readIndex(s, path))
+    }),
+
     "q86_kmeans" -> ((s, dir) =>
       operators.KMeans.cluster(Tables.embeddings(s, dir), k = 8, iters = 3)),
 

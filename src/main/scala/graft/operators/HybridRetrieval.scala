@@ -40,45 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object HybridRetrieval {
 
-  /** The two rank lists: dense (qid, id, rank_d) and lexical
-    * (qid, id, rank_l, s) — both ≤ legK rows per query by construction.
+  /** The shared lexical tail of [[legs]] (in-query postings) and
+    * [[legsIndexed]] (persisted-index postings): score the (term, doc_id,
+    * dl, tf) posting rows against the capped (qid, term, df) query terms
+    * under the one-row (n, tt) stats, then bounded-top-legK per query.
+    * ONE expression tree serves both paths — index-vs-scan rank equality
+    * is structural, not coincidental (the q82b discipline).
     */
-  private def legs(
-      docs: DataFrame, emb: DataFrame, nQueries: Int, legK: Int,
-      termCap: Int, k1: Double, b: Double): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-
-    // one tokenized pass feeds df table, query terms, stats and postings
-    val t = docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
-      .localCheckpoint()
-
-    // ---- dense leg: cosine rank over ids with both text and vector
-    val corpus = emb.join(
-      t.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val dense = Knn
-      .bruteForceTopK(corpus, corpus.filter(col("vec_id") < nQueries), "vec_id", "embedding", legK)
-      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
-        col("rank").as("rank_d"))
-
-    // ---- lexical leg: BM25 more-like-this on the idf-capped rarest terms
-    val dfTbl = t.select(explode(array_distinct(col("toks"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("df"), col("term"))
-    val qTerms = t.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("term"))
-      .join(dfTbl, Seq("term")) // query-doc vocab only: a bounded frame
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= termCap)
-      .select(col("qid"), col("term"), col("df"))
-    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("toks"))).cast("long").as("tt"))
-
-    val postings = t
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  private def lexRank(
+      postings: DataFrame, qTerms: DataFrame, stats: DataFrame,
+      legK: Int, k1: Double, b: Double): DataFrame = {
     val lexScored = postings
       .join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
@@ -93,22 +64,132 @@ object HybridRetrieval {
       new BoundedTopK[(Double, Long)](legK)((a, x) =>
         a._1 > x._1 || (a._1 == x._1 && a._2 < x._2)),
       Encoders.product[(Double, Long)])
-    val lex = lexScored
+    lexScored
       .groupBy(col("qid"))
       .agg(topkLex(col("s"), col("doc_id")).as("w"))
       .select(col("qid"), posexplode(col("w")).as(Seq("pos", "x")))
       .select(col("qid"), col("x._2").as("id"), (col("pos") + 1).as("rank_l"),
         col("x._1").as("s"))
-    (dense, lex)
   }
 
-  def rrfFuse(
-      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
-      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      rrfK: Double = 60.0): DataFrame = {
-    val (dense, lex) = legs(docs, emb, nQueries, legK, termCap, k1, b)
+  /** Cap each query's terms to the `termCap` RAREST by df (term
+    * tiebreak) — shared by both leg builders so the capped vocabularies
+    * agree whenever the df tables do.
+    */
+  private def capTerms(
+      queryTerms: DataFrame, dfTbl: DataFrame, termCap: Int): DataFrame = {
+    val wq = Window.partitionBy(col("qid")).orderBy(col("df"), col("term"))
+    queryTerms
+      .join(dfTbl, Seq("term")) // query-doc vocab only: a bounded frame
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= termCap)
+      .select(col("qid"), col("term"), col("df"))
+  }
 
-    // ---- RRF fusion over the two (queries x legK) rank lists
+  /** The dense leg: cosine rank over ids with both text and a vector. */
+  private def denseLeg(
+      textIds: DataFrame, emb: DataFrame, nQueries: Int, legK: Int): DataFrame = {
+    val corpus = emb.join(textIds, Seq("vec_id"), "left_semi")
+    Knn.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") < nQueries), "vec_id", "embedding", legK)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+        col("rank").as("rank_d"))
+  }
+
+  /** The two rank lists: dense (qid, id, rank_d) and lexical
+    * (qid, id, rank_l, s) — both ≤ legK rows per query by construction.
+    */
+  private def legs(
+      docs: DataFrame, emb: DataFrame, nQueries: Int, legK: Int,
+      termCap: Int, k1: Double, b: Double): (DataFrame, DataFrame) = {
+    // one tokenized pass feeds df table, query terms, stats and postings
+    val t = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint()
+
+    val dense = denseLeg(
+      t.select(col("doc_id").as("vec_id")), emb, nQueries, legK)
+
+    // ---- lexical leg: BM25 more-like-this on the idf-capped rarest terms
+    val dfTbl = t.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = capTerms(
+      t.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("term")),
+      dfTbl, termCap)
+    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("toks"))).cast("long").as("tt"))
+
+    val postings = t
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    (dense, lexRank(postings, qTerms, stats, legK, k1, b))
+  }
+
+  /** [[legs]] with the lexical leg probing the PERSISTED q82b posting
+    * index instead of re-tokenizing the corpus in-query (r11 verdict #4):
+    * at 100 TB the corpus-wide tokenize + (term, doc) aggregation is the
+    * lexical leg's whole cost, and the posting artifact already holds
+    * exactly those rows, bucket-partitioned. Only the QUERY docs are
+    * tokenized (bounded — nQueries rows); their vocabulary resolves to pb
+    * buckets on the driver, so the index scan carries a static
+    * `pb IN (…)` + `term IN (…)` predicate — a probe opens at most
+    * |query vocab| buckets' files, never the corpus (plan-asserted).
+    * df/tf/dl come from the pruned posting rows (posting rows are unique
+    * per (term, doc), so count = df) and (n, tt) ride the index handle —
+    * all EXACTLY what the in-query leg computes, so ranks are equal by
+    * construction (spec-asserted), and stay equal after exact appends.
+    * The dense leg is unchanged (swap in the ANN-index leg at scale; the
+    * fusion is rank-only).
+    */
+  private def legsIndexed(
+      docs: DataFrame, emb: DataFrame, index: Bm25.Bm25Index,
+      nQueries: Int, legK: Int, termCap: Int,
+      k1: Double, b: Double): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+
+    val dense = denseLeg(
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("vec_id")),
+      emb, nQueries, legK)
+
+    // tokenize ONLY the query docs; resolve their vocab to pb buckets on
+    // the driver (bounded by the query docs' distinct terms)
+    val qT = docs
+      .filter(col("text").isNotNull && col("doc_id") < nQueries)
+      .select(col("doc_id").cast("long").as("qid"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .localCheckpoint()
+    import spark.implicits._
+    val vocab = qT.select(col("term")).distinct().as[String].collect().toSeq
+    val pbs = {
+      val row = spark.range(1).select(
+        vocab.map(t => pmod(xxhash64(lit(t)), lit(index.buckets))): _*).collect().head
+      vocab.indices.map(row.getLong(_)).distinct
+    }
+
+    // un-checkpointed on purpose: the pruned scan is O(df(vocab)) rows
+    // and reading it twice (df pass + scoring pass) keeps both file
+    // scans visible to the plan assertions (Bm25.retrieveIndexed's
+    // documented tradeoff)
+    val scan = spark.read.parquet(index.path)
+      .filter(col("pb").isin(pbs: _*))
+      .filter(col("term").isin(vocab: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+
+    val dfTbl = scan.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = capTerms(qT, dfTbl, termCap)
+    val stats = spark.range(1)
+      .select(lit(index.n).as("n"), lit(index.tt).as("tt"))
+
+    (dense, lexRank(scan, qTerms, stats, legK, k1, b))
+  }
+
+  /** The shared RRF tail: fuse the two rank lists, bounded-top-fuseK. */
+  private def fuse(
+      dense: DataFrame, lex: DataFrame, fuseK: Int, rrfK: Double): DataFrame = {
     val fused = dense.join(lex.drop("s"), Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         round(
@@ -126,6 +207,27 @@ object HybridRetrieval {
         col("x._2").as("doc_id"), col("x._1").as("rrf"))
   }
 
+  def rrfFuse(
+      docs: DataFrame, emb: DataFrame, nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      rrfK: Double = 60.0): DataFrame = {
+    val (dense, lex) = legs(docs, emb, nQueries, legK, termCap, k1, b)
+    fuse(dense, lex, fuseK, rrfK)
+  }
+
+  /** [[rrfFuse]] with the lexical leg probing the persisted q82b posting
+    * index ([[legsIndexed]]) — same fused ranking as the in-query path
+    * when the index holds the same corpus (spec-asserted rank equality).
+    */
+  def rrfFuseIndexed(
+      docs: DataFrame, emb: DataFrame, index: Bm25.Bm25Index,
+      nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, fuseK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      rrfK: Double = 60.0): DataFrame = {
+    val (dense, lex) = legsIndexed(docs, emb, index, nQueries, legK, termCap, k1, b)
+    fuse(dense, lex, fuseK, rrfK)
+  }
+
   /** q94: hard negatives = lexical top-legK MINUS dense top-legK per
     * query, re-ranked by their BM25 order. The anti-join runs over two
     * bounded rank lists (≤ queries × legK rows each), so the window after
@@ -136,6 +238,28 @@ object HybridRetrieval {
       termCap: Int = 16, k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val (dense, lex) = legs(docs, emb, nQueries, legK, termCap, k1, b)
+    subtract(dense, lex, k)
+  }
+
+  /** [[hardNegatives]] over the persisted posting index ([[legsIndexed]]):
+    * the q94 miner's lexical leg is the same corpus tokenize the fusion
+    * path pays, so it gets the same indexed variant.
+    */
+  def hardNegativesIndexed(
+      docs: DataFrame, emb: DataFrame, index: Bm25.Bm25Index,
+      nQueries: Int = 10, legK: Int = 20,
+      termCap: Int = 16, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (dense, lex) = legsIndexed(docs, emb, index, nQueries, legK, termCap, k1, b)
+    subtract(dense, lex, k)
+  }
+
+  /** The shared q94 tail: lexical top-legK MINUS dense top-legK per
+    * query, re-ranked by BM25 order. The anti-join runs over two bounded
+    * rank lists (≤ queries × legK rows each), so the window after it is
+    * bounded too. Returns (query_id, rank, doc_id, bm25).
+    */
+  private def subtract(dense: DataFrame, lex: DataFrame, k: Int): DataFrame =
     lex
       .join(dense, Seq("qid", "id"), "left_anti")
       .withColumn("rank", row_number().over(
@@ -143,5 +267,4 @@ object HybridRetrieval {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"), col("id").as("doc_id"),
         col("s").as("bm25"))
-  }
 }

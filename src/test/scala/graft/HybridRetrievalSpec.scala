@@ -52,4 +52,72 @@ class HybridRetrievalSpec extends SparkTestBase {
       s"legs must reduce through the bounded aggregator:\n$s")
     assert(s.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$s")
   }
+
+  test("indexed legs: fused ranking and hard negatives equal the in-query path; probe scan is pb-pruned") {
+    // a corpus wide enough that several pb buckets exist and the query
+    // vocab hits only SOME of them
+    val wide = (docs.as[(Long, String)].collect().toSeq ++
+      (10L until 40L).map(i => (i, s"filler$i term$i word$i")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_idx").toString + "/idx"
+    val index = graft.operators.Bm25.writeIndex(wide, dir, buckets = 16)
+
+    val plainFuse = HybridRetrieval
+      .rrfFuse(wide, emb, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val idxFuse = HybridRetrieval
+      .rrfFuseIndexed(wide, emb, index, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(idxFuse == plainFuse,
+      s"indexed fusion must equal in-query fusion:\n$idxFuse\n$plainFuse")
+
+    val plainNeg = HybridRetrieval
+      .hardNegatives(wide, emb, nQueries = 1, legK = 3, termCap = 2, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val idxNeg = HybridRetrieval
+      .hardNegativesIndexed(wide, emb, index, nQueries = 1, legK = 3, termCap = 2, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(idxNeg == plainNeg)
+
+    // ...and equality survives an exact append (the q82b grow contract)
+    val extra = Seq((50L, "apple banana cherry word50")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val grown = graft.operators.Bm25.appendToIndex(index, extra)
+    val union = wide.unionByName(extra)
+    val plainGrown = HybridRetrieval
+      .rrfFuse(union, emb, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val idxGrown = HybridRetrieval
+      .rrfFuseIndexed(union, emb, grown, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(idxGrown == plainGrown)
+
+    // the probe's posting scan prunes to the query vocab's pb buckets:
+    // partition filters carry pb IN (...) and the scan reads fewer
+    // partitions than the index holds
+    val probe = HybridRetrieval
+      .rrfFuseIndexed(wide, emb, index, nQueries = 1, legK = 3, termCap = 2, fuseK = 4)
+    probe.write.format("noop").mode("overwrite").save()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val idxScans = walk(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("hybrid_idx")) => f
+    }
+    assert(idxScans.nonEmpty, "the indexed path must scan the posting artifact")
+    val allPbs = new java.io.File(dir).listFiles
+      .count(_.getName.startsWith("pb="))
+    idxScans.foreach { f =>
+      assert(f.metadata("PartitionFilters").contains("pb"),
+        s"pb pruning missing: ${f.metadata("PartitionFilters")}")
+      assert(f.selectedPartitions.partitionCount < allPbs,
+        s"probe must open fewer than all $allPbs buckets, opened ${f.selectedPartitions.partitionCount}")
+    }
+  }
 }
