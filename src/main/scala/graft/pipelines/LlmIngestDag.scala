@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import graft.operators.Dedup
 import graft.sources.{Compaction, JdbcSink, JsonlGz, SqlSink}
-import graft.streaming.StreamNearDup
+import graft.streaming.{StreamFingerprint, StreamNearDup}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,7 +89,8 @@ object LlmIngestDag {
       retries: Int = 1, minRows: Long = 1,
       compactMaxFiles: Int = 8,
       embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None,
-      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None): Build = {
+      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None,
+      mediaFingerprint: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None): Build = {
     val rawPath = s"$outputRoot/warehouse/raw/date=$date"
     val cleanPath = s"$outputRoot/warehouse/clean_daily/date=$date"
     val survivorsDir = s"$outputRoot/warehouse/corpus"
@@ -236,6 +237,34 @@ object LlmIngestDag {
       chain.zip(chain.tail)
     }
 
+    // optional media fingerprint-index leg (r11 verdict #7): the band-key
+    // artifact StreamFingerprint probes live gets a nightly owner — each
+    // day's SURVIVORS' keys append marker-idempotently (epoch-day batch
+    // ids, disjoint from the stream's micro-batch counters), so the live
+    // and nightly halves share one index lifecycle exactly as text
+    // near-dup does via cross_day_neardup
+    val mediaIndexDir = s"$outputRoot/warehouse/media_index"
+    val mediaTasks = mediaFingerprint.toSeq.map { fp =>
+      Dag.Task("grow_media_index", () => {
+        StreamFingerprint.growBatch(
+          spark, spark.read.parquet(s"$survivorsDir/batch=${date.toEpochDay}"),
+          "doc_id", fp, mediaIndexDir, batchId = date.toEpochDay)
+        ()
+      }, retries = retries,
+        // growBatch appends BEFORE its marker (duplicate keys are benign
+        // for the existence-only probe; lost keys are not), so marker
+        // presence == the day's keys landed
+        gate = () => {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$mediaIndexDir/_batches/${date.toEpochDay}")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        })
+    }
+    val mediaEdges = mediaFingerprint.toSeq.flatMap { _ =>
+      Seq("cross_day_neardup" -> "grow_media_index",
+        "grow_media_index" -> "finish")
+    }
+
     val edges = Seq(
       "start" -> "ingest_raw",
       "ingest_raw" -> "clean_corpus",
@@ -244,9 +273,9 @@ object LlmIngestDag {
       "cross_day_neardup" -> "compact_neardup_index",
       "compact_neardup_index" -> "finish",
       "compact_warehouse" -> "publish_counts",
-      "publish_counts" -> "finish") ++ annEdges
+      "publish_counts" -> "finish") ++ annEdges ++ mediaEdges
 
-    Build(tasks.init ++ annTasks :+ tasks.last, edges,
+    Build(tasks.init ++ annTasks ++ mediaTasks :+ tasks.last, edges,
       rawPath, cleanPath, survivorsDir, indexDir)
   }
 
@@ -269,13 +298,15 @@ object LlmIngestDag {
       retries: Int = 1, minRows: Long = 1,
       compactMaxFiles: Int = 8,
       embeddingsFor: Option[LocalDate => org.apache.spark.sql.DataFrame] = None,
-      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None)
+      annUnionEmbeddings: Option[() => org.apache.spark.sql.DataFrame] = None,
+      mediaFingerprint: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)
       : Seq[Catchup.DayRun] = {
     val wm = s"$outputRoot/_catchup_watermark"
     var details = Map.empty[LocalDate, Seq[Dag.Outcome]]
     val ran = Catchup.run(spark, wm, startDate, untilExclusive) { d =>
       val b = build(spark, inputRoot, outputRoot, d, connect, cfg,
-        retries, minRows, compactMaxFiles, embeddingsFor, annUnionEmbeddings)
+        retries, minRows, compactMaxFiles, embeddingsFor, annUnionEmbeddings,
+        mediaFingerprint)
       val out = Dag.run(b.tasks, b.edges)
       details += d -> out
       out.forall(_.status == Dag.Succeeded)

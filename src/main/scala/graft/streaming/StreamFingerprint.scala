@@ -119,4 +119,39 @@ object StreamFingerprint {
       .write.mode("append").parquet(keysPath.toString)
     keptRows.count()
   }
+
+  /** The NIGHTLY grow half (r11 verdict #7): append `docs`' band keys
+    * into the same `keys/` artifact the live stream probes, marker-
+    * idempotent — so the batch DAG and [[applyBatch]] share ONE index
+    * lifecycle exactly as text near-dup's `cross_day_neardup` does for
+    * [[StreamNearDup]]. The caller passes already-deduped survivors
+    * (the DAG grows the index by what it KEPT); this only fingerprints
+    * and appends, it drops nothing.
+    *
+    * Write order differs from [[applyBatch]] deliberately: keys append
+    * BEFORE the marker commits, because here a replay-after-crash can
+    * only DUPLICATE key rows — benign for the existence-only cross check
+    * (and folded away by any compaction) — whereas applyBatch's
+    * marker-first order exists to protect survivor rows this method
+    * never writes. Batch ids share the `_batches/` namespace with the
+    * stream's micro-batch ids; use a disjoint range (epoch days vs
+    * micro-batch counters, the LlmIngestDag convention).
+    * Returns key rows appended, or -1 for a replay.
+    */
+  def growBatch(
+      spark: SparkSession, docs: DataFrame, idCol: String,
+      fingerprint: DataFrame => DataFrame,
+      indexDir: String, batchId: Long, maxHamming: Int = 4): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return -1L
+    val banded = Multimodal.bandKeys56(
+      fingerprint(docs.select(col(idCol).cast("long").as("doc_id"), col("text"))),
+      maxHamming).localCheckpoint()
+    banded.write.mode("append").parquet(s"$indexDir/keys")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    banded.count()
+  }
 }

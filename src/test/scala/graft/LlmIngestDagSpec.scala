@@ -358,4 +358,60 @@ class LlmIngestDagSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/out/warehouse/neardup_index/shingles")
       .count() == allSurvivors.size, "replayed day must not re-grow the compacted index")
   }
+
+  test("grow_media_index: two-day DAG grow, live stream drops a cross-day media dup through the shared index") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamFingerprint
+    val root = Files.createTempDirectory("graft-llm-media").toString
+    val d1 = LocalDate.parse("2021-08-01")
+    val d2 = LocalDate.parse("2021-08-02")
+    writeDay(root, d1, (0L until 4L).map(i => (i, sentence(i.toInt), "web")))
+    writeDay(root, d2, (10L until 14L).map(i => (i, sentence(i.toInt), "web")))
+    val connect = connectTo("graft_llm_media")
+    val c0 = connect(); LlmIngestDag.ensureCountsTable(c0); c0.close()
+    val cfg = CorpusPipeline.Config(
+      maxTopWordFrac = 0.5, samplePerSource = 1000, dropPplTail = false)
+
+    val runs = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      mediaFingerprint = Some(Multimodal.imagePhash))
+    assert(runs.size == 2 && runs.forall(_.ok),
+      runs.map(r => s"${r.date}: ${r.detail.mkString("; ")}").mkString("\n"))
+    assert(runs.forall(_.detail.exists(o =>
+      o.id == "grow_media_index" && o.status == Dag.Succeeded)))
+
+    // the index holds BOTH days' survivors' band keys (9 keys/doc at h=4)
+    val mediaIdx = s"$root/out/warehouse/media_index"
+    val keys = spark.read.parquet(s"$mediaIdx/keys")
+    val survivorIds = (Seq(d1, d2)).flatMap(d => spark.read
+      .parquet(s"$root/out/warehouse/corpus/batch=${d.toEpochDay}")
+      .select("doc_id").as[Long].collect()).toSet
+    assert(keys.select("id").as[Long].collect().toSet == survivorIds)
+    assert(keys.count() == survivorIds.size * 9)
+
+    // the LIVE half probes the DAG-grown artifact: a stream batch with a
+    // byte-identical media copy of a DAY-1 survivor drops (hamming 0
+    // through the persisted keys); a far-from-everything pattern survives
+    val noise = (0 until sentence(0).length)
+      .map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    val streamBatch = Seq((900L, sentence(0)), (901L, noise))
+      .toDF("doc_id", "text")
+    val outDir = Files.createTempDirectory("media_live_out").toString
+    val kept = StreamFingerprint.applyBatch(
+      spark, streamBatch, "doc_id", Multimodal.imagePhash,
+      mediaIdx, outDir, batchId = 0L) // micro-batch ids: disjoint from epoch days
+    val keptIds = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(900L),
+      "the cross-day media dup must drop through the DAG-grown index")
+    assert(kept == keptIds.size.toLong)
+
+    // replayed DAG day: the grow marker no-ops, key count unchanged
+    // (beyond the stream batch's own survivors)
+    val after = spark.read.parquet(s"$mediaIdx/keys").count()
+    assert(StreamFingerprint.growBatch(
+      spark, spark.read.parquet(s"$root/out/warehouse/corpus/batch=${d1.toEpochDay}"),
+      "doc_id", Multimodal.imagePhash, mediaIdx, batchId = d1.toEpochDay) == -1L)
+    assert(spark.read.parquet(s"$mediaIdx/keys").count() == after)
+  }
 }
