@@ -349,16 +349,19 @@ object Multimodal {
     * r10 verdict #1): a large class of near-identical fingerprints (a
     * placeholder logo re-encoded across millions of pages) collapses
     * into one blocking key = one sort-merge match group doing O(class²)
-    * work in a single task. With the guard, a per-key count splits each
-    * key's membership into ⌈n/cap⌉ hash chunks joined TRIANGLE-wise
-    * (side A explodes (g, hi ≥ g), side B (lo ≤ g, g) — every chunk pair
-    * meets exactly once), so no task's candidate volume exceeds ~cap²
-    * regardless of fingerprint skew, and — unlike the text family's
-    * capped variant — losslessly: chunking only re-keys the SAME
-    * candidate set. Cost of arming: one extra count aggregation over the
-    * banded stream and a wider join key; leave it 0 (off) when the
-    * corpus is exact-deduped upstream and fingerprint classes are known
-    * bounded.
+    * work in a single task. With the guard, a per-key count SKEW-SPLITS
+    * the keys (r12): under-cap keys — on a realistic corpus, ~all of
+    * them — take the plain self-join unchanged, while each over-cap
+    * key's membership splits into ⌈n/cap⌉ hash chunks joined
+    * TRIANGLE-wise (side A explodes (g, hi ≥ g), side B (lo ≤ g, g) —
+    * every chunk pair meets exactly once), so no task's candidate volume
+    * exceeds ~cap² regardless of fingerprint skew, and — unlike the text
+    * family's capped variant — losslessly: a pair's two sides share one
+    * bk, so routing keys whole re-keys the SAME candidate set. Cost of
+    * arming in the no-skew regime: one count aggregation + the count
+    * join (the chunk grid only ever sees over-cap keys); leave it 0
+    * (off) only when the corpus is exact-deduped upstream and
+    * fingerprint classes are PROVABLY bounded.
     *
     * CAP SIZING (SCALING_r11): the per-task bound is ~cap², but the
     * exploded exchange volume is Σ n²/cap per hot key — a small cap
@@ -388,15 +391,35 @@ object Multimodal {
             && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
     } else {
-      // per-key membership counts decide the chunk grid; both triangle
-      // sides explode from the counted stream, so materialize it once
-      // (the q63 pc discipline)
+      // SKEW-SPLIT (r12): a pair's two sides share one bk, so one per-key
+      // count routes each key WHOLE down one of two disjoint paths —
+      // under-cap keys take the plain self-join (the uncapped expression:
+      // on a realistic corpus that is ~every key, so arming the guard
+      // costs ~one count aggregation — measured 53.9 s → vs 42.3 s
+      // uncapped at 500k docs for the all-keys-chunked r11 variant);
+      // over-cap keys take the chunk-triangle grid. Both paths are
+      // complete per key and keys are disjoint, so the split preserves
+      // the losslessness AND the exactly-once emission (canonicalBk
+      // dedups across DIFFERENT keys, never within one).
+      // The counted stream feeds both paths and both triangle sides —
+      // materialize it once (the q63 pc discipline).
       val cnt = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      val pc = banded.join(cnt, Seq("bk"))
+      val pcAll = banded.join(cnt, Seq("bk")).localCheckpoint()
+      val ham0 = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
+      val small = pcAll.filter(col("n") <= bucketCap).select("bk", "id", "ph")
+      val smallPairs = small.as("a")
+        .join(small.as("b"),
+          col("a.bk") === col("b.bk")
+            && col("a.id") < col("b.id")
+            && ham0 <= maxHamming
+            && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          ham0.as("hamming"))
+
+      val pc = pcAll.filter(col("n") > bucketCap)
         .withColumn("chunks", ceil(col("n") / lit(bucketCap)).cast("int"))
         .withColumn("g", pmod(xxhash64(col("id")), col("chunks")).cast("int"))
-        .localCheckpoint()
-        // the checkpointed stream is SMALL (rows, not candidates), so AQE
+        // the hot stream is SMALL (rows, not candidates), so AQE
         // coalesces it to ~1 partition — which would make each explode
         // below a single serial task over the FULL n²/cap exploded volume
         // (measured: 2×35 s single-task stages on the 50k-doc degenerate
@@ -422,13 +445,14 @@ object Multimodal {
       // 50k-doc degenerate corpus). Forcing sort-merge keeps the
       // exploded sides partitioned by (bk, lo, hi) — the grid cells the
       // guard exists to spread
-      aSide.hint("merge").join(bSide.hint("merge"), Seq("bk", "lo", "hi"))
+      val hotPairs = aSide.hint("merge").join(bSide.hint("merge"), Seq("bk", "lo", "hi"))
         .filter((col("lo") < col("hi") || col("id_1") < col("id_2"))
           && col("id_1") =!= col("id_2")
           && ham <= maxHamming
           && canonicalBk(col("ph_1"), col("ph_2"), col("bk"), maxHamming))
         .select(least(col("id_1"), col("id_2")).as("id_a"),
           greatest(col("id_1"), col("id_2")).as("id_b"), ham.as("hamming"))
+      smallPairs.unionByName(hotPairs)
     }
   }
 
