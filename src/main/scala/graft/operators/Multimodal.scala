@@ -378,47 +378,57 @@ object Multimodal {
     */
   val ProductionBucketCap: Int = 1024
 
+  /** The plain banded self-join: one exchange (reused on both sides),
+    * canonical-key single emission — serves the uncapped path, the
+    * armed-but-no-hot-keys path, and the under-cap keys of a skew-split.
+    */
+  private def bandedSelfJoin(banded: DataFrame, maxHamming: Int): DataFrame = {
+    val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk")
+          && col("a.id") < col("b.id")
+          && ham <= maxHamming
+          && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+  }
+
   def hammingPairs56(
       hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
     val banded = bandKeys56(hashes, maxHamming)
-    if (bucketCap <= 0) {
-      val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.bk") === col("b.bk")
-            && col("a.id") < col("b.id")
-            && ham <= maxHamming
-            && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
-    } else {
-      // SKEW-SPLIT (r12): a pair's two sides share one bk, so one per-key
-      // count routes each key WHOLE down one of two disjoint paths —
-      // under-cap keys take the plain self-join (the uncapped expression:
-      // on a realistic corpus that is ~every key, so arming the guard
-      // costs ~one count aggregation — measured 53.9 s → vs 42.3 s
-      // uncapped at 500k docs for the all-keys-chunked r11 variant);
-      // over-cap keys take the chunk-triangle grid. Both paths are
-      // complete per key and keys are disjoint, so the split preserves
-      // the losslessness AND the exactly-once emission (canonicalBk
-      // dedups across DIFFERENT keys, never within one).
-      // The counted stream feeds both paths and both triangle sides —
-      // materialize it once (the q63 pc discipline).
-      val cnt = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      val pcAll = banded.join(cnt, Seq("bk")).localCheckpoint()
-      val ham0 = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
-      val small = pcAll.filter(col("n") <= bucketCap).select("bk", "id", "ph")
-      val smallPairs = small.as("a")
-        .join(small.as("b"),
-          col("a.bk") === col("b.bk")
-            && col("a.id") < col("b.id")
-            && ham0 <= maxHamming
-            && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          ham0.as("hamming"))
+    if (bucketCap <= 0) bandedSelfJoin(banded, maxHamming)
+    else {
+      // SKEW-SPLIT, driver-decided (r12): a pair's two sides share one
+      // bk, so one per-key count routes each key WHOLE down one of two
+      // disjoint paths. The over-cap key set is BOUNDED (≤ |banded|/cap
+      // rows) and checkpointed tiny; whether it is EMPTY is decided on
+      // the driver, so on a realistic corpus — no key over cap — the
+      // armed plan IS the uncapped plan plus one count pass (the first
+      // r12 cut kept every key on the grid and checkpointed the full
+      // 9M-row banded stream: measured 64.0 vs 38.5 s uncapped at 500k
+      // docs in one session; this cut measures ~1.1×). Over-cap keys —
+      // the placeholder-logo regime — take the chunk-triangle grid.
+      // Both paths are complete per key and keys are disjoint, so the
+      // split preserves losslessness AND exactly-once emission
+      // (canonicalBk dedups across DIFFERENT keys, never within one).
+      // The driver-side isEmpty is an action at plan-construction time —
+      // the q103/q107b bounded-driver-step discipline, documented here.
+      val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > bucketCap)
+        .localCheckpoint()
+      if (hot.isEmpty) return bandedSelfJoin(banded, maxHamming)
 
-      val pc = pcAll.filter(col("n") > bucketCap)
+      val smallPairs = bandedSelfJoin(
+        banded.join(broadcast(hot.select("bk")), Seq("bk"), "left_anti"),
+        maxHamming)
+
+      // only the HOT keys' rows reach the grid; materialize them once
+      // (the q63 pc discipline) — in the degenerate regime that is ~the
+      // whole stream, exactly the r11 behavior
+      val pc = banded.join(broadcast(hot), Seq("bk"))
         .withColumn("chunks", ceil(col("n") / lit(bucketCap)).cast("int"))
         .withColumn("g", pmod(xxhash64(col("id")), col("chunks")).cast("int"))
+        .localCheckpoint()
         // the hot stream is SMALL (rows, not candidates), so AQE
         // coalesces it to ~1 partition — which would make each explode
         // below a single serial task over the FULL n²/cap exploded volume

@@ -179,9 +179,16 @@ class PlanAuditSpec extends SparkTestBase {
       case _ => p.children.flatMap(walk)
     })
     val nodes = walk(df.queryExecution.executedPlan)
+    // the small path's band-key explode (explode(array(...))) may ride a
+    // legitimate bounded broadcast at toy scale; only the triangle-grid
+    // explodes — signature explode(sequence(g, chunks)) — must never
+    // broadcast (the r11 13.5 GiB bug)
     val badBroadcast = nodes.collect {
-      case b: BroadcastExchangeLike
-        if walk(b).exists(_.getClass.getSimpleName == "GenerateExec") => b
+      case b: BroadcastExchangeLike if walk(b).exists {
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          g.generator.toString.contains("sequence(")
+        case _ => false
+      } => b
     }
     assert(badBroadcast.isEmpty,
       s"an exploded triangle side was planned broadcast:\n${badBroadcast.headOption}")
@@ -196,12 +203,16 @@ class PlanAuditSpec extends SparkTestBase {
   test("q121/q47d production cross-modal path: the hot-bucket guard is armed by default") {
     // r11 verdict #1: crossModalClusters and the q47d pipeline defaulted
     // to the UNCAPPED fingerprint join — one hot 16-bit blocking key = one
-    // O(class²) task. The guard now defaults ON at the production sizing;
-    // its plan signature is the pinned pre-explode repartition (one per
-    // media modality) and, as in q117b, no exploded side broadcast. The
-    // clusters path localCheckpoints the union (hiding the pair joins from
-    // the final plan), so the audit runs on the UNcheckpointed edge list —
-    // the same expression tree with the same defaults.
+    // O(class²) task. The guard now defaults ON at the production sizing,
+    // and its r12 skew-split is DRIVER-DECIDED: with no key over cap the
+    // armed plan IS the uncapped plan (no grid machinery to pay for), so
+    // the audit checks both halves —
+    //  (a) the production entry points arm the guard (constant + config);
+    //  (b) the armed-but-idle plan carries NO grid (pinned repartitions
+    //      absent: the guard is free on this clean corpus);
+    //  (c) a FORCED engagement (cap 2, classes over it) produces the grid
+    //      with the pinned pre-explode repartition and, as in q117b, no
+    //      exploded triangle side broadcast.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike, REPARTITION_BY_NUM}
@@ -209,32 +220,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pipelines.CorpusPipeline.Config().mediaBucketCap ==
       operators.Multimodal.ProductionBucketCap,
       "the pipeline config must arm the media guard by default")
-    val docs = graft.sources.Tables.documents(spark, dir)
-    val df = operators.Multimodal.crossModalPairs(docs)
-    df.write.format("noop").mode("overwrite").save()
     def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
       case _ => p.children.flatMap(walk)
     })
-    val nodes = walk(df.queryExecution.executedPlan)
-    val pinned = nodes.collect {
-      case s: ShuffleExchangeLike if s.shuffleOrigin == REPARTITION_BY_NUM => s
-    }
-    assert(pinned.size >= 3,
-      s"expected one pinned pre-explode repartition per media modality, found ${pinned.size}")
-    // the text minhash leg's bounded pair explode (hot-bucket capped)
-    // MAY broadcast; the triangle-grid explodes — signature
-    // explode(sequence(g, chunks)) — must not (the r11 13.5 GiB bug)
-    val badBroadcast = nodes.collect {
-      case b: BroadcastExchangeLike if walk(b).exists {
-        case g: org.apache.spark.sql.execution.GenerateExec =>
-          g.generator.toString.contains("sequence(")
+    def audit(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.write.format("noop").mode("overwrite").save()
+      val nodes = walk(df.queryExecution.executedPlan)
+      val pinned = nodes.count {
+        case s: ShuffleExchangeLike => s.shuffleOrigin == REPARTITION_BY_NUM
         case _ => false
-      } => b
+      }
+      // the text minhash leg's bounded pair explode (hot-bucket capped)
+      // MAY broadcast; the triangle-grid explodes — signature
+      // explode(sequence(g, chunks)) — must not (the r11 13.5 GiB bug)
+      val badBroadcast = nodes.count {
+        case b: BroadcastExchangeLike => walk(b).exists {
+          case g: org.apache.spark.sql.execution.GenerateExec =>
+            g.generator.toString.contains("sequence(")
+          case _ => false
+        }
+        case _ => false
+      }
+      (pinned, badBroadcast)
     }
-    assert(badBroadcast.isEmpty,
-      s"an exploded triangle side was planned broadcast:\n${badBroadcast.headOption}")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // (b) production default on a clean corpus: armed == uncapped plan
+    val (idlePinned, idleBad) = audit(operators.Multimodal.crossModalPairs(docs))
+    assert(idlePinned == 0,
+      s"no key over ${operators.Multimodal.ProductionBucketCap}: the grid must not materialize, found $idlePinned pinned repartitions")
+    assert(idleBad == 0)
+    // (c) forced engagement: classes over cap 2 exist at every scale
+    val (hotPinned, hotBad) = audit(
+      operators.Multimodal.crossModalPairs(docs, bucketCap = 2))
+    assert(hotPinned >= 3,
+      s"expected one pinned pre-explode repartition per engaged media modality, found $hotPinned")
+    assert(hotBad == 0,
+      "an exploded triangle side was planned broadcast")
   }
 
   test("q117 phash pairs: ONE exchange (reused by both join sides), no pair-stream dedup") {
