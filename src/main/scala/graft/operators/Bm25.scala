@@ -181,7 +181,11 @@ object Bm25 {
     * there). A cache hit with a different `buckets` fails loudly instead
     * of silently serving the first build's layout (r11 ADVICE);
     * `fingerprintBy` (e.g. `"doc_id, text"`) opts into content-checked
-    * keys so a mutated corpus at the same path rebuilds.
+    * keys so a mutated corpus at the same path rebuilds — at a VERSIONED
+    * sibling path ([[BuildOnce.versionedPath]]), so earlier handles keep
+    * pointing at their own on-disk postings (r12 ADVICE: a bare-path
+    * rebuild left a cached corpus-A handle whose in-memory (n, tt) aliased
+    * corpus B's postings — silently wrong scores).
     */
   private val builtIndexes = new BuildOnce[Bm25Index](
     "Bm25.writeIndexOnce",
@@ -190,10 +194,12 @@ object Bm25 {
 
   def writeIndexOnce(docs: DataFrame, path: String, buckets: Int = 64,
       fingerprintBy: Option[String] = None): Bm25Index = {
-    val key = fingerprintBy.fold(path)(e =>
-      s"$path#${BuildOnce.fingerprint(docs, e)}")
+    val (key, target) = fingerprintBy.fold((path, path)) { e =>
+      val fp = BuildOnce.fingerprint(docs, e)
+      (s"$path#$fp", BuildOnce.versionedPath(path, fp))
+    }
     builtIndexes.getOrBuild(docs.sparkSession, key, s"buckets=$buckets",
-      writeIndex(docs, path, buckets))
+      writeIndex(docs, target, buckets))
   }
 
   def readIndex(

@@ -34,48 +34,78 @@ import scala.jdk.CollectionConverters._
   * `writeIndexOnce(path, buckets = 128)` after `buckets = 64` returned
   * the 64-bucket index with no warning).
   *
+  * == CONCURRENCY ==
+  * `computeIfAbsent` only INSTALLS a lazy cell; the Spark build itself
+  * runs AFTER the map operation returns (r12 verdict #1: running a
+  * minutes-long index build inside the `ConcurrentHashMap` mapping
+  * function held the bin lock for its whole duration, serializing
+  * unrelated same-stripe cache operations, and a build closure that
+  * re-entered the cache was undefined behavior per the CHM contract).
+  * Concurrent same-key callers race to install ONE cell and then
+  * memoize on its monitor — exactly one build runs, every caller gets
+  * its value. Different keys build fully concurrently. A build closure
+  * may now re-enter the cache for a DIFFERENT key (well-defined — no map
+  * lock is held); SAME-key recursion remains a caller bug and
+  * self-deadlocks on the cell's initializer, as any self-referential
+  * memoization must.
+  *
   * == EVICTION ==
   * A dead session cannot clean up its own artifacts, so every call reaps
   * entries of stopped sessions with the CALLING session — but an
   * artifact is only deleted when NO live entry references the same
   * artifact id (r11 ADVICE: paths are caller-derived and shared across
   * sessions in one JVM, so a stopped session's reap used to delete the
-  * artifact out from under a live session's still-cached handle).
+  * artifact out from under a live session's still-cached handle). A dead
+  * session's cell whose build never COMPLETED has nothing provably on
+  * disk to reap — its entry is dropped and any partial output is left to
+  * the artifact's own overwrite/heal discipline.
   */
 private[graft] final class BuildOnce[V](
     scope: String,
     reap: (SparkSession, V) => Unit,
     artifactId: V => String) {
 
-  private val entries = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, V)]()
+  /** One cache slot: `value` memoizes the build (evaluated lazily —
+    * OUTSIDE the map lock), `maybeValue` exposes it only once built
+    * (reaping must never force a build to decide what to delete).
+    */
+  private final class Cell(val params: String, thunk: () => V) {
+    @volatile private var built: Option[V] = None
+    lazy val value: V = { val v = thunk(); built = Some(v); v }
+    def maybeValue: Option[V] = built
+  }
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Cell]()
 
   def getOrBuild(spark: SparkSession, key: String, params: String,
       build: => V): V = {
     reapDead(spark)
-    val cell = entries.computeIfAbsent((spark, key), _ => (params, build))
-    require(cell._1 == params,
-      s"$scope: cache hit for key '$key' built with params [${cell._1}] " +
+    val cell = entries.computeIfAbsent(
+      (spark, key), _ => new Cell(params, () => build))
+    require(cell.params == params,
+      s"$scope: cache hit for key '$key' built with params [${cell.params}] " +
         s"but requested [$params] — the artifact does not match the " +
         "arguments. Use one parameter set per key, or fold the params " +
         "into the key/path.")
-    cell._2
+    cell.value
   }
 
   private def reapDead(caller: SparkSession): Unit = {
     val liveIds = entries.asScala.collect {
-      case ((s, _), (_, v)) if !s.sparkContext.isStopped => artifactId(v)
-    }.toSet
+      case ((s, _), c) if !s.sparkContext.isStopped => c.maybeValue.map(artifactId)
+    }.flatten.toSet
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1.sparkContext.isStopped) {
-        val v = e.getValue._2
-        if (!liveIds.contains(artifactId(v))) {
-          try reap(caller, v)
-          catch { case err: Throwable =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"$scope: could not reap evicted artifact ${artifactId(v)}: $err")
+        e.getValue.maybeValue.foreach { v =>
+          if (!liveIds.contains(artifactId(v))) {
+            try reap(caller, v)
+            catch { case err: Throwable =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"$scope: could not reap evicted artifact ${artifactId(v)}: $err")
+            }
           }
         }
         it.remove()
@@ -85,20 +115,42 @@ private[graft] final class BuildOnce[V](
 }
 
 private[graft] object BuildOnce {
-  /** A one-scan content digest — (row count, order-independent xxhash64
-    * fold over `idExpr`) — for callers that opt into content-checked keys:
-    * append it to the cache key and a mutated-but-same-path corpus becomes
-    * a cache MISS (rebuild) instead of a silent stale serve. Costs one
-    * aggregation scan per call, which is why it is a flag and not the
-    * default (the amortization exists to avoid per-call corpus scans).
+  /** A one-scan content digest — (row count, order-independent but
+    * MULTIPLICITY-SENSITIVE hash fold over `idExpr`) — for callers that
+    * opt into content-checked keys: append it to the cache key and a
+    * mutated-but-same-path corpus becomes a cache MISS (rebuild) instead
+    * of a silent stale serve. The fold is `sum(xxhash64(...))` in
+    * unbounded decimal, not `bit_xor` (r12 ADVICE: xor cancels rows with
+    * even multiplicity, so {A,X,X} and {A,Y,Y} digested equal — exactly
+    * the duplicated-row mutations a dedup-oriented corpus sees); sum is
+    * order-independent and counts every copy, and decimal(38,0) cannot
+    * overflow at any real corpus size (2^63 × 10^15 rows < 10^34).
+    * Costs one aggregation scan per call, which is why it is a flag and
+    * not the default (the amortization exists to avoid per-call corpus
+    * scans).
     */
   def fingerprint(df: DataFrame, idExpr: String): String = {
+    val zero = lit(0).cast("decimal(38,0)")
     val row = df.agg(
       count(lit(1)).as("n"),
-      coalesce(expr(s"bit_xor(xxhash64($idExpr))"), lit(0L)).as("h"))
+      coalesce(sum(expr(s"cast(xxhash64($idExpr) as decimal(38,0))")), zero)
+        .as("h"))
       .collect().head
-    s"n=${row.getLong(0)},h=${java.lang.Long.toHexString(row.getLong(1))}"
+    s"n=${row.getLong(0)},h=${row.getDecimal(1).toBigInteger.toString(16)}"
   }
+
+  /** A filesystem-safe SIBLING path for one content version of an
+    * artifact: fingerprinted build-once callers write each digest's build
+    * at its OWN path instead of overwriting the shared bare path (r12
+    * ADVICE: rebuild-at-the-bare-path left earlier cached handles'
+    * in-memory stats — n, tt, centroids — aliasing the NEW on-disk data,
+    * silently wrong scores on a corpus-A-again call). Versions coexist on
+    * disk and reap independently by artifact id. A sibling, not a child:
+    * nesting version dirs under the bare path would corrupt a
+    * trusting-mode read of that same path.
+    */
+  def versionedPath(path: String, fp: String): String =
+    path.stripSuffix("/") + ".fp-" + fp.replaceAll("[^0-9a-zA-Z]", "_")
 
   /** Reap callback that deletes a local artifact directory. */
   def deleteDir(path: String): Unit =

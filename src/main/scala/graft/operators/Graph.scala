@@ -136,7 +136,11 @@ object Graph {
     * the key must identify the edge CONTENT (fold in source dir +
     * snapshot/batch id, mint a new key when the data changes), or pass
     * `fingerprintBy` (e.g. `"src, dst"` over the edge frame) to fold a
-    * one-scan content digest into the key. Eviction drops dead sessions'
+    * one-scan content digest into the key. Unlike the path-addressed
+    * index caches, each build here mints a FRESH UUID table name, so a
+    * fingerprinted rebuild never aliases an earlier handle's artifact
+    * (the r12 ADVICE stale-handle case cannot arise — no versioned-path
+    * indirection needed). Eviction drops dead sessions'
     * `graft_pr_edges_*` tables with the CALLING session (same warehouse —
     * one JVM) instead of stranding them until a manual warehouse sweep.
     */

@@ -267,16 +267,21 @@ object Pq {
     * this cache amortizes, so the model rides the key contract like the
     * corpus does. `fingerprintBy` (e.g. `"vec_id"` or `"vec_id, embedding"`)
     * opts into [[BuildOnce.fingerprint]] content-checked keys: a mutated
-    * corpus at the same path rebuilds instead of serving stale.
+    * corpus at the same path rebuilds instead of serving stale — at a
+    * VERSIONED sibling path ([[BuildOnce.versionedPath]]), so an earlier
+    * handle's in-memory centroids/codebooks never alias a newer corpus's
+    * on-disk codes (r12 ADVICE).
     */
   def writeIndexOnce(
       corpus: DataFrame, idCol: String, vecCol: String,
       model: => PqModel, path: String, nlist: Int = 32,
       fingerprintBy: Option[String] = None): IvfPqIndex = {
-    val key = fingerprintBy.fold(path)(e =>
-      s"$path#${BuildOnce.fingerprint(corpus, e)}")
+    val (key, target) = fingerprintBy.fold((path, path)) { e =>
+      val fp = BuildOnce.fingerprint(corpus, e)
+      (s"$path#$fp", BuildOnce.versionedPath(path, fp))
+    }
     builtIndexes.getOrBuild(corpus.sparkSession, key, s"nlist=$nlist",
-      writeIndex(corpus, idCol, vecCol, model, path, nlist))
+      writeIndex(corpus, idCol, vecCol, model, target, nlist))
   }
 
   def writeIndex(
@@ -523,7 +528,8 @@ object Pq {
       unionCorpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
       maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean = {
-    healStagedRebuild(spark, indexDir)
+    healStagedRebuild(spark, indexDir, writer = true) // the ONE writer:
+    // may also discard a stale/unsealed stage before staging its own
     val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)
       .select(col("retrain_due")).head().getBoolean(0)
     if (!due) return false
@@ -562,7 +568,14 @@ object Pq {
     // after the delete -> heal finishes the rename (markers inside)
     fs.create(new org.apache.hadoop.fs.Path(staged, SwapReady), true).close()
     fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
-    fs.rename(staged, new org.apache.hadoop.fs.Path(indexDir))
+    // result-checked: a failed swap-in with the index absent leaves the
+    // sealed stage for the next entry point's heal to complete — it must
+    // never pass silently (a concurrent reader's heal completing the
+    // swap first makes the rename fail WITH the index present: benign)
+    if (!fs.rename(staged, new org.apache.hadoop.fs.Path(indexDir)))
+      require(fs.exists(new org.apache.hadoop.fs.Path(indexDir)),
+        s"rebuildIfDrifted: swap-in rename failed for $indexDir — the " +
+          "sealed stage remains; the next entry point's heal completes it")
     fs.delete(new org.apache.hadoop.fs.Path(indexDir, SwapReady), false)
     true
   }
@@ -575,26 +588,37 @@ object Pq {
     s"${indexDir.stripSuffix("/")}.rebuild.staged"
   private val SwapReady = "_swap_ready"
 
-  /** Finish or discard an interrupted [[rebuildIfDrifted]] swap — called
-    * by every index entry point so a crashed rebuild can never be read as
-    * an empty/partial index. Three states: no stage (the common case,
-    * one exists check); stage present + live index present (crash before
-    * the swap, or an incomplete stage) -> drop the stage, the live index
-    * is authoritative; stage sealed ([[SwapReady]]) + live index ABSENT
-    * (crash between the delete and the rename) -> complete the rename,
-    * markers and sidecars included.
+  /** Finish (any caller) or discard (writer only) an interrupted
+    * [[rebuildIfDrifted]] swap — called by every index entry point so a
+    * crashed rebuild can never be read as an empty/partial index. The
+    * one action safe from EVERY caller is COMPLETING a sealed swap:
+    * stage sealed ([[SwapReady]]) + live index ABSENT (crash between the
+    * delete and the rename) -> rename the stage in, markers and sidecars
+    * included. Discarding an unsealed/stale stage is gated on
+    * `writer = true` (only [[rebuildIfDrifted]] passes it — r12 ADVICE:
+    * a readIndex/appendBatch heal racing a CONCURRENT rebuild could
+    * delete the stage mid-write, after which the writer's sentinel
+    * recreated an empty stage and the swap installed it over the live
+    * index). A reader-seen stale stage is therefore left as debris until
+    * the next writer pass — never destroyed from a read path.
     */
   private[graft] def healStagedRebuild(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      writer: Boolean = false): Unit = {
     val idx = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = new org.apache.hadoop.fs.Path(stagedRebuildDir(indexDir))
     if (!fs.exists(staged)) return
     val swapReady = fs.exists(new org.apache.hadoop.fs.Path(staged, SwapReady))
     if (swapReady && !fs.exists(idx)) {
-      fs.rename(staged, idx)
+      // racing healers are benign: the loser's rename fails with the
+      // index already installed by the winner
+      if (!fs.rename(staged, idx))
+        require(fs.exists(idx),
+          s"healStagedRebuild: completing rename failed for $indexDir " +
+            "and no live index exists — filesystem refused the swap")
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, SwapReady), false)
-    } else {
+    } else if (writer) {
       fs.delete(staged, true)
     }
   }

@@ -92,14 +92,30 @@ object Compaction {
     * `<dir>.compact.staged` + a `_swap_ready` sentinel, the live dir
     * moves aside to `<dir>.compact.old`, the stage renames in, the old
     * copy is deleted. No crash instant leaves the dir half-rewritten;
-    * [[healCompactFlat]] (called here and by any reader that cares)
-    * finishes or discards an interrupted swap.
+    * [[healCompactFlat]] finishes (any caller) or discards (writer only)
+    * an interrupted swap.
+    *
+    * == CONCURRENCY CONTRACT (r12 verdict #5 / ADVICE) ==
+    * At most ONE compactFlat may run per dir at a time — the caller owns
+    * that exclusion (LlmIngestDag: one `compact_neardup_index` /
+    * `compact_media_index` task per day, ordered after the day's grow
+    * task). Concurrent READERS are safe: between the two renames the live
+    * dir is transiently absent, but the stage is already sealed, so a
+    * reader that heals ([[healCompactFlat]] in its default reader mode —
+    * `StreamNearDup.load`, `StreamFingerprint` probes) either still sees
+    * the old live dir or COMPLETES the swap itself and reads the
+    * compacted content; it never deletes a stage (the r12 ADVICE race:
+    * a reader-side delete of a mid-write stage let the writer's sentinel
+    * recreate an empty stage and install it over live data). Both
+    * renames are result-checked — a failed swap aborts loudly with the
+    * live content intact (possibly restored from the moved-aside copy),
+    * never half-installed.
     */
   def compactFlat(
       spark: SparkSession, dirPath: String,
       maxFiles: Int = 8, smallFileBytes: Long = 32L << 20,
       targetFileBytes: Long = 128L << 20): Boolean = {
-    healCompactFlat(spark, dirPath)
+    healCompactFlat(spark, dirPath, writer = true)
     val dir = new Path(dirPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return false
@@ -116,8 +132,25 @@ object Compaction {
     spark.read.parquet(dirPath).repartition(nOut)
       .write.mode("overwrite").parquet(staged.toString)
     fs.create(new Path(staged, SwapReady), true).close()
-    fs.rename(dir, old)
-    fs.rename(staged, dir)
+    if (!fs.rename(dir, old)) {
+      // live dir untouched — discard the stage and fail loudly rather
+      // than proceed into a swap whose first half already failed
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compactFlat: could not move $dirPath aside; live dir intact, stage discarded")
+    }
+    if (!fs.rename(staged, dir) && !fs.exists(dir)) {
+      // swap-in failed AND nobody (e.g. a concurrent reader's heal)
+      // completed it — restore the moved-aside copy so the dir is never
+      // left absent
+      if (!fs.rename(old, dir))
+        throw new IllegalStateException(
+          s"compactFlat: swap-in and restore both failed for $dirPath; " +
+            s"sealed stage remains at $staged — the next heal completes it")
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compactFlat: swap-in failed for $dirPath; live dir restored")
+    }
     fs.delete(new Path(dir, SwapReady), false)
     fs.delete(old, true)
     true
@@ -129,15 +162,24 @@ object Compaction {
     dirPath.stripSuffix("/") + ".compact.old"
   private val SwapReady = "_swap_ready"
 
-  /** Finish or discard an interrupted [[compactFlat]] swap. States:
-    * nothing staged (common case, one exists check); stage sealed + live
-    * dir ABSENT (crash between the two renames) → complete the swap and
-    * drop the moved-aside copy; stage present + live dir present (crash
-    * before the move-aside, or an unsealed stage) → drop the stage, the
-    * live dir is authoritative; only the moved-aside copy left over
-    * (crash before its delete) → drop it.
+  /** Finish (any caller) or discard (writer only) an interrupted
+    * [[compactFlat]] swap. The one action safe from EVERY caller is
+    * COMPLETING a sealed swap: stage sealed + live dir ABSENT (crash —
+    * or a concurrent writer — between the two renames) → rename the
+    * stage in. Everything destructive is gated on `writer = true`
+    * (r12 ADVICE: `StreamNearDup.load` healing on every micro-batch
+    * used to delete ANY stage while the live dir existed — including
+    * one a concurrent nightly compactFlat was still writing, whose
+    * sentinel then recreated an empty stage and the swap installed it
+    * over the live index): stage present + live dir present (crash
+    * before the move-aside, or an unsealed stage) → writer drops the
+    * stage, readers leave it; a leftover moved-aside copy (crash before
+    * its delete) → writer drops it, readers leave it. Readers therefore
+    * never destroy data; at worst stale debris waits for the next
+    * writer pass.
     */
-  def healCompactFlat(spark: SparkSession, dirPath: String): Unit = {
+  def healCompactFlat(
+      spark: SparkSession, dirPath: String, writer: Boolean = false): Unit = {
     val dir = new Path(dirPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new Path(stagedFlat(dirPath))
@@ -145,10 +187,15 @@ object Compaction {
     if (fs.exists(staged)) {
       val ready = fs.exists(new Path(staged, SwapReady))
       if (ready && !fs.exists(dir)) {
-        fs.rename(staged, dir)
+        // racing healers are benign: the loser's rename fails with the
+        // dir already installed by the winner
+        if (!fs.rename(staged, dir))
+          require(fs.exists(dir),
+            s"healCompactFlat: completing rename failed for $dirPath " +
+              "and no live dir exists — filesystem refused the swap")
         fs.delete(new Path(dir, SwapReady), false)
-      } else fs.delete(staged, true)
+      } else if (writer) fs.delete(staged, true)
     }
-    if (fs.exists(old) && fs.exists(dir)) fs.delete(old, true)
+    if (writer && fs.exists(old) && fs.exists(dir)) fs.delete(old, true)
   }
 }

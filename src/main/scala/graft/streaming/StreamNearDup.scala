@@ -68,7 +68,11 @@ object StreamNearDup {
     val empty = Dedup.nearDupIndex(batch.limit(0), idCol, textCol, n)
     def load(sub: String, or: DataFrame): DataFrame = {
       // a compaction swap interrupted mid-rename must not read as "no
-      // index yet" — that would silently dedup against nothing
+      // index yet" — that would silently dedup against nothing. READER
+      // mode (the default): only ever COMPLETES a sealed swap, never
+      // deletes a stage — so racing the nightly compactFlat is safe
+      // (r12 ADVICE: the old always-delete heal could destroy a stage
+      // the writer was mid-writing)
       graft.sources.Compaction.healCompactFlat(spark, s"$indexDir/$sub")
       val p = new Path(s"$indexDir/$sub")
       if (p.getFileSystem(conf).exists(p)) spark.read.parquet(p.toString) else or

@@ -82,22 +82,33 @@ class CompactionSpec extends SparkTestBase {
     }
 
     // crash BETWEEN the two renames: stage sealed, live dir moved aside —
-    // heal must finish the swap (the pre-fix read would have seen "no
-    // index yet" and deduped against nothing)
+    // READER-mode heal (the default — what StreamNearDup.load runs every
+    // micro-batch) must finish the swap (the pre-fix read would have seen
+    // "no index yet" and deduped against nothing), but must NOT delete
+    // the moved-aside copy — destructive cleanup is the writer's
     copyTree(new java.io.File(dir), new java.io.File(s"$dir.compact.staged"))
     new java.io.File(s"$dir.compact.staged/_swap_ready").createNewFile()
     new java.io.File(dir).renameTo(new java.io.File(s"$dir.compact.old"))
     Compaction.healCompactFlat(spark, dir)
     assert(new java.io.File(dir).exists())
     assert(!new java.io.File(s"$dir.compact.staged").exists())
-    assert(!new java.io.File(s"$dir.compact.old").exists())
+    assert(new java.io.File(s"$dir.compact.old").exists(),
+      "a reader heal must leave the moved-aside copy for the writer")
     assert(!new java.io.File(s"$dir/_swap_ready").exists())
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == rows)
+    // the WRITER pass sweeps the debris
+    Compaction.healCompactFlat(spark, dir, writer = true)
+    assert(!new java.io.File(s"$dir.compact.old").exists())
 
     // crash BEFORE sealing: unsealed stage with the live dir intact —
-    // heal discards the stage and never touches the live dir
+    // a READER must leave the stage alone (r12 ADVICE: deleting it races
+    // a live compactFlat mid-write); the WRITER discards it. Neither
+    // touches the live dir.
     copyTree(new java.io.File(dir), new java.io.File(s"$dir.compact.staged"))
     Compaction.healCompactFlat(spark, dir)
+    assert(new java.io.File(s"$dir.compact.staged").exists(),
+      "a reader heal must never delete a stage")
+    Compaction.healCompactFlat(spark, dir, writer = true)
     assert(!new java.io.File(s"$dir.compact.staged").exists())
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == rows)
   }

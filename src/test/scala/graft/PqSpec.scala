@@ -375,14 +375,22 @@ class PqSpec extends SparkTestBase {
     def deleteTree(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteTree); f.delete()
     }
-    // window A: crash BEFORE the stage was sealed (no _swap_ready) —
-    // heal drops the stage, live index untouched
+    // window A: crash BEFORE the stage was sealed (no _swap_ready) — a
+    // non-writer entry point (appendBatch) must leave the stage alone
+    // (r12 ADVICE: a reader-side delete races a concurrent rebuild
+    // mid-write) and the live index untouched; the WRITER's own heal
+    // (rebuildIfDrifted entry, even on a no-drift day) discards it
     copyTree(new java.io.File(dir), stagedDir)
     val liveBefore = snapshot()
     assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
       batchId = 1L, nlist = 4, k = 8) == -1L) // entry point heals + replays
-    assert(!stagedDir.exists(), "unsealed stage must be discarded")
+    assert(stagedDir.exists(),
+      "a non-writer entry must leave the unsealed stage for the writer")
     assert(snapshot() == liveBefore, "healing an unsealed stage touched the live index")
+    assert(!Pq.rebuildIfDrifted(spark, dir, clustered, "vec_id", "embedding",
+      nlist = 4, m = 8, k = 8, maxSkewGrowth = 100.0, maxGrowth = 100.0))
+    assert(!stagedDir.exists(), "the writer pass must discard the stale stage")
+    assert(snapshot() == liveBefore, "the no-drift writer pass touched the live index")
     // window B: crash BETWEEN the index delete and the rename — sealed
     // stage present, live index ABSENT. Heal must finish the swap; the
     // markers ride inside the stage, so the replayed days still no-op
