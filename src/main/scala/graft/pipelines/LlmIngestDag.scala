@@ -23,6 +23,9 @@ import org.apache.spark.sql.types._
   *       >> compact_warehouse >> publish_counts >> finish
   *   (cross_day_neardup >> compact_neardup_index >> finish — the
   *    band/shingle index's own small-file maintenance, r12)
+  *   (cross_day_neardup >> grow_media_index >> compact_media_index
+  *    >> finish — the media band-key index's grow + maintenance, r13:
+  *    every index artifact now has a compaction owner)
   * }}}
   *
   * Composition, not new machinery: task bodies are the library's own
@@ -244,25 +247,39 @@ object LlmIngestDag {
     // and nightly halves share one index lifecycle exactly as text
     // near-dup does via cross_day_neardup
     val mediaIndexDir = s"$outputRoot/warehouse/media_index"
-    val mediaTasks = mediaFingerprint.toSeq.map { fp =>
-      Dag.Task("grow_media_index", () => {
-        StreamFingerprint.growBatch(
-          spark, spark.read.parquet(s"$survivorsDir/batch=${date.toEpochDay}"),
-          "doc_id", fp, mediaIndexDir, batchId = date.toEpochDay)
-        ()
-      }, retries = retries,
-        // growBatch appends BEFORE its marker (duplicate keys are benign
-        // for the existence-only probe; lost keys are not), so marker
-        // presence == the day's keys landed
-        gate = () => {
-          val p = new org.apache.hadoop.fs.Path(
-            s"$mediaIndexDir/_batches/${date.toEpochDay}")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        })
+    val mediaTasks = mediaFingerprint.toSeq.flatMap { fp =>
+      Seq(
+        Dag.Task("grow_media_index", () => {
+          StreamFingerprint.growBatch(
+            spark, spark.read.parquet(s"$survivorsDir/batch=${date.toEpochDay}"),
+            "doc_id", fp, mediaIndexDir, batchId = date.toEpochDay)
+          ()
+        }, retries = retries,
+          // growBatch appends BEFORE its marker (duplicate keys are benign
+          // for the existence-only probe; lost keys are not), so marker
+          // presence == the day's keys landed (day-namespaced, r12 ADVICE)
+          gate = () => {
+            val p = new org.apache.hadoop.fs.Path(
+              s"$mediaIndexDir/_batches/day-${date.toEpochDay}")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }),
+
+        // the band-key index appends one file set per day (DAG) and per
+        // micro-batch (live stream) forever — the LAST index without a
+        // compaction owner (r12 verdict #1). Same staged-swap fold as the
+        // neardup index; single WRITER by DAG ordering (after the day's
+        // grow), while the live stream's probes ride through the swap via
+        // reader-mode heal (StreamFingerprint.applyBatch)
+        Dag.Task("compact_media_index", () => {
+          Compaction.compactFlat(spark, s"$mediaIndexDir/keys",
+            maxFiles = compactMaxFiles)
+          ()
+        }, retries = retries))
     }
     val mediaEdges = mediaFingerprint.toSeq.flatMap { _ =>
       Seq("cross_day_neardup" -> "grow_media_index",
-        "grow_media_index" -> "finish")
+        "grow_media_index" -> "compact_media_index",
+        "compact_media_index" -> "finish")
     }
 
     val edges = Seq(

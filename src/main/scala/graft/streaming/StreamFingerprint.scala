@@ -22,7 +22,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * job, which consumes the same survivors).
   *
   * Layout under `indexDir`: `keys/` parquet (append-only) plus
-  * `_batches/<id>` markers. Survivors (full input rows) land in
+  * `_batches/mb-<id>` markers (the stream's micro-batch ids) and
+  * `_batches/day-<id>` markers ([[growBatch]]'s nightly epoch days) —
+  * namespaced PER PRODUCER (r12 ADVICE: sharing one numeric namespace
+  * relied on micro-batch counters never reaching the ~18k epoch-day
+  * range; a long-lived stream crossing it would silently no-op a
+  * nightly grow). Survivors (full input rows) land in
   * `survivorsDir/batch=<id>/`, overwritten per batch id.
   *
   * Delivery semantics — [[StreamNearDup]]'s write order, verbatim:
@@ -43,7 +48,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * O(|index|) — the [[graft.operators.Dedup.incrementalNearDup]] ingest
   * contract. Cross-match verification is existence-only (any hit drops
   * the doc), so no pair stream materializes. `bucketCap` forwards to the
-  * within-batch [[Multimodal.hammingPairs56]] guard.
+  * within-batch [[Multimodal.hammingPairs56]] guard and defaults to
+  * [[Multimodal.ProductionBucketCap]] like every other production entry
+  * point (r12 verdict #2: this was the one fingerprint path still
+  * inheriting the unarmed 0 — micro-batch sizing bounds the blast
+  * radius, but a pathological batch of one repeated fingerprint would
+  * still grind one task; pass 0 explicitly to disarm).
   */
 object StreamFingerprint {
 
@@ -51,7 +61,8 @@ object StreamFingerprint {
       docs: DataFrame, idCol: String,
       fingerprint: DataFrame => DataFrame,
       indexDir: String, survivorsDir: String, checkpointDir: String,
-      maxHamming: Int = 4, bucketCap: Int = 0,
+      maxHamming: Int = 4,
+      bucketCap: Int = Multimodal.ProductionBucketCap,
       onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -72,9 +83,10 @@ object StreamFingerprint {
       spark: SparkSession, batch: DataFrame, idCol: String,
       fingerprint: DataFrame => DataFrame,
       indexDir: String, survivorsDir: String, batchId: Long,
-      maxHamming: Int = 4, bucketCap: Int = 0): Long = {
+      maxHamming: Int = 4,
+      bucketCap: Int = Multimodal.ProductionBucketCap): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val marker = new Path(s"$indexDir/_batches/mb-$batchId")
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return -1L
 
@@ -84,6 +96,10 @@ object StreamFingerprint {
     val banded = Multimodal.bandKeys56(hashes, maxHamming).localCheckpoint()
 
     val keysPath = new Path(s"$indexDir/keys")
+    // a nightly compact_media_index swap interrupted mid-rename must not
+    // read as "no index yet" — READER-mode heal only ever completes a
+    // sealed swap (the StreamNearDup.load discipline)
+    graft.sources.Compaction.healCompactFlat(spark, keysPath.toString)
     val ham: Column = bit_count(col("ph").bitwiseXOR(col("ph_b"))).cast("int")
     val crossDrop: DataFrame =
       if (!fs.exists(keysPath)) banded.limit(0).select(col("id"))
@@ -133,9 +149,11 @@ object StreamFingerprint {
     * only DUPLICATE key rows — benign for the existence-only cross check
     * (and folded away by any compaction) — whereas applyBatch's
     * marker-first order exists to protect survivor rows this method
-    * never writes. Batch ids share the `_batches/` namespace with the
-    * stream's micro-batch ids; use a disjoint range (epoch days vs
-    * micro-batch counters, the LlmIngestDag convention).
+    * never writes. Markers live in the producer-namespaced
+    * `_batches/day-<id>` (r12 ADVICE: the previous shared numeric
+    * namespace relied on a documented disjoint-range convention —
+    * epoch days vs micro-batch counters — that a stream whose counter
+    * reached ~18k would silently violate, no-op'ing a nightly grow).
     * Returns key rows appended, or -1 for a replay.
     */
   def growBatch(
@@ -143,7 +161,7 @@ object StreamFingerprint {
       fingerprint: DataFrame => DataFrame,
       indexDir: String, batchId: Long, maxHamming: Int = 4): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val marker = new Path(s"$indexDir/_batches/day-$batchId")
     val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return -1L
     val banded = Multimodal.bandKeys56(

@@ -374,14 +374,25 @@ class LlmIngestDagSpec extends SparkTestBase {
 
     val runs = LlmIngestDag.catchup(
       spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg,
+      compactMaxFiles = 1, // force the media compaction leg to fire
       mediaFingerprint = Some(Multimodal.imagePhash))
     assert(runs.size == 2 && runs.forall(_.ok),
       runs.map(r => s"${r.date}: ${r.detail.mkString("; ")}").mkString("\n"))
     assert(runs.forall(_.detail.exists(o =>
       o.id == "grow_media_index" && o.status == Dag.Succeeded)))
+    assert(runs.forall(_.detail.exists(o =>
+      o.id == "compact_media_index" && o.status == Dag.Succeeded)))
+
+    // the compaction leg bounds the file growth (r12 verdict #1: the one
+    // index without an owner grew by one file set per day forever): after
+    // N days the keys dir holds the compacted file count, not N appends'
+    val mediaIdx = s"$root/out/warehouse/media_index"
+    val keyFiles = new java.io.File(s"$mediaIdx/keys").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(keyFiles <= 1, s"media index keys dir still has $keyFiles files")
 
     // the index holds BOTH days' survivors' band keys (9 keys/doc at h=4)
-    val mediaIdx = s"$root/out/warehouse/media_index"
+    // — compaction is content-preserving, probes below go through it
     val keys = spark.read.parquet(s"$mediaIdx/keys")
     val survivorIds = (Seq(d1, d2)).flatMap(d => spark.read
       .parquet(s"$root/out/warehouse/corpus/batch=${d.toEpochDay}")
@@ -399,7 +410,8 @@ class LlmIngestDagSpec extends SparkTestBase {
     val outDir = Files.createTempDirectory("media_live_out").toString
     val kept = StreamFingerprint.applyBatch(
       spark, streamBatch, "doc_id", Multimodal.imagePhash,
-      mediaIdx, outDir, batchId = 0L) // micro-batch ids: disjoint from epoch days
+      mediaIdx, outDir, batchId = 0L) // mb- marker namespace: structurally
+    // disjoint from the DAG's day- markers (r12 ADVICE)
     val keptIds = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
     assert(!keptIds.contains(900L),
