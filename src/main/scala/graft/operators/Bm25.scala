@@ -204,7 +204,7 @@ object Bm25 {
 
   def readIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index = {
-    val st = spark.read.parquet(s"$path/_stats").collect().head
+    val st = graft.sources.Sidecar.read(spark, s"$path/_stats").collect().head
     Bm25Index(path, st.getInt(0), st.getLong(1), st.getLong(2))
   }
 

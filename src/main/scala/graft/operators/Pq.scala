@@ -478,7 +478,7 @@ object Pq {
   def occupancyDrift(
       spark: org.apache.spark.sql.SparkSession, path: String,
       maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): DataFrame = {
-    val build = spark.read.parquet(s"$path/_occupancy")
+    val build = graft.sources.Sidecar.read(spark, s"$path/_occupancy")
       .agg(count(lit(1)).as("n_cells_b"), sum(col("n")).as("n_build"),
         max(col("n")).as("max_b"))
     val now = spark.read.parquet(path).groupBy(col("cell"))
@@ -629,10 +629,10 @@ object Pq {
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     healStagedRebuild(spark, path)
-    val centroids = spark.read.parquet(s"$path/_centroids").collect()
+    val centroids = graft.sources.Sidecar.read(spark, s"$path/_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
-    val books = spark.read.parquet(s"$path/_books").collect()
+    val books = graft.sources.Sidecar.read(spark, s"$path/_books").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toArray))
       .groupBy(_._1._1).toArray.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._1._2).map(_._2) }

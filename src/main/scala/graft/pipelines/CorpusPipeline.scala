@@ -151,7 +151,10 @@ object CorpusPipeline {
       checkpointRepetition: Boolean): Seq[(String, DataFrame)] = {
     val normed = docs.withColumn(
       "text", graft.plans.StringFunctions.nfcClean(col("text")))
-    val s0 = normed.filter(length(trim(col("text"), " \t\n\r")) > 0)
+    // "has any non-whitespace char" — equivalent to the old
+    // length(trim(text, " \t\n\r")) > 0, without the two-param TRIM
+    // signature Spark 4 deprecation-warns on every plan (bench-tail noise)
+    val s0 = normed.filter(col("text").rlike("[^ \t\n\r]"))
     val s1 = s0.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
     val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
     val passRep = Repetition.signals(s2, "doc_id", "text")
