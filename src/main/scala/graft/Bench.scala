@@ -56,7 +56,7 @@ object Bench {
     // suspect list stays a real environmental-noise signal.
     val onceAmortized = Seq(
       "q103_pagerank", "q107b_knn_ivfpq_indexed", "q82b_bm25_indexed",
-      "q85b_hybrid_rrf_indexed")
+      "q85b_hybrid_rrf_indexed", "q85c_hybrid_rrf_ann")
     onceAmortized.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

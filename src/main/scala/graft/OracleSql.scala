@@ -1204,6 +1204,16 @@ object OracleSql {
          |  id doc_id, rrf
          |FROM f QUALIFY rank <= 10""".stripMargin,
 
+    // q85c is GATED (ANN dense leg — approximate by design): the oracle
+    // recomputes the exact fused QUERY SET from the shared legs CTE;
+    // recall_ok is the Spark-side gate boolean (fused top-10 overlap vs
+    // the exact-dense fusion clears the ProbeHybridAnn floor).
+    "q85c_hybrid_rrf_ann" ->
+      s"""$hybridLegsCte
+         |SELECT count(DISTINCT coalesce(dr.qid, lr.qid)) n_queries,
+         |  TRUE recall_ok
+         |FROM dr FULL JOIN lr ON dr.qid = lr.qid AND dr.id = lr.id""".stripMargin,
+
     // Hard negatives: the q85 legs subtracted instead of fused — lexical
     // top-k not present in the dense top-k, re-ranked by BM25 order.
     "q94_hard_negatives" ->

@@ -629,6 +629,36 @@ object SparkEntry {
         docs, Tables.embeddings(s, dir), operators.Bm25.readIndex(s, path))
     }),
 
+    // hybrid RRF with BOTH legs on persisted indexes (r12 verdict #6):
+    // lexical probes the q82b posting artifact (shared with q85b — one
+    // build serves all three), dense probes an IVF-PQ cell index over
+    // the ids that have both text and a vector. The ANN leg is
+    // approximate, so the registration is GATED (the q24b/q99b
+    // pattern): fused top-10 overlap vs the exact-dense fusion under
+    // the SAME lexical rank list must clear the ProbeHybridAnn-
+    // calibrated floor. Both probes statically pruned (plan-asserted
+    // in HybridRetrievalSpec).
+    "q85c_hybrid_rrf_ann" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bmPath = s"$ivfPqScratch/${math.abs(dir.hashCode)}/bm25_idx"
+      operators.Bm25.writeIndexOnce(docs, bmPath)
+      // dense-leg corpus = the hybrid store's intersection (the q85
+      // contract): ids with BOTH text and a vector
+      val corpus = emb.join(
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id").cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val pqPath = s"$ivfPqScratch/${math.abs(dir.hashCode)}/hyb_dense_idx"
+      operators.Pq.writeIndexOnce(corpus, "vec_id", "embedding",
+        operators.Pq.train(corpus, "vec_id", "embedding", m = 8, k = 32),
+        pqPath, nlist = 32)
+      operators.HybridRetrieval.rrfFuseAnnGate(
+        docs, emb,
+        operators.Bm25.readIndex(s, bmPath),
+        operators.Pq.readIndex(s, pqPath))
+    }),
+
     "q86_kmeans" -> ((s, dir) =>
       operators.KMeans.cluster(Tables.embeddings(s, dir), k = 8, iters = 3)),
 

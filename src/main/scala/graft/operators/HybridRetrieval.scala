@@ -148,12 +148,22 @@ object HybridRetrieval {
       docs: DataFrame, emb: DataFrame, index: Bm25.Bm25Index,
       nQueries: Int, legK: Int, termCap: Int,
       k1: Double, b: Double): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-
     val dense = denseLeg(
       docs.filter(col("text").isNotNull)
         .select(col("doc_id").cast("long").as("vec_id")),
       emb, nQueries, legK)
+    (dense, lexLegIndexed(docs, index, nQueries, legK, termCap, k1, b))
+  }
+
+  /** The lexical leg alone, probing the persisted q82b posting index —
+    * factored out of [[legsIndexed]] so [[rrfFuseAnnGate]] (q85c) can
+    * pair ONE lexical probe with both dense-leg variants.
+    */
+  private def lexLegIndexed(
+      docs: DataFrame, index: Bm25.Bm25Index,
+      nQueries: Int, legK: Int, termCap: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
 
     // tokenize ONLY the query docs; resolve their vocab to pb buckets on
     // the driver (bounded by the query docs' distinct terms)
@@ -184,7 +194,73 @@ object HybridRetrieval {
     val stats = spark.range(1)
       .select(lit(index.n).as("n"), lit(index.tt).as("tt"))
 
-    (dense, lexRank(scan, qTerms, stats, legK, k1, b))
+    lexRank(scan, qTerms, stats, legK, k1, b)
+  }
+
+  /** q85c (r12 verdict #6): hybrid RRF with BOTH legs on persisted
+    * indexes — the lexical leg probes the q82b posting index
+    * ([[lexLegIndexed]], statically pb-pruned) and the DENSE leg probes
+    * the q107b IVF-PQ cell index ([[Pq.ivfTopKIndexed]], statically
+    * cell-pruned) instead of the declared-exact broadcast X⋈Y scan. At
+    * billion-vector scale the exact dense leg is the fusion's whole
+    * cost; this is the scale path the q85 scaladoc promised ("swap in
+    * the ANN leg — the fusion is rank-only and doesn't change").
+    *
+    * Because the ANN leg is approximate, the fused ranking may differ
+    * from the exact-dense fusion, so the registration is GATED (the
+    * q24b/q99b discipline): the SAME lexical rank list (one probe,
+    * checkpointed) fuses once with the ANN dense leg and once with the
+    * exact dense leg over the bounded query set, and the fused
+    * top-`fuseK` overlap must clear `floor`. Output
+    * (n_queries, recall_ok) — [[Knn.recallGate]]'s shape. Floor
+    * calibration: ProbeHybridAnn on the near-uniform sf embeddings (the
+    * IVF worst case) measures fused top-10 overlap 0.79/0.80/0.83 at
+    * nprobe=8 and 0.90-0.94 at nprobe=16 across sf0.1/0.01/0.001 — the
+    * exact lexical leg anchors the fusion, so the fused overlap sits
+    * well above the bare q107 dense recall (0.58-0.64 at nprobe=8);
+    * floor 0.6 at the registered nprobe=8 leaves the q27-style margin.
+    */
+  def rrfFuseAnnGate(
+      docs: DataFrame, emb: DataFrame,
+      lexIndex: Bm25.Bm25Index, denseIndex: Pq.IvfPqIndex,
+      nQueries: Int = 10, legK: Int = 20, termCap: Int = 16, fuseK: Int = 10,
+      nprobe: Int = 8, refine: Int = 200,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Double = 60.0,
+      floor: Double = 0.6): DataFrame = {
+    val (annFused, exactFused) = annFusedLists(docs, emb, lexIndex,
+      denseIndex, nQueries, legK, termCap, fuseK, nprobe, refine, k1, b, rrfK)
+    Knn.recallGate(annFused, exactFused, fuseK, floor)
+  }
+
+  /** The two fused rank lists [[rrfFuseAnnGate]] compares — exposed for
+    * the floor-calibration probe (ProbeHybridAnn reports the raw overlap
+    * ratio per scale; the gate reduces it to a boolean). Both as
+    * (query_id, neighbor_id).
+    */
+  private[graft] def annFusedLists(
+      docs: DataFrame, emb: DataFrame,
+      lexIndex: Bm25.Bm25Index, denseIndex: Pq.IvfPqIndex,
+      nQueries: Int, legK: Int, termCap: Int, fuseK: Int,
+      nprobe: Int, refine: Int,
+      k1: Double, b: Double, rrfK: Double): (DataFrame, DataFrame) = {
+    val textIds = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("vec_id"))
+    val corpus = emb.join(textIds, Seq("vec_id"), "left_semi")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val annDense = Pq.ivfTopKIndexed(
+      denseIndex, corpus, queries, "vec_id", "embedding", legK,
+      nprobe = nprobe, refine = refine)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+        col("rank").as("rank_d"))
+    val exactDense = denseLeg(textIds, emb, nQueries, legK)
+    // bounded (≤ queries × legK rows): pin it so ONE posting-index probe
+    // feeds both fusions
+    val lex = lexLegIndexed(docs, lexIndex, nQueries, legK, termCap, k1, b)
+      .localCheckpoint()
+    (fuse(annDense, lex, fuseK, rrfK)
+      .select(col("query_id"), col("doc_id").as("neighbor_id")),
+      fuse(exactDense, lex, fuseK, rrfK)
+        .select(col("query_id"), col("doc_id").as("neighbor_id")))
   }
 
   /** The shared RRF tail: fuse the two rank lists, bounded-top-fuseK. */

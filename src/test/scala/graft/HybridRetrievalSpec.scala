@@ -120,4 +120,64 @@ class HybridRetrievalSpec extends SparkTestBase {
         s"probe must open fewer than all $allPbs buckets, opened ${f.selectedPartitions.partitionCount}")
     }
   }
+
+  test("q85c ANN-dense fusion: full probing equals exact fusion; pruned probe clears the gate and is cell-pruned") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.{Bm25, Pq}
+    // every id has text AND a vector; 4 tight clusters in 8d — the PqSpec
+    // regime where full-probe IVF-PQ + exact refine reproduces brute force
+    val docs2 = (0L until 20L)
+      .map(i => (i, s"apple banana word${i % 5} filler$i"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val emb2 = (0L until 20L).map { i =>
+      val arr = Array.fill(8)(0.01f * (i % 3))
+      arr((i % 4).toInt * 2) = 1f
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("hyb_ann").toString
+    val bmIdx = Bm25.writeIndex(docs2, s"$root/bm25_idx", buckets = 16)
+    val pqIdx = Pq.writeIndex(emb2, "vec_id", "embedding",
+      Pq.train(emb2, "vec_id", "embedding", m = 4, k = 8),
+      s"$root/hyb_dense_idx", nlist = 4)
+
+    // full probing + refine >= corpus: the ANN fused list IS the exact
+    // fused list (rank-only fusion — the q85 scaladoc's promise that
+    // swapping the dense leg does not change the fusion)
+    val (annFull, exactFull) = HybridRetrieval.annFusedLists(
+      docs2, emb2, bmIdx, pqIdx, nQueries = 2, legK = 5, termCap = 2,
+      fuseK = 5, nprobe = 4, refine = 20, k1 = 1.2, b = 0.75, rrfK = 60.0)
+    assert(annFull.collect().map(_.toSeq).toSet
+      == exactFull.collect().map(_.toSeq).toSet)
+
+    // the registered gate shape at a PRUNED nprobe: recall_ok true, and
+    // the dense probe's executed scan opened only the probed cells'
+    // partitions (static pruning — the q107b discipline)
+    val gate = HybridRetrieval.rrfFuseAnnGate(
+      docs2, emb2, bmIdx, pqIdx, nQueries = 2, legK = 5, termCap = 2,
+      fuseK = 5, nprobe = 1, refine = 20, floor = 0.2)
+    val rows = gate.collect()
+    assert(rows.length == 1 && rows.head.getAs[Boolean]("recall_ok"),
+      s"gate must clear its floor: ${rows.mkString}")
+    assert(rows.head.getAs[Long]("n_queries") == 2L)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    val denseScans = walk(gate.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("hyb_dense_idx")) => f
+    }
+    assert(denseScans.nonEmpty, "the gate must scan the dense index artifact")
+    val allCells = new java.io.File(s"$root/hyb_dense_idx").listFiles
+      .count(_.getName.startsWith("cell="))
+    denseScans.foreach { f =>
+      assert(f.metadata("PartitionFilters").contains("cell"),
+        s"cell pruning missing: ${f.metadata("PartitionFilters")}")
+      assert(f.selectedPartitions.partitionCount < allCells,
+        s"probe must open fewer than all $allCells cells, opened ${f.selectedPartitions.partitionCount}")
+    }
+  }
 }
