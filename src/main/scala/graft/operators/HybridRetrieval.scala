@@ -180,21 +180,39 @@ object HybridRetrieval {
       vocab.indices.map(row.getLong(_)).distinct
     }
 
-    // un-checkpointed on purpose: the pruned scan is O(df(vocab)) rows
-    // and reading it twice (df pass + scoring pass) keeps both file
-    // scans visible to the plan assertions (Bm25.retrieveIndexed's
-    // documented tradeoff)
-    val scan = spark.read.parquet(index.path)
+    // TWO pruned scans with different widths (r13, the decade
+    // measurement's finding): the df pass must cover the FULL query
+    // vocab (capping ranks by df, so df precedes the cap) but reads ONLY
+    // the term column — a column-pruned count. The SCORING scan then
+    // re-prunes to the CAPPED terms' buckets and rows: with a rich
+    // vocabulary the full query vocab of a 10-doc query batch is
+    // hundreds of terms while the capped set is ≤ nQueries × termCap,
+    // so the wide (doc_id, dl, tf) read + aggregate never pays for
+    // postings the cap was about to discard.
+    val fullScan = spark.read.parquet(index.path)
       .filter(col("pb").isin(pbs: _*))
       .filter(col("term").isin(vocab: _*))
+    val dfTbl = fullScan.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // bounded (≤ nQueries × termCap rows): pin it — it feeds the scoring
+    // join AND the driver-side capped-vocab resolution below
+    val qTerms = capTerms(qT, dfTbl, termCap).localCheckpoint()
+    val capped = qTerms.select(col("term")).distinct().as[String].collect().toSeq
+    val cappedPbs =
+      if (capped.isEmpty) Seq.empty[Long]
+      else {
+        val row = spark.range(1).select(
+          capped.map(t => pmod(xxhash64(lit(t)), lit(index.buckets))): _*).collect().head
+        capped.indices.map(row.getLong(_)).distinct
+      }
+    val scoringScan = spark.read.parquet(index.path)
+      .filter(col("pb").isin(cappedPbs: _*))
+      .filter(col("term").isin(capped: _*))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
 
-    val dfTbl = scan.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qTerms = capTerms(qT, dfTbl, termCap)
     val stats = spark.range(1)
       .select(lit(index.n).as("n"), lit(index.tt).as("tt"))
 
-    lexRank(scan, qTerms, stats, legK, k1, b)
+    lexRank(scoringScan, qTerms, stats, legK, k1, b)
   }
 
   /** q85c (r12 verdict #6): hybrid RRF with BOTH legs on persisted
