@@ -123,19 +123,20 @@ object LlmIngestDag {
 
       // q65 across days: dedup today's clean docs against the persisted
       // index of every prior day (text never re-read), append survivors'
-      // band/shingle keys exactly once (epoch-day batch marker)
+      // band/shingle keys exactly once (day-namespaced epoch-day batch
+      // marker — r13 verdict #1: the DAG and the live stream share one
+      // index but must not share one marker namespace; a legacy bare
+      // marker still gates green so a pre-upgrade index never re-runs)
       Dag.Task("cross_day_neardup", () => {
         StreamNearDup.applyBatch(
           spark, spark.read.parquet(cleanPath), "doc_id", "text",
-          indexDir, survivorsDir, batchId = date.toEpochDay)
+          indexDir, survivorsDir, batchId = date.toEpochDay,
+          namespace = StreamNearDup.DayNamespace)
         ()
       }, retries = retries,
         // marker present = the batch is applied (this run's or a replay's)
-        gate = () => {
-          val p = new org.apache.hadoop.fs.Path(
-            s"$indexDir/_batches/${date.toEpochDay}")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        }),
+        gate = () => StreamNearDup.batchApplied(
+          spark, indexDir, date.toEpochDay, StreamNearDup.DayNamespace)),
 
       // fold the day's small survivor files into target-size files;
       // idempotent (re-compaction of a compacted partition is a no-op)
@@ -257,12 +258,11 @@ object LlmIngestDag {
         }, retries = retries,
           // growBatch appends BEFORE its marker (duplicate keys are benign
           // for the existence-only probe; lost keys are not), so marker
-          // presence == the day's keys landed (day-namespaced, r12 ADVICE)
-          gate = () => {
-            val p = new org.apache.hadoop.fs.Path(
-              s"$mediaIndexDir/_batches/day-${date.toEpochDay}")
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-          }),
+          // presence == the day's keys landed (day-namespaced, r12 ADVICE;
+          // legacy bare markers still gate green — pre-upgrade indexes
+          // must not re-run their history, r13 ADVICE)
+          gate = () => StreamFingerprint.batchApplied(
+            spark, mediaIndexDir, date.toEpochDay, "day")),
 
         // the band-key index appends one file set per day (DAG) and per
         // micro-batch (live stream) forever — the LAST index without a

@@ -27,7 +27,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * namespaced PER PRODUCER (r12 ADVICE: sharing one numeric namespace
   * relied on micro-batch counters never reaching the ~18k epoch-day
   * range; a long-lived stream crossing it would silently no-op a
-  * nightly grow). Survivors (full input rows) land in
+  * nightly grow). MIGRATION (r13 ADVICE): a pre-upgrade index carries
+  * bare `_batches/<id>` markers — a bare `<id>` is treated as claimed by
+  * BOTH producers, so previously-completed days still no-op their grow
+  * and replayed micro-batches still skip, instead of re-running their
+  * history on upgrade. Survivors (full input rows) land in
   * `survivorsDir/batch=<id>/`, overwritten per batch id.
   *
   * Delivery semantics — [[StreamNearDup]]'s write order, verbatim:
@@ -75,6 +79,21 @@ object StreamFingerprint {
       }
       .start()
 
+  /** True iff `batchId` is already applied under `namespace` ("mb" or
+    * "day") — namespaced marker OR the legacy bare marker (pre-upgrade
+    * indexes; claimed by both producers, see the class doc). Shared by
+    * [[applyBatch]], [[growBatch]] and the LlmIngestDag gate so gate and
+    * apply can never disagree on what "applied" means.
+    */
+  def batchApplied(
+      spark: SparkSession, indexDir: String, batchId: Long,
+      namespace: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
+    val fs = marker.getFileSystem(conf)
+    fs.exists(marker) || fs.exists(new Path(s"$indexDir/_batches/$batchId"))
+  }
+
   /** One batch of the protocol above (factored out so the semantics are
     * unit-testable without a streaming runtime). Returns the number of
     * survivors written, or -1 if the batch was already applied.
@@ -88,7 +107,7 @@ object StreamFingerprint {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/mb-$batchId")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return -1L
+    if (batchApplied(spark, indexDir, batchId, "mb")) return -1L
 
     // decode+hash once; both the cross check and the within check read
     // the same banded rows (the incrementalNearDup materialize-once rule)
@@ -163,10 +182,18 @@ object StreamFingerprint {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/day-$batchId")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return -1L
+    if (batchApplied(spark, indexDir, batchId, "day")) return -1L
     val banded = Multimodal.bandKeys56(
       fingerprint(docs.select(col(idCol).cast("long").as("doc_id"), col("text"))),
       maxHamming).localCheckpoint()
+    // a compact_media_index swap interrupted between its two renames
+    // leaves `keys/` ABSENT with the full index sealed in the stage
+    // (r13 ADVICE, high): appending here without healing would recreate
+    // the dir with only this day's keys, and the next writer-mode heal
+    // would then discard the sealed stage AND the moved-aside copy — the
+    // entire historical index silently lost. Reader-mode heal first
+    // (applyBatch's discipline): complete the sealed swap, never delete.
+    graft.sources.Compaction.healCompactFlat(spark, s"$indexDir/keys")
     banded.write.mode("append").parquet(s"$indexDir/keys")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

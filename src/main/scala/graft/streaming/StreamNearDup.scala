@@ -13,8 +13,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * shingle sets, 8-byte rows) is what persists — never the corpus text.
   *
   * Layout under `indexDir`: `bands/` and `shingles/` parquet (append-only),
-  * plus `_batches/<id>` markers. Survivors land in
-  * `survivorsDir/batch=<id>/` (full rows), overwritten per batch id.
+  * plus `_batches/mb-<id>` markers (the live stream's micro-batch ids) and
+  * `_batches/day-<id>` markers (`cross_day_neardup`'s epoch days) —
+  * namespaced PER PRODUCER (r13 verdict #1, the StreamFingerprint r13
+  * pattern: sharing one numeric namespace relied on micro-batch counters
+  * never reaching the ~18k epoch-day range; a long-lived stream crossing
+  * it would silently no-op a day's ingest). MIGRATION: a pre-upgrade index
+  * carries bare `_batches/<id>` markers; a bare `<id>` is treated as
+  * claimed by BOTH producers — so a deployed index never re-applies its
+  * history after the upgrade (the alternative, re-running, would re-dedup
+  * a day against an index that already holds its survivors: every doc
+  * self-hits and the day's survivor set is emptied — far worse than the
+  * one-in-18k chance a legacy stream counter shadows a future day id,
+  * which the gate surfaces as an already-applied no-op, not data loss).
+  * Survivors land in `survivorsDir/batch=<id>/` (full rows), overwritten
+  * per batch id — survivor dirs stay bare-numeric on purpose: the two
+  * producers' id RANGES are what collide in the marker namespace, but a
+  * given deployment feeds the warehouse from ONE producer.
   *
   * Delivery semantics, in write order per batch:
   *   1. marker exists → the batch is already fully applied: skip (a
@@ -50,18 +65,43 @@ object StreamNearDup {
       }
       .start()
 
+  /** The two producer namespaces sharing one index: the live stream's
+    * micro-batch counters and the nightly DAG's epoch days.
+    */
+  val StreamNamespace = "mb"
+  val DayNamespace = "day"
+
+  /** True iff `batchId` is already applied under `namespace` — namespaced
+    * marker OR the legacy bare marker (pre-upgrade indexes; claimed by
+    * both producers, see the class doc). The LlmIngestDag gate uses this
+    * so gate and apply can never disagree on what "applied" means.
+    */
+  def batchApplied(
+      spark: SparkSession, indexDir: String, batchId: Long,
+      namespace: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
+    val fs = marker.getFileSystem(conf)
+    fs.exists(marker) || fs.exists(new Path(s"$indexDir/_batches/$batchId"))
+  }
+
   /** One batch of the protocol above (factored out so the semantics are
-    * unit-testable without a streaming runtime). Returns the number of
-    * survivors written, or -1 if the batch was already applied.
+    * unit-testable without a streaming runtime). `namespace` identifies
+    * the PRODUCER ([[StreamNamespace]] for micro-batches — the default,
+    * what [[start]] passes — [[DayNamespace]] for `cross_day_neardup`'s
+    * epoch days); ids only need to be unique within their producer.
+    * Returns the number of survivors written, or -1 if the batch was
+    * already applied.
     */
   def applyBatch(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, survivorsDir: String, batchId: Long,
-      n: Int = 3, threshold: Double = 0.7): Long = {
+      n: Int = 3, threshold: Double = 0.7,
+      namespace: String = StreamNamespace): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$batchId")
+    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return -1L
+    if (batchApplied(spark, indexDir, batchId, namespace)) return -1L
 
     // empty-but-correctly-typed frames when the index doesn't exist yet:
     // derive the schemas from the batch itself via a zero-row index build

@@ -87,4 +87,57 @@ class CatchupSpec extends SparkTestBase {
       spark, s"$root/in", s"$root/out", feed, d1, d2.plusDays(1))
     assert(again.isEmpty, "caught-up schedule must not re-run day dags")
   }
+
+  test("catchup-driven day batches survive a live stream's colliding counter and respect legacy bare markers") {
+    import graft.streaming.StreamNearDup
+    val root = Files.createTempDirectory("graft-catchup-ns").toString
+    val wm = s"$root/wm"
+    val indexDir = s"$root/neardup_index"
+    val d1 = LocalDate.parse("2021-05-03") // epoch day 18750
+    val d2 = LocalDate.parse("2021-05-04")
+
+    // a live stream sharing the day-batch index has a micro-batch counter
+    // numerically equal to d1's epoch day (the r13 self-flagged defect:
+    // one shared namespace made the catchup day silently no-op)
+    val streamDoc = "entirely separate stream content nothing else resembles anywhere"
+    assert(StreamNearDup.applyBatch(
+      spark, Seq((900L, streamDoc)).toDF("doc_id", "text"), "doc_id", "text",
+      indexDir, s"$root/stream_out", batchId = d1.toEpochDay) == 1L)
+
+    val dayText = Map(
+      d1 -> "the quick brown fox jumps over the lazy dog again today",
+      d2 -> "fresh unseen material with no overlap at all anywhere else")
+    var applied = Vector.empty[(LocalDate, Long)]
+    val out = Catchup.run(spark, wm, d1, d2.plusDays(1)) { d =>
+      val n = StreamNearDup.applyBatch(
+        spark, Seq((d.toEpochDay * 100L, dayText(d))).toDF("doc_id", "text"),
+        "doc_id", "text", indexDir, s"$root/day_out", batchId = d.toEpochDay,
+        namespace = StreamNearDup.DayNamespace)
+      applied :+= (d, n)
+      n >= 0
+    }
+    assert(out.forall(_._2), out.mkString("; "))
+    assert(applied == Vector((d1, 1L), (d2, 1L)),
+      "both days must APPLY (n >= 0) despite the stream's colliding counter")
+
+    // legacy migration through catchup: mark d2 as pre-upgrade (bare
+    // marker), lose the watermark — the replayed day claims, not re-runs
+    assert(new java.io.File(s"$indexDir/_batches/day-${d2.toEpochDay}")
+      .renameTo(new java.io.File(s"$indexDir/_batches/${d2.toEpochDay}")))
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$wm/date=$d2"))
+    applied = Vector.empty
+    val replay = Catchup.run(spark, wm, d1, d2.plusDays(1)) { d =>
+      val n = StreamNearDup.applyBatch(
+        spark, Seq((d.toEpochDay * 100L, dayText(d))).toDF("doc_id", "text"),
+        "doc_id", "text", indexDir, s"$root/day_out", batchId = d.toEpochDay,
+        namespace = StreamNearDup.DayNamespace)
+      applied :+= (d, n)
+      true
+    }
+    assert(replay.map(_._1) == Seq(d2) && applied == Vector((d2, -1L)),
+      s"a legacy-marked day must no-op on replay: $applied")
+  }
 }

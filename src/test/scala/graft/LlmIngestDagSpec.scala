@@ -426,4 +426,62 @@ class LlmIngestDagSpec extends SparkTestBase {
       "doc_id", Multimodal.imagePhash, mediaIdx, batchId = d1.toEpochDay) == -1L)
     assert(spark.read.parquet(s"$mediaIdx/keys").count() == after)
   }
+
+  test("cross_day_neardup namespaces: a stream counter equal to the epoch day never no-ops the day; a legacy bare marker still no-ops a replay") {
+    import graft.streaming.StreamNearDup
+    val root = Files.createTempDirectory("graft-llm-ns").toString
+    val d1 = LocalDate.parse("2021-05-03") // epoch day 18750
+    val d2 = LocalDate.parse("2021-05-04")
+    writeDay(root, d1, (0L until 4L).map(i => (i, sentence(i.toInt), "web")))
+    writeDay(root, d2, (10L until 14L).map(i => (i, sentence(i.toInt), "web")))
+    val connect = connectTo("graft_llm_ns")
+    val c0 = connect(); LlmIngestDag.ensureCountsTable(c0); c0.close()
+    val cfg = CorpusPipeline.Config(
+      maxTopWordFrac = 0.5, samplePerSource = 1000, dropPplTail = false)
+
+    // a long-lived LIVE stream sharing the index has reached micro-batch
+    // counter 18750 — numerically equal to d1's epoch day. Pre-r14 (one
+    // shared namespace) its marker silently no-op'd the day's entire
+    // ingest: the DAG went green with zero survivors written.
+    val indexDir = s"$root/out/warehouse/neardup_index"
+    val streamOut = Files.createTempDirectory("llm_ns_stream_out").toString
+    assert(StreamNearDup.applyBatch(
+      spark, Seq((900L, sentence(90))).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir, streamOut, batchId = d1.toEpochDay) == 1L)
+
+    val runs = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg)
+    assert(runs.size == 2 && runs.forall(_.ok),
+      runs.map(r => s"${r.date}: ${r.detail.mkString("; ")}").mkString("\n"))
+
+    // d1 APPLIED despite the stream's colliding counter: its survivors
+    // landed and its own day- marker exists alongside the stream's mb-
+    def batchIds(d: LocalDate) = spark.read
+      .parquet(s"$root/out/warehouse/corpus/batch=${d.toEpochDay}")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds(d1) == (0L until 4L).toSet,
+      "the day must apply even when a stream counter shadows its epoch day")
+    assert(new java.io.File(s"$indexDir/_batches/mb-${d1.toEpochDay}").exists())
+    assert(new java.io.File(s"$indexDir/_batches/day-${d1.toEpochDay}").exists())
+
+    // MIGRATION: d2 was applied by THIS (post-upgrade) run under day-;
+    // simulate a pre-upgrade deployment by renaming its marker bare, then
+    // force a replay — the bare marker must claim the day (no re-apply:
+    // re-running would self-hit every doc against its own index keys)
+    val dayMarker = new java.io.File(s"$indexDir/_batches/day-${d2.toEpochDay}")
+    assert(dayMarker.renameTo(
+      new java.io.File(s"$indexDir/_batches/${d2.toEpochDay}")))
+    val shinglesBefore = spark.read.parquet(s"$indexDir/shingles").count()
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$root/out/_catchup_watermark/date=$d2"))
+    val replay = LlmIngestDag.catchup(
+      spark, s"$root/in", s"$root/out", connect, d1, d2.plusDays(1), cfg)
+    assert(replay.map(_.date) == Seq(d2) && replay.head.ok,
+      replay.map(r => s"${r.date}: ${r.detail.mkString("; ")}").mkString("\n"))
+    assert(spark.read.parquet(s"$indexDir/shingles").count() == shinglesBefore,
+      "a legacy-marked day must not re-grow the index on replay")
+    assert(batchIds(d2) == (10L until 14L).toSet, "survivors untouched")
+  }
 }

@@ -93,4 +93,81 @@ class StreamFingerprintSpec extends SparkTestBase {
       assert(pairs.exists(p => p._2 == dropped && survivors(p._1)),
         s"stream dropped $dropped but the batch job sees no surviving partner")
   }
+
+  test("growBatch heals an interrupted compaction swap before appending (no silent index loss)") {
+    val indexDir = Files.createTempDirectory("sfp_heal_idx").toString
+    val outDir = Files.createTempDirectory("sfp_heal_out").toString
+
+    // two days of history in the index
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((1L, base), (2L, imgA)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 100L) == 2 * 9L)
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((3L, imgB)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 101L) == 9L)
+
+    // simulate compact_media_index crashing BETWEEN its two renames: the
+    // live keys dir is ABSENT, the full index is sealed in the stage, and
+    // the moved-aside copy still exists (r13 ADVICE, high: growBatch
+    // appending here without a heal recreated keys/ with only the new
+    // day — and the next writer-mode heal then discarded BOTH the sealed
+    // stage and the .old copy, losing the entire historical index)
+    val keys = new java.io.File(s"$indexDir/keys")
+    val staged = new java.io.File(s"$indexDir/keys.compact.staged")
+    val old = new java.io.File(s"$indexDir/keys.compact.old")
+    def cpTree(src: java.io.File, dst: java.io.File): Unit = {
+      org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    }
+    cpTree(keys, staged)
+    cpTree(keys, old)
+    new java.io.File(staged, "_swap_ready").createNewFile()
+    org.apache.commons.io.FileUtils.deleteDirectory(keys)
+
+    // the next nightly grow must first COMPLETE the sealed swap, then
+    // append — all three days present afterwards
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((4L, imgC)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 102L) == 9L)
+    assert(spark.read.parquet(s"$indexDir/keys").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+      "heal must restore the sealed history before the append")
+
+    // and the following writer pass (the nightly compactFlat) keeps every
+    // key — the pre-fix sequence lost days 100-101 exactly here
+    graft.sources.Compaction.compactFlat(
+      spark, s"$indexDir/keys", maxFiles = 1, smallFileBytes = Long.MaxValue)
+    assert(spark.read.parquet(s"$indexDir/keys").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(!staged.exists() && !old.exists(), "writer pass clears the debris")
+
+    // cross-batch probe still sees the healed history: a copy of day-100
+    // media drops through the index
+    assert(StreamFingerprint.applyBatch(
+      spark, Seq((9L, base)).toDF("doc_id", "text"), "doc_id",
+      Multimodal.imagePhash, indexDir, outDir, batchId = 0L) == 0L)
+  }
+
+  test("legacy bare markers claim both producers (pre-upgrade index migration)") {
+    val indexDir = Files.createTempDirectory("sfp_mig_idx").toString
+    val outDir = Files.createTempDirectory("sfp_mig_out").toString
+
+    // a pre-upgrade index: batch 42 applied under a BARE marker
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 42L) == 9L)
+    assert(new java.io.File(s"$indexDir/_batches/day-42")
+      .renameTo(new java.io.File(s"$indexDir/_batches/42")))
+
+    // both producers treat the bare id as applied: the day's grow no-ops
+    // (no duplicate keys) and a replayed micro-batch no-ops (survivors
+    // not reprocessed)
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 42L) == -1L)
+    assert(StreamFingerprint.applyBatch(
+      spark, Seq((1L, base)).toDF("doc_id", "text"), "doc_id",
+      Multimodal.imagePhash, indexDir, outDir, batchId = 42L) == -1L)
+    assert(spark.read.parquet(s"$indexDir/keys").count() == 9L,
+      "no duplicate keys after the claimed no-ops")
+  }
 }

@@ -59,4 +59,71 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 3L, 5L, 7L))
   }
+
+  test("producer namespaces: a stream counter colliding with an epoch day — both apply, neither no-ops") {
+    val indexDir = Files.createTempDirectory("snd_ns_idx").toString
+    val streamOut = Files.createTempDirectory("snd_ns_sout").toString
+    val dayOut = Files.createTempDirectory("snd_ns_dout").toString
+
+    // the live stream's micro-batch counter reaches 18750 — numerically
+    // equal to an epoch day (2021-05-03 = 18750): pre-r14, one shared
+    // namespace made whichever producer ran second silently no-op
+    val id = 18750L
+    val b1 = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    assert(StreamNearDup.applyBatch(
+      spark, b1, "doc_id", "text", indexDir, streamOut, batchId = id) == 2L)
+
+    // the DAG's day with the SAME numeric id still applies (day namespace)
+    val b2 = Seq((10L, docC), (11L, docA)).toDF("doc_id", "text")
+    assert(StreamNearDup.applyBatch(
+      spark, b2, "doc_id", "text", indexDir, dayOut, batchId = id,
+      namespace = StreamNearDup.DayNamespace) == 1L,
+      "the day must apply (and dedup 11 against the stream-grown index)")
+
+    // each producer's replay is still a no-op in its OWN namespace
+    assert(StreamNearDup.applyBatch(
+      spark, b1, "doc_id", "text", indexDir, streamOut, batchId = id) == -1L)
+    assert(StreamNearDup.applyBatch(
+      spark, b2, "doc_id", "text", indexDir, dayOut, batchId = id,
+      namespace = StreamNearDup.DayNamespace) == -1L)
+
+    // the index holds both producers' survivors exactly once
+    assert(spark.read.parquet(s"$indexDir/shingles").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 10L))
+    assert(new java.io.File(s"$indexDir/_batches/mb-$id").exists())
+    assert(new java.io.File(s"$indexDir/_batches/day-$id").exists())
+  }
+
+  test("legacy bare markers claim BOTH producers: a pre-upgrade index never re-applies its history") {
+    val indexDir = Files.createTempDirectory("snd_mig_idx").toString
+    val outDir = Files.createTempDirectory("snd_mig_out").toString
+
+    // a deployed pre-r14 index: day 18700 fully applied under a BARE
+    // marker (its survivors in the warehouse, its keys in the index)
+    val id = 18700L
+    val day = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    assert(StreamNearDup.applyBatch(
+      spark, day, "doc_id", "text", indexDir, outDir, batchId = id,
+      namespace = StreamNearDup.DayNamespace) == 2L)
+    val dayMarker = new java.io.File(s"$indexDir/_batches/day-$id")
+    assert(dayMarker.renameTo(new java.io.File(s"$indexDir/_batches/$id")),
+      "simulate the pre-upgrade bare marker")
+
+    // after the upgrade: the bare marker claims both namespaces — neither
+    // producer re-applies (re-running would self-hit every doc against the
+    // index's own copy and empty the survivor set)
+    assert(StreamNearDup.batchApplied(spark, indexDir, id, StreamNearDup.DayNamespace))
+    assert(StreamNearDup.batchApplied(spark, indexDir, id, StreamNearDup.StreamNamespace))
+    assert(StreamNearDup.applyBatch(
+      spark, day, "doc_id", "text", indexDir, outDir, batchId = id,
+      namespace = StreamNearDup.DayNamespace) == -1L)
+    assert(StreamNearDup.applyBatch(
+      spark, day, "doc_id", "text", indexDir, outDir, batchId = id) == -1L)
+
+    // survivors and index untouched by the claimed no-ops
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(s"$indexDir/shingles").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
 }
