@@ -95,7 +95,7 @@ object Compaction {
     * [[healCompactFlat]] finishes (any caller) or discards (writer only)
     * an interrupted swap.
     *
-    * == CONCURRENCY CONTRACT (r12 verdict #5 / ADVICE) ==
+    * == CONCURRENCY CONTRACT (r12 verdict #5 / ADVICE; r13 ADVICE) ==
     * At most ONE compactFlat may run per dir at a time — the caller owns
     * that exclusion (LlmIngestDag: one `compact_neardup_index` /
     * `compact_media_index` task per day, ordered after the day's grow
@@ -110,6 +110,33 @@ object Compaction {
     * renames are result-checked — a failed swap aborts loudly with the
     * live content intact (possibly restored from the moved-aside copy),
     * never half-installed.
+    *
+    * Concurrent APPENDERS are safe too (r13 ADVICE: StreamFingerprint's
+    * live micro-batches append `keys/` files while the nightly
+    * compact_media_index runs — the old swap silently DROPPED any file
+    * appended after its read, and an append landing between the two
+    * renames recreated the live dir so the swap-in renamed the stage
+    * INTO it, Hadoop rename-into-existing-dir semantics, then deleted
+    * the full index as ".old"). Three mechanisms close it:
+    *   1. the rewrite reads EXACTLY the files of the opening listing
+    *      (explicit-path read, never a directory read) — a file landing
+    *      mid-rewrite is neither read nor (later) dropped, and can never
+    *      be duplicated;
+    *   2. after the move-aside, files in the `.old` copy NOT in that
+    *      snapshot (appends that landed before the move) are renamed
+    *      into the stage — parquet part names are write-UUID-unique, so
+    *      cross-write collisions cannot occur;
+    *   3. the swap-in FOLDS-then-renames in a bounded loop: an append
+    *      that recreated the live dir in the absent window has its files
+    *      renamed into the stage and the emptied dir removed before the
+    *      rename is retried; a rename that nonetheless lands INTO a
+    *      just-recreated dir (the unavoidable check-then-act instant) is
+    *      detected afterwards — the stage dir is then a CHILD of the
+    *      live dir — and un-nested file-by-file, which converges to
+    *      compacted + appended content rather than corrupting the read.
+    * The one remaining caveat is inherent to exactly-once-less appends:
+    * a reader probing in the absent-dir instant sees the index only
+    * after its own reader-mode heal (which both stream probes do).
     */
   def compactFlat(
       spark: SparkSession, dirPath: String,
@@ -129,7 +156,12 @@ object Compaction {
     val old = new Path(oldFlat(dirPath))
     fs.delete(staged, true)
     fs.delete(old, true)
-    spark.read.parquet(dirPath).repartition(nOut)
+    // the SNAPSHOT read: exactly the files listed above, by path — a
+    // directory read here would race concurrent appends (rows appended
+    // mid-rewrite would be folded into the stage AND survive as late
+    // files: duplicated)
+    val snapshot = files.map(_.getPath.getName).toSet
+    spark.read.parquet(files.map(_.getPath.toString): _*).repartition(nOut)
       .write.mode("overwrite").parquet(staged.toString)
     fs.create(new Path(staged, SwapReady), true).close()
     if (!fs.rename(dir, old)) {
@@ -139,21 +171,137 @@ object Compaction {
       throw new IllegalStateException(
         s"compactFlat: could not move $dirPath aside; live dir intact, stage discarded")
     }
-    if (!fs.rename(staged, dir) && !fs.exists(dir)) {
-      // swap-in failed AND nobody (e.g. a concurrent reader's heal)
-      // completed it — restore the moved-aside copy so the dir is never
-      // left absent
-      if (!fs.rename(old, dir))
-        throw new IllegalStateException(
-          s"compactFlat: swap-in and restore both failed for $dirPath; " +
-            s"sealed stage remains at $staged — the next heal completes it")
-      fs.delete(staged, true)
-      throw new IllegalStateException(
-        s"compactFlat: swap-in failed for $dirPath; live dir restored")
-    }
+    // manifest of the snapshot INSIDE the moved-aside copy: if this run
+    // crashes mid-merge below, the next writer-mode heal uses it to tell
+    // concurrently-appended files (preserve into the live dir) from
+    // snapshot files (already in the compacted stage — discard) before
+    // deleting `.old`; without it a crash here could lose appends
+    writeSnapshotManifest(fs, old, snapshot)
+    // appends that landed between the snapshot listing and the
+    // move-aside rode into `.old` — fold them into the stage (or into
+    // the live dir, if a racing reader's heal already installed the
+    // stage there); without this they'd be deleted with the old copy
+    val lateNames = mergeLateAppends(fs, old, snapshot, staged, dir)
+    installStage(fs, staged, dir, old, lateNames, dirPath)
     fs.delete(new Path(dir, SwapReady), false)
     fs.delete(old, true)
     true
+  }
+
+  /** Rename `old`'s parquet files NOT in `snapshot` (concurrent appends
+    * that rode into the moved-aside copy) into the stage — or into the
+    * live dir when a racing reader-heal has already installed the stage.
+    */
+  private def mergeLateAppends(
+      fs: org.apache.hadoop.fs.FileSystem, old: Path, snapshot: Set[String],
+      staged: Path, dir: Path): Set[String] = {
+    if (!fs.exists(old)) return Set.empty
+    val late = fs.listStatus(old).toSeq.filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")
+        && !snapshot.contains(f.getPath.getName))
+    late.foreach { f =>
+      val name = f.getPath.getName
+      val ok = fs.rename(f.getPath, new Path(staged, name)) ||
+        fs.rename(f.getPath, new Path(dir, name))
+      if (!ok) throw new IllegalStateException(
+        s"compactFlat: could not preserve concurrently-appended file $name " +
+          s"from $old — aborting before it could be deleted with the old copy")
+    }
+    late.map(_.getPath.getName).toSet
+  }
+
+  /** The append-guarded swap-in: fold any files a concurrent appender
+    * wrote into a recreated live dir back into the stage, then rename the
+    * stage in; detect (and un-nest) a rename that landed INTO a dir
+    * recreated in the check-then-act instant. Bounded retries; on
+    * exhaustion the moved-aside copy is restored so the dir is never left
+    * absent or half-installed.
+    */
+  private def installStage(
+      fs: org.apache.hadoop.fs.FileSystem, staged: Path, dir: Path,
+      old: Path, lateNames: Set[String], dirPath: String): Unit = {
+    var tries = 0
+    while (tries < 8) {
+      tries += 1
+      if (!fs.exists(staged)) {
+        // a racing reader-heal completed the swap for us
+        require(fs.exists(dir), s"compactFlat: stage and live dir both " +
+          s"absent for $dirPath — filesystem lost the swap")
+        return
+      }
+      if (fs.exists(dir)) {
+        // an appender recreated the live dir in the absent window: fold
+        // its parquet files into the stage and clear the husk (non-data
+        // sidecars like _SUCCESS are recreated by the appender's next
+        // write; the stage has its own)
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new Path(staged, f.getPath.getName)))
+              throw new IllegalStateException(
+                s"compactFlat: could not fold appended file ${f.getPath} " +
+                  s"into the stage for $dirPath")
+          }
+        fs.delete(dir, true)
+      }
+      if (fs.rename(staged, dir)) {
+        // Hadoop renames INTO an existing dir (returning true) when the
+        // destination was recreated between the delete above and this
+        // rename — then the stage is now a CHILD of the live dir.
+        // Un-nest: move its parquet files up, drop the nested husk (and
+        // its sentinel with it); the result is compacted + appended
+        // content, which is exactly the index
+        val nested = new Path(dir, staged.getName)
+        if (fs.exists(nested)) {
+          fs.listStatus(nested).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+                throw new IllegalStateException(
+                  s"compactFlat: could not un-nest ${f.getPath} for $dirPath")
+            }
+          fs.delete(nested, true)
+        }
+        return
+      }
+      // rename refused: either a reader-heal installed the stage (next
+      // iteration returns via the !exists(staged) arm) or an appender
+      // recreated the dir again (next iteration folds it) — loop
+    }
+    // bounded retries exhausted — converge without the rename barrier
+    // rather than leave debris a later writer heal would discard:
+    if (fs.exists(dir)) {
+      // an appender keeps recreating the live dir: fold the stage INTO
+      // it file-by-file — content converges to compacted + appended and
+      // the sentinel dies with the stage, so nothing is left to discard
+      fs.listStatus(staged).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+            throw new IllegalStateException(
+              s"compactFlat: contended fold of ${f.getPath} failed for $dirPath")
+        }
+      fs.delete(staged, true)
+      return
+    }
+    // dir stays absent yet the rename refuses — a filesystem fault, not
+    // a race. Put the LATE appends back beside the snapshot and restore
+    // the moved-aside copy: the stage becomes fully redundant (compacted
+    // snapshot only), so the next writer-mode heal discarding it cannot
+    // lose an appended row
+    lateNames.foreach { n =>
+      val from = new Path(staged, n)
+      if (fs.exists(from) && !fs.rename(from, new Path(old, n)))
+        throw new IllegalStateException(
+          s"compactFlat: could not return appended file $n to $old for $dirPath")
+    }
+    if (!fs.rename(old, dir))
+      throw new IllegalStateException(
+        s"compactFlat: swap-in retries exhausted and restore failed for " +
+          s"$dirPath; sealed stage remains at $staged — the next heal completes it")
+    throw new IllegalStateException(
+      s"compactFlat: swap-in failed for $dirPath; live dir restored, " +
+        "appends preserved")
   }
 
   private def stagedFlat(dirPath: String) =
@@ -196,6 +344,53 @@ object Compaction {
         fs.delete(new Path(dir, SwapReady), false)
       } else if (writer) fs.delete(staged, true)
     }
-    if (writer && fs.exists(old) && fs.exists(dir)) fs.delete(old, true)
+    if (writer && fs.exists(old) && fs.exists(dir)) {
+      // before discarding the moved-aside copy, preserve any
+      // concurrently-appended file a crashed swap never merged: the
+      // `_snapshot` manifest (written right after the move-aside) lists
+      // exactly the files the compacted stage already holds — anything
+      // else in `.old` is an append that exists nowhere else
+      readSnapshotManifest(fs, old).foreach { snapshot =>
+        fs.listStatus(old).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+            && !snapshot.contains(f.getPath.getName))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+              throw new IllegalStateException(
+                s"healCompactFlat: could not preserve appended file " +
+                  s"${f.getPath} before discarding $old")
+          }
+      }
+      fs.delete(old, true)
+    }
   }
+
+  /** Persist the compaction snapshot's file names inside the moved-aside
+    * copy, so a heal after a crash can tell appends from snapshot files.
+    */
+  private def writeSnapshotManifest(
+      fs: org.apache.hadoop.fs.FileSystem, old: Path,
+      snapshot: Set[String]): Unit = {
+    val out = fs.create(new Path(old, SnapshotManifest), true)
+    try out.write(snapshot.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** None when no manifest exists (pre-upgrade debris: discard as before —
+    * the old protocol had already merged nothing, so nothing is newer).
+    */
+  private def readSnapshotManifest(
+      fs: org.apache.hadoop.fs.FileSystem, old: Path): Option[Set[String]] = {
+    val p = new Path(old, SnapshotManifest)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSet)
+    } finally in.close()
+  }
+
+  private val SnapshotManifest = "_snapshot"
 }
