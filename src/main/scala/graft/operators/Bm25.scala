@@ -199,7 +199,12 @@ object Bm25 {
       (s"$path#$fp", BuildOnce.versionedPath(path, fp))
     }
     builtIndexes.getOrBuild(docs.sparkSession, key, s"buckets=$buckets",
-      writeIndex(docs, target, buckets))
+      writeIndex(docs, target, buckets),
+      // protect the output path from install time (a dead session's
+      // same-path artifact must not be reaped mid-build), and GC this
+      // session's superseded content versions once this one is built
+      intendedId = Some(target),
+      supersedes = fingerprintBy.map(_ => s"$path#"))
   }
 
   def readIndex(

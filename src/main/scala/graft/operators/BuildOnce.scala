@@ -55,50 +55,120 @@ import scala.jdk.CollectionConverters._
   * artifact is only deleted when NO live entry references the same
   * artifact id (r11 ADVICE: paths are caller-derived and shared across
   * sessions in one JVM, so a stopped session's reap used to delete the
-  * artifact out from under a live session's still-cached handle). A dead
-  * session's cell whose build never COMPLETED has nothing provably on
-  * disk to reap — its entry is dropped and any partial output is left to
-  * the artifact's own overwrite/heal discipline.
+  * artifact out from under a live session's still-cached handle). A live
+  * entry protects its id from the INSTALL instant, before its build has
+  * produced anything — callers that know the output path up front pass
+  * `intendedId`, so a dead session's same-path artifact cannot be reaped
+  * mid-build of the live one (r13 ADVICE: deriving ids only from BUILT
+  * values left the in-flight window unprotected). Reap and install are
+  * serialized on the cache monitor (builds are NOT — they still run
+  * outside every lock): a reap decision and a concurrent same-path
+  * install cannot interleave, so a racing caller can never delete a dir
+  * another caller has started rebuilding at (r13 verdict #2 — the
+  * weakly-consistent-iterator race). A dead session's cell whose build
+  * never COMPLETED has nothing provably on disk to reap — its entry is
+  * dropped and any partial output is left to the artifact's own
+  * overwrite/heal discipline.
+  *
+  * == SUPERSEDED VERSIONS (r13 verdict #3) ==
+  * Fingerprinted callers version their keys (`<bare>#<digest>`) and
+  * their artifact paths ([[BuildOnce.versionedPath]] siblings). Without
+  * in-session GC, a long-lived ingest session over a daily-mutating
+  * corpus accumulates one abandoned version dir per day — reaping only
+  * triggered on session DEATH. Callers therefore pass `supersedes` (the
+  * bare key prefix, `<bare>#`): when this call's build completes, OTHER
+  * same-session entries under the same prefix are evicted and their
+  * artifacts deleted — unless some remaining entry (any session) still
+  * references the same artifact id. Another live session's older-version
+  * handle keeps both its entry and its dir; the CALLER's own older
+  * handles are superseded by definition (the fingerprint comes from
+  * current content — no caller can ever ask for the old digest again).
   */
 private[graft] final class BuildOnce[V](
     scope: String,
     reap: (SparkSession, V) => Unit,
-    artifactId: V => String) {
+    artifactId: V => String,
+    isDead: SparkSession => Boolean = _.sparkContext.isStopped) {
 
   /** One cache slot: `value` memoizes the build (evaluated lazily —
     * OUTSIDE the map lock), `maybeValue` exposes it only once built
-    * (reaping must never force a build to decide what to delete).
+    * (reaping must never force a build to decide what to delete),
+    * `intendedId` protects the output path from install time.
     */
-  private final class Cell(val params: String, thunk: () => V) {
+  private final class Cell(
+      val params: String, val intendedId: Option[String], thunk: () => V) {
     @volatile private var built: Option[V] = None
     lazy val value: V = { val v = thunk(); built = Some(v); v }
     def maybeValue: Option[V] = built
   }
 
+  private def idOf(c: Cell): Option[String] =
+    c.maybeValue.map(artifactId).orElse(c.intendedId)
+
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Cell]()
 
   def getOrBuild(spark: SparkSession, key: String, params: String,
-      build: => V): V = {
-    reapDead(spark)
-    val cell = entries.computeIfAbsent(
-      (spark, key), _ => new Cell(params, () => build))
+      build: => V,
+      intendedId: Option[String] = None,
+      supersedes: Option[String] = None): V = {
+    // reap + install under ONE monitor acquisition: a concurrent caller's
+    // reap either runs before this install (and may delete the dead
+    // artifact — this build then writes fresh) or after it (and sees this
+    // cell's intendedId among the live ids). The build itself stays
+    // outside — only map surgery happens under the lock.
+    val cell = synchronized {
+      reapDead(spark)
+      entries.computeIfAbsent(
+        (spark, key), _ => new Cell(params, intendedId, () => build))
+    }
     require(cell.params == params,
       s"$scope: cache hit for key '$key' built with params [${cell.params}] " +
         s"but requested [$params] — the artifact does not match the " +
         "arguments. Use one parameter set per key, or fold the params " +
         "into the key/path.")
-    cell.value
+    val v = cell.value
+    supersedes.foreach(reapSuperseded(spark, _, key))
+    v
   }
 
+  /** Evict the CALLING session's other entries under `keyPrefix` (older
+    * content versions of the same bare key) and delete their artifacts —
+    * unless a surviving entry still references the same artifact id.
+    */
+  private def reapSuperseded(
+      caller: SparkSession, keyPrefix: String, currentKey: String): Unit =
+    synchronized {
+      val victims = entries.asScala.filter { case ((s, k), _) =>
+        (s eq caller) && k != currentKey && k.startsWith(keyPrefix)
+      }.toSeq
+      if (victims.isEmpty) return
+      val victimKeys = victims.map(_._1).toSet
+      val stillReferenced = entries.asScala.collect {
+        case (k, c) if !victimKeys.contains(k) => idOf(c)
+      }.flatten.toSet
+      victims.foreach { case (k, c) =>
+        entries.remove(k)
+        c.maybeValue.foreach { v =>
+          if (!stillReferenced.contains(artifactId(v)))
+            try reap(caller, v)
+            catch { case err: Throwable =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"$scope: could not reap superseded artifact ${artifactId(v)}: $err")
+            }
+        }
+      }
+    }
+
+  // callers hold the monitor (getOrBuild's synchronized block)
   private def reapDead(caller: SparkSession): Unit = {
     val liveIds = entries.asScala.collect {
-      case ((s, _), c) if !s.sparkContext.isStopped => c.maybeValue.map(artifactId)
+      case ((s, _), c) if !isDead(s) => idOf(c)
     }.flatten.toSet
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
+      if (isDead(e.getKey._1)) {
         e.getValue.maybeValue.foreach { v =>
           if (!liveIds.contains(artifactId(v))) {
             try reap(caller, v)

@@ -159,7 +159,13 @@ object Graph {
             col(dstCol).cast("long").as("dst")),
           name, "src", buckets)
         name
-      })
+      },
+      // no intendedId: each build mints a FRESH UUID table, so a dead
+      // session's entry can never share an artifact id with an in-flight
+      // build here. Superseded content versions of the same bare key
+      // still GC in-session (the table of an old fingerprint is garbage
+      // the moment a new digest builds — nobody can re-derive it).
+      supersedes = fingerprintBy.map(_ => s"$key#"))
   }
 
   /** The damped all-long fixpoint over a prepared (src, dst) edge frame —

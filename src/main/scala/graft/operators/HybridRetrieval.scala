@@ -155,9 +155,45 @@ object HybridRetrieval {
     (dense, lexLegIndexed(docs, index, nQueries, legK, termCap, k1, b))
   }
 
+  /** Plan-literal budget for the indexed probe's term filters (r13
+    * verdict #5): at or below it each pruned scan carries a fully static
+    * `term IN (…)` literal list; above it the term restriction becomes a
+    * broadcast LEFT SEMI join against the same driver-resolved vocab —
+    * identical filtering, but thousands of query terms no longer bloat
+    * the physical plan into a thousands-of-literals expression tree. The
+    * pb bucket pruning stays static either way: distinct pb values are
+    * bounded by the index's bucket count, never by the vocab.
+    */
+  private[graft] val VocabIsinThreshold = 512
+
+  /** `term IN (vocab)` as literals (static pruning) below
+    * [[VocabIsinThreshold]]; a broadcast semi-join above it.
+    */
+  private def termPruned(scan: DataFrame, terms: Seq[String]): DataFrame =
+    if (terms.size <= VocabIsinThreshold) scan.filter(col("term").isin(terms: _*))
+    else {
+      val sp = scan.sparkSession
+      import sp.implicits._
+      scan.join(broadcast(terms.toDF("term")), Seq("term"), "left_semi")
+    }
+
   /** The lexical leg alone, probing the persisted q82b posting index —
-    * factored out of [[legsIndexed]] so [[rrfFuseAnnGate]] (q85c) can
-    * pair ONE lexical probe with both dense-leg variants.
+    * factored out of [[legsIndexed]] so [[rrfFuseAnnGate]] (q85c) and
+    * [[rrfFuseAnn]] can pair ONE lexical probe with either dense leg.
+    *
+    * == QUERY-BATCH CONTRACT (driver-bounded, r13 verdict #5) ==
+    * The query docs' distinct terms are COLLECTED to the driver (the
+    * vocab must be resolved to pb buckets at plan time — that is what
+    * makes the probe's scans statically pruned), so driver memory and
+    * plan size scale with `nQueries × terms/doc`, NOT the corpus: at the
+    * registered contract (10 query docs) that is a few hundred strings
+    * (475 measured on the rich-vocab probe corpora). Large batches stay
+    * bounded but switch representation: above [[VocabIsinThreshold]]
+    * distinct terms, the scans' term restriction becomes a broadcast
+    * semi-join instead of a plan-literal `isin` list ([[termPruned]] —
+    * spec-asserted equal on a forced-fallback corpus). Batches large
+    * enough that even the COLLECT hurts (≫10⁵ terms) are outside this
+    * operator's contract — shard the query batch and union the fusions.
     */
   private def lexLegIndexed(
       docs: DataFrame, index: Bm25.Bm25Index,
@@ -189,9 +225,8 @@ object HybridRetrieval {
     // hundreds of terms while the capped set is ≤ nQueries × termCap,
     // so the wide (doc_id, dl, tf) read + aggregate never pays for
     // postings the cap was about to discard.
-    val fullScan = spark.read.parquet(index.path)
-      .filter(col("pb").isin(pbs: _*))
-      .filter(col("term").isin(vocab: _*))
+    val fullScan = termPruned(
+      spark.read.parquet(index.path).filter(col("pb").isin(pbs: _*)), vocab)
     val dfTbl = fullScan.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // bounded (≤ nQueries × termCap rows): pin it — it feeds the scoring
     // join AND the driver-side capped-vocab resolution below
@@ -204,9 +239,9 @@ object HybridRetrieval {
           capped.map(t => pmod(xxhash64(lit(t)), lit(index.buckets))): _*).collect().head
         capped.indices.map(row.getLong(_)).distinct
       }
-    val scoringScan = spark.read.parquet(index.path)
-      .filter(col("pb").isin(cappedPbs: _*))
-      .filter(col("term").isin(capped: _*))
+    val scoringScan = termPruned(
+      spark.read.parquet(index.path).filter(col("pb").isin(cappedPbs: _*)),
+      capped)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
 
     val stats = spark.range(1)
@@ -263,13 +298,8 @@ object HybridRetrieval {
       k1: Double, b: Double, rrfK: Double): (DataFrame, DataFrame) = {
     val textIds = docs.filter(col("text").isNotNull)
       .select(col("doc_id").cast("long").as("vec_id"))
-    val corpus = emb.join(textIds, Seq("vec_id"), "left_semi")
-    val queries = corpus.filter(col("vec_id") < nQueries)
-    val annDense = Pq.ivfTopKIndexed(
-      denseIndex, corpus, queries, "vec_id", "embedding", legK,
-      nprobe = nprobe, refine = refine)
-      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
-        col("rank").as("rank_d"))
+    val annDense = annDenseLeg(
+      textIds, emb, denseIndex, nQueries, legK, nprobe, refine)
     val exactDense = denseLeg(textIds, emb, nQueries, legK)
     // bounded (≤ queries × legK rows): pin it so ONE posting-index probe
     // feeds both fusions
@@ -279,6 +309,48 @@ object HybridRetrieval {
       .select(col("query_id"), col("doc_id").as("neighbor_id")),
       fuse(exactDense, lex, fuseK, rrfK)
         .select(col("query_id"), col("doc_id").as("neighbor_id")))
+  }
+
+  /** The ANN dense leg: rank over the persisted IVF-PQ index — the
+    * cell-pruned scan + ADC shortlist + bounded exact refine of
+    * [[Pq.ivfTopKIndexed]], reshaped to the (qid, id, rank_d) leg schema.
+    */
+  private def annDenseLeg(
+      textIds: DataFrame, emb: DataFrame, denseIndex: Pq.IvfPqIndex,
+      nQueries: Int, legK: Int, nprobe: Int, refine: Int): DataFrame = {
+    val corpus = emb.join(textIds, Seq("vec_id"), "left_semi")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    Pq.ivfTopKIndexed(
+      denseIndex, corpus, queries, "vec_id", "embedding", legK,
+      nprobe = nprobe, refine = refine)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+        col("rank").as("rank_d"))
+  }
+
+  /** The PRODUCTION ANN-only hybrid probe (r13 verdict #4): both legs on
+    * persisted indexes — lexical from the q82b posting artifact
+    * ([[lexLegIndexed]], statically pb-pruned), dense from the q107b
+    * IVF-PQ artifact ([[annDenseLeg]], statically cell-pruned) — WITHOUT
+    * computing the exact dense leg the gate pays for its comparison:
+    * [[rrfFuseAnnGate]] is the correctness row (it recomputes the exact
+    * fusion to verify the overlap floor), this is what a serving caller
+    * runs — strictly less work, the same ANN fused ranking row-for-row
+    * (spec-asserted, including a plan assertion that no full-corpus
+    * dense scan appears). Returns the full fused ranking
+    * (query_id, rank, doc_id, rrf), the [[rrfFuse]] output shape.
+    */
+  def rrfFuseAnn(
+      docs: DataFrame, emb: DataFrame,
+      lexIndex: Bm25.Bm25Index, denseIndex: Pq.IvfPqIndex,
+      nQueries: Int = 10, legK: Int = 20, termCap: Int = 16, fuseK: Int = 10,
+      nprobe: Int = 8, refine: Int = 200,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Double = 60.0): DataFrame = {
+    val textIds = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("vec_id"))
+    fuse(
+      annDenseLeg(textIds, emb, denseIndex, nQueries, legK, nprobe, refine),
+      lexLegIndexed(docs, lexIndex, nQueries, legK, termCap, k1, b),
+      fuseK, rrfK)
   }
 
   /** The shared RRF tail: fuse the two rank lists, bounded-top-fuseK. */

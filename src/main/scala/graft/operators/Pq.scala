@@ -281,7 +281,12 @@ object Pq {
       (s"$path#$fp", BuildOnce.versionedPath(path, fp))
     }
     builtIndexes.getOrBuild(corpus.sparkSession, key, s"nlist=$nlist",
-      writeIndex(corpus, idCol, vecCol, model, target, nlist))
+      writeIndex(corpus, idCol, vecCol, model, target, nlist),
+      // protect the output path from install time (a dead session's
+      // same-path artifact must not be reaped mid-build), and GC this
+      // session's superseded content versions once this one is built
+      intendedId = Some(target),
+      supersedes = fingerprintBy.map(_ => s"$path#"))
   }
 
   def writeIndex(

@@ -77,25 +77,133 @@ class BuildOnceSpec extends SparkTestBase {
       != BuildOnce.fingerprint(c, "doc_id, text"))
   }
 
-  test("fingerprinted rebuild never aliases an earlier handle's artifact") {
-    // corpus A, then B (rebuild), then A again: the A handle must come
-    // back from cache with its OWN on-disk postings still intact — the
-    // r12 ADVICE failure was a bare-path rebuild leaving A's in-memory
-    // stats pointing at B's data
+  test("a superseding rebuild reaps the old version dir; re-asking rebuilds fresh, never aliased") {
+    // corpus A, then B: B's build SUPERSEDES A in this session — A's
+    // version dir is GC'd (r13 verdict #3: without in-session GC a daily
+    // mutating corpus abandons one version dir per day) — and versions
+    // still never alias (each digest owns its own sibling path; the r12
+    // ADVICE failure was a bare-path rebuild leaving A's in-memory stats
+    // pointing at B's data)
     val path = java.nio.file.Files.createTempDirectory("once_alias").toString + "/idx"
     val fpBy = Some("doc_id, text")
     val fa = Bm25.writeIndexOnce(corpus("one"), path, fingerprintBy = fpBy)
+    assert(new java.io.File(fa.path).exists())
     val fb = Bm25.writeIndexOnce(corpus("two"), path, fingerprintBy = fpBy)
     assert(fa.path != fb.path, "each content version must own a distinct path")
-    val fa2 = Bm25.writeIndexOnce(corpus("one"), path, fingerprintBy = fpBy)
-    assert(fa2 eq fa, "corpus A again must hit the cache")
-    val hitsA = Bm25.retrieveIndexed(fa2, spark, terms = Seq("one"))
-      .select("doc_id").as[Long].collect().toSet
-    assert(hitsA.nonEmpty,
-      "the A handle must still serve corpus A's terms after B's rebuild")
+    assert(!new java.io.File(fa.path).exists(),
+      "the superseded version dir must be reaped when the new build lands")
     val hitsB = Bm25.retrieveIndexed(fb, spark, terms = Seq("two"))
       .select("doc_id").as[Long].collect().toSet
     assert(hitsB.nonEmpty)
+    // content flips BACK to A: same digest, but the entry was superseded
+    // — a fresh rebuild at A's own versioned path, serving A's terms
+    // (never B's postings under A's stats — the aliasing bug)
+    val fa2 = Bm25.writeIndexOnce(corpus("one"), path, fingerprintBy = fpBy)
+    assert(!(fa2 eq fa) && fa2.path == fa.path,
+      "a superseded digest rebuilds fresh at its own versioned path")
+    val hitsA = Bm25.retrieveIndexed(fa2, spark, terms = Seq("one"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitsA.nonEmpty, "the rebuilt handle must serve corpus A's terms")
+  }
+
+  test("in-session version GC: three successive content mutations leave exactly one version dir") {
+    val root = java.nio.file.Files.createTempDirectory("once_gc").toString
+    val path = s"$root/idx"
+    val fpBy = Some("doc_id, text")
+    def versionDirs: Seq[String] = new java.io.File(root).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("idx.fp-"))
+      .map(_.getName)
+    val f1 = Bm25.writeIndexOnce(corpus("one"), path, fingerprintBy = fpBy)
+    assert(versionDirs.size == 1)
+    val f2 = Bm25.writeIndexOnce(corpus("two"), path, fingerprintBy = fpBy)
+    assert(versionDirs.size == 1,
+      s"mutation 2 must reap mutation 1's dir, found: $versionDirs")
+    val f3 = Bm25.writeIndexOnce(corpus("three"), path, fingerprintBy = fpBy)
+    assert(versionDirs.size == 1,
+      s"mutation 3 must reap mutation 2's dir, found: $versionDirs")
+    assert(Seq(f1.path, f2.path, f3.path).distinct.size == 3)
+    assert(new java.io.File(f3.path).exists())
+    // the survivor serves the LATEST content, and still amortizes
+    val hits = Bm25.retrieveIndexed(f3, spark, terms = Seq("three"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty)
+    assert(Bm25.writeIndexOnce(corpus("three"), path, fingerprintBy = fpBy) eq f3,
+      "the current version must keep hitting the cache")
+  }
+
+  test("a dead session's same-path artifact is never reaped under a live in-flight build (intended id)") {
+    // the r13 ADVICE (low) window, deterministic: a LIVE caller has
+    // installed its cell and is mid-build at path P when the session that
+    // built P's previous incarnation dies — a third caller's reap must
+    // see the in-flight build's INTENDED id and leave P alone
+    val dead = java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+    val cache = new BuildOnce[String]("spec-intended",
+      (_, v) => BuildOnce.deleteDir(v), identity, isDead = dead.contains)
+    val path = java.nio.file.Files.createTempDirectory("once_intended").toString + "/artifact"
+    def mk(tag: String): String = {
+      val d = new java.io.File(path)
+      d.mkdirs(); new java.io.File(d, tag).createNewFile(); path
+    }
+    val s1 = spark.newSession()
+    cache.getOrBuild(s1, "k-old", "p", mk("v1"))
+
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(spark, "k-new", "p", {
+          mk("v2"); inBuild.countDown()
+          release.await(10, java.util.concurrent.TimeUnit.SECONDS); path
+        }, intendedId = Some(path))
+      })
+      assert(inBuild.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      dead.add(s1) // s1 dies while the rebuild is mid-flight
+      // an unrelated caller triggers the reap pass
+      cache.getOrBuild(spark, "k-bystander", "p", "unrelated")
+      assert(new java.io.File(path, "v2").exists(),
+        "reap deleted a path a live build had declared as its intended artifact")
+      release.countDown()
+      assert(fut.get(30, java.util.concurrent.TimeUnit.SECONDS) == path)
+      assert(new java.io.File(path, "v2").exists())
+    } finally pool.shutdownNow()
+  }
+
+  test("dead session + racing rebuild callers: the rebuilt artifact survives every interleave") {
+    // the r13 verdict #2 race: after a session death, two concurrent
+    // callers — one reaping the dead entry, one rebuilding at the same
+    // path — used to interleave so the reaper deleted the fresh build's
+    // output. Reap + install are now serialized; stress the interleave.
+    for (round <- 1 to 15) {
+      val dead = java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+      val cache = new BuildOnce[String]("spec-reap-race",
+        (_, v) => BuildOnce.deleteDir(v), identity, isDead = dead.contains)
+      val path = java.nio.file.Files.createTempDirectory(s"once_race$round")
+        .toString + "/artifact"
+      def mk(tag: String): String = {
+        val d = new java.io.File(path)
+        d.mkdirs(); new java.io.File(d, tag).createNewFile(); path
+      }
+      val s1 = spark.newSession()
+      cache.getOrBuild(s1, "k-dead", "p", mk("old"))
+      dead.add(s1)
+
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val rebuild = pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = cache.getOrBuild(spark, "k-rebuild", "p", {
+            mk("fresh"); Thread.sleep(10); path
+          }, intendedId = Some(path))
+        })
+        val bystander = pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = cache.getOrBuild(spark, s"k-by$round", "p", "x")
+        })
+        assert(rebuild.get(30, java.util.concurrent.TimeUnit.SECONDS) == path)
+        bystander.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        assert(new java.io.File(path, "fresh").exists(),
+          s"round $round: the rebuilt artifact was deleted by a racing reap")
+      } finally pool.shutdownNow()
+    }
   }
 
   test("builds run OUTSIDE the map lock: two different keys build concurrently") {

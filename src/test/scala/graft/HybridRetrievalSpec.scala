@@ -180,4 +180,111 @@ class HybridRetrievalSpec extends SparkTestBase {
         s"probe must open fewer than all $allCells cells, opened ${f.selectedPartitions.partitionCount}")
     }
   }
+
+  test("rrfFuseAnn: the production ANN-only probe equals the gate's ANN list; the exact dense scan is absent") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.{Bm25, Pq}
+    val root = java.nio.file.Files.createTempDirectory("hyb_ann_only").toString
+    val docs2 = (0L until 20L)
+      .map(i => (i, s"apple banana word${i % 5} filler$i"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    // PARQUET-backed embeddings so dense-side scans are observable plan
+    // nodes (an in-memory frame would hide the exact leg's corpus scan)
+    (0L until 20L).map { i =>
+      val arr = Array.fill(8)(0.01f * (i % 3))
+      arr((i % 4).toInt * 2) = 1f
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/emb_store")
+    val embP = spark.read.parquet(s"$root/emb_store")
+    val bmIdx = Bm25.writeIndex(docs2, s"$root/bm25_idx", buckets = 16)
+    val pqIdx = Pq.writeIndex(embP, "vec_id", "embedding",
+      Pq.train(embP, "vec_id", "embedding", m = 4, k = 8),
+      s"$root/hyb_dense_idx", nlist = 4)
+
+    val annOnly = HybridRetrieval.rrfFuseAnn(
+      docs2, embP, bmIdx, pqIdx, nQueries = 2, legK = 5, termCap = 2,
+      fuseK = 5, nprobe = 1, refine = 20)
+    val (annList, _) = HybridRetrieval.annFusedLists(
+      docs2, embP, bmIdx, pqIdx, nQueries = 2, legK = 5, termCap = 2,
+      fuseK = 5, nprobe = 1, refine = 20, k1 = 1.2, b = 0.75, rrfK = 60.0)
+    val got = annOnly.orderBy("query_id", "rank")
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSeq
+    val want = annList.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.toSet == want.toSet && got.size == want.size,
+      s"production probe must equal the gate's ANN list: got=$got want=$want")
+
+    // plan assertions: the dense INDEX is scanned (cell-pruned), and the
+    // exact dense leg is ABSENT — the gate's plan scans the embedding
+    // store strictly more often (its exact leg's full-corpus scan)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => p.children.flatMap(walk)
+    })
+    def scansOf(df: org.apache.spark.sql.DataFrame, tag: String) =
+      walk(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(tag)) => f
+      }
+    annOnly.write.format("noop").mode("overwrite").save()
+    val gate = HybridRetrieval.rrfFuseAnnGate(
+      docs2, embP, bmIdx, pqIdx, nQueries = 2, legK = 5, termCap = 2,
+      fuseK = 5, nprobe = 1, refine = 20, floor = 0.2)
+    gate.collect()
+    val idxScans = scansOf(annOnly, "hyb_dense_idx")
+    assert(idxScans.nonEmpty, "the probe must scan the dense index")
+    val allCells = new java.io.File(s"$root/hyb_dense_idx").listFiles
+      .count(_.getName.startsWith("cell="))
+    idxScans.foreach(f => assert(f.selectedPartitions.partitionCount < allCells))
+    val annEmbScans = scansOf(annOnly, "emb_store").size
+    val gateEmbScans = scansOf(gate, "emb_store").size
+    assert(annEmbScans < gateEmbScans,
+      s"the exact dense leg's corpus scan must be absent from the " +
+        s"production probe's plan: ann=$annEmbScans gate=$gateEmbScans")
+  }
+
+  test("query vocab over the isin threshold: the semi-join fallback ranks identically to the in-query path") {
+    import graft.operators.Bm25
+    // 6 query docs × ~100 distinct terms each pushes the query vocab past
+    // VocabIsinThreshold — the probe's term pruning must switch from plan
+    // literals to a broadcast semi-join WITHOUT changing a single rank.
+    // Terms are pair-shared (u<g>_<j> appears in docs g and g+20) so the
+    // idf cap retains cross-doc matches and the ranking is non-trivial.
+    val bigDocs = (0L until 40L).map { i =>
+      val grouped = (0 until 100).map(j => s"u${i % 20}_$j").mkString(" ")
+      (i, s"shared${i % 7} $grouped")
+    }.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val bigEmb = (0L until 40L).map { id =>
+      val raw = (0 until 8).map(j => math.sin(id * 31 + j + 1))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (id, raw.map(x => (x / n).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val vocabN = bigDocs.filter($"doc_id" < 6)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("t"))
+      .distinct().count()
+    assert(vocabN > HybridRetrieval.VocabIsinThreshold,
+      s"fixture must force the fallback: vocab=$vocabN <= ${HybridRetrieval.VocabIsinThreshold}")
+
+    val root = java.nio.file.Files.createTempDirectory("hyb_fallback").toString
+    val bmIdx = Bm25.writeIndex(bigDocs, s"$root/bm25_idx", buckets = 16)
+    val indexed = HybridRetrieval.rrfFuseIndexed(
+      bigDocs, bigEmb, bmIdx, nQueries = 6, legK = 5, termCap = 4, fuseK = 5)
+    val inQuery = HybridRetrieval.rrfFuse(
+      bigDocs, bigEmb, nQueries = 6, legK = 5, termCap = 4, fuseK = 5)
+    val a = indexed.as[(Long, Int, Long, Double)].collect().toSet
+    val b = inQuery.as[(Long, Int, Long, Double)].collect().toSet
+    assert(a == b, s"fallback path must rank identically: only-indexed=" +
+      s"${(a -- b).take(3)} only-inquery=${(b -- a).take(3)}")
+    // the fallback really engaged: the df pass restricts terms via a
+    // LEFT SEMI broadcast join, not a 600-literal isin list
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "expected the broadcast semi-join term restriction in the plan")
+  }
 }
