@@ -217,7 +217,7 @@ object Compaction {
     * exhaustion the moved-aside copy is restored so the dir is never left
     * absent or half-installed.
     */
-  private def installStage(
+  private[graft] def installStage(
       fs: org.apache.hadoop.fs.FileSystem, staged: Path, dir: Path,
       old: Path, lateNames: Set[String], dirPath: String): Unit = {
     var tries = 0

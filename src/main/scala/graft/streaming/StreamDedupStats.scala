@@ -186,6 +186,12 @@ object StreamDedupStats {
 
     val empty = Dedup.nearDupIndex(batch.limit(0), idCol, textCol, n)
     def load(sub: String, or: DataFrame): DataFrame = {
+      // the monitor index has the same append-forever flat-dir shape as
+      // the dedup indexes, so a deployment pointing Compaction.compactFlat
+      // at it gets the same reader guarantee: a swap interrupted between
+      // its renames must read as the sealed full index, never as "no
+      // index yet" (reader mode — completes sealed swaps, deletes nothing)
+      graft.sources.Compaction.healCompactFlat(spark, s"$indexDir/$sub")
       val p = new Path(s"$indexDir/$sub")
       if (p.getFileSystem(conf).exists(p)) spark.read.parquet(p.toString) else or
     }

@@ -202,4 +202,37 @@ class CompactionSpec extends SparkTestBase {
     assert(got == (1 to 20).map(i => (i.toLong, i * 3L)).toSet + ((999L, 999L)),
       "the unmerged append must be preserved, snapshot rows not duplicated")
   }
+
+  test("swap-in folds a recreated live dir into the stage (the append-in-the-absent-window race, deterministic)") {
+    // the exact state an appender creates between compactFlat's two
+    // renames: the live dir was moved aside, the sealed stage holds the
+    // compacted index, and a concurrent append has RECREATED the live
+    // dir with one fresh part file. installStage must fold that file
+    // into the stage and install — never rename the stage INTO the
+    // recreated dir (the pre-fix nesting that deleted the full index).
+    val root = Files.createTempDirectory("compactnest").toString
+    val dir = s"$root/keys"
+    (1 to 20).map(i => (i.toLong, i * 5L)).toDF("id", "bh")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val staged = new java.io.File(s"$dir.compact.staged")
+    assert(new java.io.File(dir).renameTo(staged), "stage the compacted content")
+    new java.io.File(staged, "_swap_ready").createNewFile()
+    // the appender's recreation of the live dir
+    Seq((777L, 777L)).toDF("id", "bh").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Compaction.installStage(fs,
+      new org.apache.hadoop.fs.Path(s"$dir.compact.staged"),
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.compact.old"),
+      Set.empty, dir)
+    assert(!staged.exists(), "the stage must be installed, not nested")
+    assert(!new java.io.File(s"$dir/keys.compact.staged").exists(),
+      "no nested stage dir may survive")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    assert(got == (1 to 20).map(i => (i.toLong, i * 5L)).toSet + ((777L, 777L)),
+      "compacted content + the folded append, nothing lost or duplicated")
+  }
 }
