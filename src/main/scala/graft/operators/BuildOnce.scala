@@ -60,15 +60,17 @@ import scala.jdk.CollectionConverters._
   * produced anything — callers that know the output path up front pass
   * `intendedId`, so a dead session's same-path artifact cannot be reaped
   * mid-build of the live one (r13 ADVICE: deriving ids only from BUILT
-  * values left the in-flight window unprotected). Reap and install are
-  * serialized on the cache monitor (builds are NOT — they still run
-  * outside every lock): a reap decision and a concurrent same-path
-  * install cannot interleave, so a racing caller can never delete a dir
-  * another caller has started rebuilding at (r13 verdict #2 — the
-  * weakly-consistent-iterator race). A dead session's cell whose build
-  * never COMPLETED has nothing provably on disk to reap — its entry is
-  * dropped and any partial output is left to the artifact's own
-  * overwrite/heal discipline.
+  * values left the in-flight window unprotected). Reap DECISIONS and
+  * installs are serialized on the cache monitor, but the deletes
+  * themselves run OUTSIDE it with their ids tombstoned (r14: a slow
+  * delete under the monitor blocked every unrelated same-cache install
+  * for its duration) — an install naming a tombstoned id waits for the
+  * delete to finish, so a racing caller still can never build into a dir
+  * another caller is deleting (r13 verdict #2 — the
+  * weakly-consistent-iterator race — stays closed). A dead session's
+  * cell whose build never COMPLETED has nothing provably on disk to reap
+  * — its entry is dropped and any partial output is left to the
+  * artifact's own overwrite/heal discipline.
   *
   * == SUPERSEDED VERSIONS (r13 verdict #3) ==
   * Fingerprinted callers version their keys (`<bare>#<digest>`) and
@@ -108,20 +110,34 @@ private[graft] final class BuildOnce[V](
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Cell]()
 
+  /** Artifact ids whose delete is IN FLIGHT (decided under the monitor,
+    * executing outside it). An install naming a tombstoned id waits for
+    * the delete to finish — that is the whole no-delete-under-build
+    * guarantee, now kept without holding the monitor across the delete
+    * itself (r14 residue (b): a slow artifact delete — Graph's DROP
+    * TABLE, a big version dir — used to block every unrelated same-cache
+    * install for its full duration). Guarded by `this`.
+    */
+  private val reaping = scala.collection.mutable.Set.empty[String]
+
   def getOrBuild(spark: SparkSession, key: String, params: String,
       build: => V,
       intendedId: Option[String] = None,
       supersedes: Option[String] = None): V = {
-    // reap + install under ONE monitor acquisition: a concurrent caller's
-    // reap either runs before this install (and may delete the dead
-    // artifact — this build then writes fresh) or after it (and sees this
-    // cell's intendedId among the live ids). The build itself stays
-    // outside — only map surgery happens under the lock.
-    val cell = synchronized {
-      reapDead(spark)
-      entries.computeIfAbsent(
+    // reap DECISION + install under ONE monitor acquisition: a concurrent
+    // caller's decision either runs before this install (tombstoning the
+    // dead artifact's id — this caller then waits out the delete and
+    // builds fresh) or after it (and sees this cell's intendedId among
+    // the live ids). The delete EXECUTION and the build both run outside
+    // — only map surgery and tombstone bookkeeping happen under the lock.
+    val (cell, victims) = synchronized {
+      while (intendedId.exists(reaping.contains)) wait()
+      val vs = collectDead(spark)
+      val c = entries.computeIfAbsent(
         (spark, key), _ => new Cell(params, intendedId, () => build))
+      (c, vs)
     }
+    runReaps(spark, victims)
     require(cell.params == params,
       s"$scope: cache hit for key '$key' built with params [${cell.params}] " +
         s"but requested [$params] — the artifact does not match the " +
@@ -135,51 +151,81 @@ private[graft] final class BuildOnce[V](
   /** Evict the CALLING session's other entries under `keyPrefix` (older
     * content versions of the same bare key) and delete their artifacts —
     * unless a surviving entry still references the same artifact id.
+    * Deletes run outside the monitor (tombstoned like [[collectDead]]'s).
     */
   private def reapSuperseded(
-      caller: SparkSession, keyPrefix: String, currentKey: String): Unit =
-    synchronized {
-      val victims = entries.asScala.filter { case ((s, k), _) =>
+      caller: SparkSession, keyPrefix: String, currentKey: String): Unit = {
+    val victims: Seq[V] = synchronized {
+      val superseded = entries.asScala.filter { case ((s, k), _) =>
         (s eq caller) && k != currentKey && k.startsWith(keyPrefix)
       }.toSeq
-      if (victims.isEmpty) return
-      val victimKeys = victims.map(_._1).toSet
+      if (superseded.isEmpty) return
+      val victimKeys = superseded.map(_._1).toSet
       val stillReferenced = entries.asScala.collect {
         case (k, c) if !victimKeys.contains(k) => idOf(c)
       }.flatten.toSet
-      victims.foreach { case (k, c) =>
+      val out = Seq.newBuilder[V]
+      superseded.foreach { case (k, c) =>
         entries.remove(k)
         c.maybeValue.foreach { v =>
-          if (!stillReferenced.contains(artifactId(v)))
-            try reap(caller, v)
-            catch { case err: Throwable =>
-              org.slf4j.LoggerFactory.getLogger(getClass)
-                .warn(s"$scope: could not reap superseded artifact ${artifactId(v)}: $err")
-            }
+          val id = artifactId(v)
+          if (!stillReferenced.contains(id) && !reaping.contains(id)) {
+            reaping += id
+            out += v
+          }
         }
       }
+      out.result()
     }
+    runReaps(caller, victims)
+  }
 
-  // callers hold the monitor (getOrBuild's synchronized block)
-  private def reapDead(caller: SparkSession): Unit = {
+  /** Remove dead sessions' entries and return the values whose artifacts
+    * this caller must delete, their ids tombstoned. Callers hold the
+    * monitor (getOrBuild's synchronized block); the ids stay tombstoned
+    * until the caller's [[runReaps]] clears them.
+    */
+  private def collectDead(caller: SparkSession): Seq[V] = {
     val liveIds = entries.asScala.collect {
       case ((s, _), c) if !isDead(s) => idOf(c)
     }.flatten.toSet
+    val victims = Seq.newBuilder[V]
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (isDead(e.getKey._1)) {
         e.getValue.maybeValue.foreach { v =>
-          if (!liveIds.contains(artifactId(v))) {
-            try reap(caller, v)
-            catch { case err: Throwable =>
-              org.slf4j.LoggerFactory.getLogger(getClass)
-                .warn(s"$scope: could not reap evicted artifact ${artifactId(v)}: $err")
-            }
+          val id = artifactId(v)
+          // an id already in `reaping` is being deleted by another caller
+          // right now — claiming it twice would double-delete
+          if (!liveIds.contains(id) && !reaping.contains(id)) {
+            reaping += id
+            victims += v
           }
         }
         it.remove()
       }
+    }
+    victims.result()
+  }
+
+  /** Run the reap callback for each claimed victim OUTSIDE the monitor,
+    * then clear the tombstones and wake installers waiting on them. The
+    * clear is unconditional (finally): a failed delete must not leave a
+    * tombstone that hangs every future same-path install — the artifact's
+    * own overwrite/heal discipline owns that debris.
+    */
+  private def runReaps(caller: SparkSession, victims: Seq[V]): Unit = {
+    if (victims.isEmpty) return
+    try victims.foreach { v =>
+      try reap(caller, v)
+      catch { case err: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"$scope: could not reap artifact ${artifactId(v)}: $err")
+      }
+    } finally synchronized {
+      victims.foreach(v => reaping -= artifactId(v))
+      notifyAll()
     }
   }
 }

@@ -161,22 +161,29 @@ object Compaction {
     // mid-rewrite would be folded into the stage AND survive as late
     // files: duplicated)
     val snapshot = files.map(_.getPath.getName).toSet
+    // manifest of the snapshot into the LIVE dir, BEFORE the move-aside:
+    // it rides rename(dir, old) atomically, so EVERY post-move-aside
+    // crash state leaves `.old` with the manifest — the writer heal uses
+    // it to tell concurrently-appended files (preserve into the live
+    // dir) from snapshot files (already in the compacted stage —
+    // discard) before deleting `.old`. Writing it AFTER the move-aside
+    // (the r14-swept code) left a one-FS-op crash gap whose `.old` was
+    // manifest-less, and the heal's no-manifest branch (needed for
+    // pre-manifest debris) discarded that window's appends with it.
+    // Underscore-prefixed, so parquet dir reads and Sidecar both skip it.
+    writeSnapshotManifest(fs, dir, snapshot)
     spark.read.parquet(files.map(_.getPath.toString): _*).repartition(nOut)
       .write.mode("overwrite").parquet(staged.toString)
     fs.create(new Path(staged, SwapReady), true).close()
     if (!fs.rename(dir, old)) {
-      // live dir untouched — discard the stage and fail loudly rather
-      // than proceed into a swap whose first half already failed
+      // live dir untouched — discard the stage (and the manifest, now
+      // stale) and fail loudly rather than proceed into a swap whose
+      // first half already failed
       fs.delete(staged, true)
+      fs.delete(new Path(dir, SnapshotManifest), false)
       throw new IllegalStateException(
         s"compactFlat: could not move $dirPath aside; live dir intact, stage discarded")
     }
-    // manifest of the snapshot INSIDE the moved-aside copy: if this run
-    // crashes mid-merge below, the next writer-mode heal uses it to tell
-    // concurrently-appended files (preserve into the live dir) from
-    // snapshot files (already in the compacted stage — discard) before
-    // deleting `.old`; without it a crash here could lose appends
-    writeSnapshotManifest(fs, old, snapshot)
     // appends that landed between the snapshot listing and the
     // move-aside rode into `.old` — fold them into the stage (or into
     // the live dir, if a racing reader's heal already installed the
@@ -365,8 +372,10 @@ object Compaction {
     }
   }
 
-  /** Persist the compaction snapshot's file names inside the moved-aside
-    * copy, so a heal after a crash can tell appends from snapshot files.
+  /** Persist the compaction snapshot's file names into the live dir
+    * (pre-move-aside, so the manifest rides the rename into `.old`
+    * atomically) — a heal after a crash can then tell appends from
+    * snapshot files in EVERY post-move-aside crash state.
     */
   private def writeSnapshotManifest(
       fs: org.apache.hadoop.fs.FileSystem, old: Path,

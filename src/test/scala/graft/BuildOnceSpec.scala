@@ -206,6 +206,89 @@ class BuildOnceSpec extends SparkTestBase {
     }
   }
 
+  test("a slow artifact delete does not block unrelated installs (reaps run outside the monitor)") {
+    // the r14 residue (b): reap callbacks (artifact deletes, Graph's DROP
+    // TABLE) used to run UNDER the cache monitor — a slow delete blocked
+    // every unrelated same-cache install for its duration. Now the
+    // decision tombstones under the monitor and the delete runs outside:
+    // park a delete on a latch and assert an unrelated getOrBuild
+    // completes while it is still in flight.
+    val dead = java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+    val reapStarted = new java.util.concurrent.CountDownLatch(1)
+    val reapRelease = new java.util.concurrent.CountDownLatch(1)
+    val cache = new BuildOnce[String]("spec-slow-reap",
+      (_, _) => {
+        reapStarted.countDown()
+        assert(reapRelease.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      }, identity, isDead = dead.contains)
+    val s1 = spark.newSession()
+    cache.getOrBuild(s1, "k-dead", "p", "dead-artifact")
+    dead.add(s1)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val trigger = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(spark, "k-trigger", "p", "t")
+      })
+      assert(reapStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // the delete is parked — an unrelated install must not queue on it
+      val unrelated = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(
+          spark, "k-unrelated", "p", "u", intendedId = Some("other-path"))
+      })
+      assert(unrelated.get(5, java.util.concurrent.TimeUnit.SECONDS) == "u",
+        "an unrelated install blocked behind an in-flight artifact delete")
+      assert(!trigger.isDone, "the reaping caller itself must still be parked")
+      reapRelease.countDown()
+      assert(trigger.get(20, java.util.concurrent.TimeUnit.SECONDS) == "t")
+    } finally pool.shutdownNow()
+  }
+
+  test("an install at a tombstoned path waits out the delete (no-delete-under-build preserved)") {
+    // the guarantee the monitor used to provide for free must survive the
+    // delete moving outside it: a caller whose intendedId names an
+    // artifact being deleted RIGHT NOW must not start building until the
+    // delete finishes — else the delete lands on the fresh build's files.
+    val dead = java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reapStarted = new java.util.concurrent.CountDownLatch(1)
+    val reapRelease = new java.util.concurrent.CountDownLatch(1)
+    val cache = new BuildOnce[String]("spec-tombstone",
+      (_, _) => {
+        reapStarted.countDown()
+        assert(reapRelease.await(20, java.util.concurrent.TimeUnit.SECONDS))
+        events.add("delete-done")
+      }, identity, isDead = dead.contains)
+    val s1 = spark.newSession()
+    cache.getOrBuild(s1, "k-dead", "p", "P")
+    dead.add(s1)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val trigger = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(spark, "k-trigger", "p", "t")
+      })
+      assert(reapStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // same-path rebuild while the delete of P is parked: must wait
+      val samePath = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(spark, "k-rebuild", "p", {
+          events.add("build-ran"); "P"
+        }, intendedId = Some("P"))
+      })
+      Thread.sleep(300)
+      assert(!samePath.isDone,
+        "a same-path install must wait for the in-flight delete")
+      assert(!events.contains("build-ran"),
+        "the fresh build started while its path was still being deleted")
+      reapRelease.countDown()
+      assert(samePath.get(20, java.util.concurrent.TimeUnit.SECONDS) == "P")
+      assert(trigger.get(20, java.util.concurrent.TimeUnit.SECONDS) == "t")
+      import scala.jdk.CollectionConverters._
+      assert(events.asScala.toSeq == Seq("delete-done", "build-ran"),
+        s"delete must strictly precede the same-path build: ${events.asScala.toSeq}")
+    } finally pool.shutdownNow()
+  }
+
   test("builds run OUTSIDE the map lock: two different keys build concurrently") {
     val cache = new BuildOnce[String]("spec-concurrent", (_, _) => (), identity)
     // each build parks until BOTH builds have started — only possible if

@@ -203,6 +203,64 @@ class CompactionSpec extends SparkTestBase {
       "the unmerged append must be preserved, snapshot rows not duplicated")
   }
 
+  test("the snapshot manifest rides the move-aside: present in the live dir for the whole rewrite, in .old whenever .old exists") {
+    // the r14 residue (a): the manifest used to be written one FS op
+    // AFTER rename(dir, old) — a crash in exactly that gap left .old
+    // manifest-less, and the writer heal's no-manifest branch (kept for
+    // pre-manifest debris) discarded it with any appends inside. Now the
+    // manifest is written into the LIVE dir before the stage rewrite, so
+    // it rides the move-aside rename atomically: observe the writer
+    // mid-flight and assert the invariant at every instant it can hold.
+    val dir = Files.createTempDirectory("compactmanifestride").toString + "/keys"
+    for (d <- 0 until 12)
+      (1 to 400).map(i => (d * 1000L + i, i.toLong)).toDF("id", "bh")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+
+    val live = new java.io.File(dir)
+    val staged = new java.io.File(s"$dir.compact.staged")
+    val old = new java.io.File(s"$dir.compact.old")
+    def hasManifest(d: java.io.File): Boolean =
+      new java.io.File(d, "_snapshot").isFile
+
+    @volatile var err: Option[String] = None
+    @volatile var sawRewriteWindow = false
+    val writer = new Thread(() => {
+      val did = Compaction.compactFlat(
+        spark, dir, maxFiles = 2, smallFileBytes = Long.MaxValue)
+      if (!did) err = Some("compactFlat declined the fragmented dir")
+    })
+    writer.start()
+    while (writer.isAlive) {
+      // rewrite window: the stage is being written while the live dir
+      // still stands — the manifest must already be in the live dir
+      // (pre-fix it was written only after the move-aside)
+      if (staged.exists() && live.exists()) {
+        val m = hasManifest(live)
+        // re-check: the stage only exists pre-swap (no appender here), so
+        // if it STILL exists the no-manifest read was genuinely taken in
+        // the rewrite window, not across a just-completed swap
+        if (staged.exists() && live.exists()) {
+          sawRewriteWindow = true
+          if (!m && err.isEmpty)
+            err = Some("live dir without _snapshot during the stage rewrite")
+        }
+      }
+      // whenever the moved-aside copy exists, the manifest rode into it
+      if (old.exists() && !hasManifest(old) && old.exists() && err.isEmpty)
+        err = Some(".old without _snapshot — the crash gap the fix closes")
+      Thread.sleep(2)
+    }
+    writer.join()
+    assert(err.isEmpty, err.getOrElse(""))
+    assert(sawRewriteWindow,
+      "the poller never observed the stage rewrite — widen the corpus")
+    // the installed dir is the stage: content intact, no stale manifest
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == before)
+    assert(!hasManifest(live), "the compacted live dir must carry no manifest")
+    assert(!old.exists() && !staged.exists())
+  }
+
   test("swap-in folds a recreated live dir into the stage (the append-in-the-absent-window race, deterministic)") {
     // the exact state an appender creates between compactFlat's two
     // renames: the live dir was moved aside, the sealed stage holds the
