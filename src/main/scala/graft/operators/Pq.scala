@@ -415,9 +415,30 @@ object Pq {
       val effK = math.min(k.toLong, n).toInt
       writeIndex(emb, idCol, vecCol, train(emb, idCol, vecCol, m, effK),
         indexDir, effNlist)
+      // layout stamp (graft.sources.IndexConf) — AFTER writeIndex, whose
+      // root-level overwrite would wipe a pre-written stamp. The builder
+      // owns the layout, so this is stamp, not ensure (a day-one replay
+      // just rebuilt every byte under ITS parameters). REQUESTED values
+      // are stamped, not effective ones (effNlist/effK cap at the
+      // day-one corpus size): producers coordinate on what they ask for.
+      graft.sources.IndexConf.stamp(spark, indexDir,
+        Map("nlist" -> nlist.toString, "m" -> m.toString, "k" -> k.toString))
       commitMarker(n)
       n
     } else {
+      // append branch: quantizes under the PERSISTED frozen model — the
+      // caller's (nlist, m, k) are build-only, so before this check a
+      // caller passing different values was SILENTLY served the frozen
+      // layout. Now the mismatch fails loudly (the Bm25.appendBatch
+      // `buckets` discipline), and a pre-stamp index (built before this
+      // discipline existed) is stamped with the caller's values on first
+      // touch. A rebuild may legitimately change the stamp — it retrains
+      // and rewrites every code — so rebuildIfDrifted stamps its staged
+      // tree instead of validating, and the stamp rides the swap exactly
+      // like the replay markers.
+      graft.sources.IndexConf.ensure(spark, indexDir,
+        Map("nlist" -> nlist.toString, "m" -> m.toString, "k" -> k.toString),
+        "IVF-PQ index")
       val idx = readIndex(spark, indexDir)
       fs.mkdirs(marker.getParent)
       // record what the data dir looked like BEFORE this attempt, so a
@@ -568,6 +589,12 @@ object Pq {
       out.write(bytes)
       out.close()
     }
+    // the rebuild owns the layout: stamp the staged tree with THIS
+    // call's requested parameters (possibly different from the old
+    // stamp — every code was just rewritten under them), so the stamp
+    // rides the swap atomically like the replay markers
+    graft.sources.IndexConf.stamp(spark, staged.toString,
+      Map("nlist" -> nlist.toString, "m" -> m.toString, "k" -> k.toString))
     // sentinel: the staged tree is complete and may replace the index.
     // Crash before it -> heal drops the stage (old index intact); crash
     // after the delete -> heal finishes the rename (markers inside)

@@ -179,6 +179,15 @@ object StreamDedupStats {
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, hitsDir: String, batchId: Long,
       n: Int = 3, threshold: Double = 0.7): Long = {
+    // the monitor index's band/shingle keys are the same pure function
+    // of (n, bands, rowsPerBand) as the dedup indexes' — stamp-or-
+    // validate so a restarted monitor under different parameters fails
+    // loudly instead of silently under-counting near-dups forever
+    // (IndexConf doc; this entry point bakes in incrementalNearDup's
+    // default banding)
+    graft.sources.IndexConf.ensure(spark, indexDir,
+      Map("n" -> n.toString, "bands" -> "32", "rowsPerBand" -> "4"),
+      "dedup-stats monitor index")
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/$batchId")
     val fs = marker.getFileSystem(conf)

@@ -104,6 +104,15 @@ object StreamFingerprint {
       indexDir: String, survivorsDir: String, batchId: Long,
       maxHamming: Int = 4,
       bucketCap: Int = Multimodal.ProductionBucketCap): Long = {
+    // the blocking keys are bandKeys56's chunk-pair covering of the
+    // Hamming ball — a pure function of maxHamming. A producer under a
+    // different radius emits keys the persisted index never stored (and
+    // vice versa): probes silently stop matching. Stamp-or-validate
+    // before anything touches the index; the fingerprint FUNCTION's
+    // identity stays the caller's contract (it is code, not a scalar —
+    // both producers must ship the same decode, as with any model).
+    graft.sources.IndexConf.ensure(spark, indexDir,
+      Map("maxHamming" -> maxHamming.toString), "media fingerprint index")
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/mb-$batchId")
     val fs = marker.getFileSystem(conf)
@@ -179,6 +188,10 @@ object StreamFingerprint {
       spark: SparkSession, docs: DataFrame, idCol: String,
       fingerprint: DataFrame => DataFrame,
       indexDir: String, batchId: Long, maxHamming: Int = 4): Long = {
+    // same stamp-or-validate as applyBatch: both producers share the one
+    // keys/ artifact, so both must agree on the blocking radius
+    graft.sources.IndexConf.ensure(spark, indexDir,
+      Map("maxHamming" -> maxHamming.toString), "media fingerprint index")
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/day-$batchId")
     val fs = marker.getFileSystem(conf)

@@ -13,6 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * shingle sets, 8-byte rows) is what persists — never the corpus text.
   *
   * Layout under `indexDir`: `bands/` and `shingles/` parquet (append-only),
+  * a `_conf` layout stamp ([[graft.sources.IndexConf]]: the band keys are
+  * a pure function of (n, bands, rowsPerBand) — a producer under
+  * different values must fail loudly, not silently stop matching; a
+  * pre-stamp index is stamped on first touch with the caller's values),
   * plus `_batches/mb-<id>` markers (the live stream's micro-batch ids) and
   * `_batches/day-<id>` markers (`cross_day_neardup`'s epoch days) —
   * namespaced PER PRODUCER (r13 verdict #1, the StreamFingerprint r13
@@ -98,6 +102,15 @@ object StreamNearDup {
       indexDir: String, survivorsDir: String, batchId: Long,
       n: Int = 3, threshold: Double = 0.7,
       namespace: String = StreamNamespace): Long = {
+    // the index's band keys and hashed shingle sets are derived from
+    // (n, bands, rowsPerBand) — this entry point bakes in
+    // incrementalNearDup's default banding, and the stamp pins all three
+    // so a producer under different parameters (a restarted stream, a
+    // misconfigured DAG leg) fails loudly instead of appending keys no
+    // probe will ever match (IndexConf doc: the silent-miss failure)
+    graft.sources.IndexConf.ensure(spark, indexDir,
+      Map("n" -> n.toString, "bands" -> "32", "rowsPerBand" -> "4"),
+      "near-dup band/shingle index")
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
     val fs = marker.getFileSystem(conf)

@@ -465,6 +465,40 @@ class PqSpec extends SparkTestBase {
     assert(graft.sources.Compaction.compact(spark, dir, "cell", maxFiles = 4).isEmpty)
   }
 
+  test("layout stamp: an append under different (nlist, m, k) fails loudly; a rebuild legitimately re-stamps") {
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6)
+    val dir = java.nio.file.Files.createTempDirectory("pq_conf").toString + "/idx"
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == day1.count())
+    // pre-stamp, a mismatched append was SILENTLY served the frozen
+    // day-one model; now the drifted caller learns it instead
+    val err = intercept[IllegalStateException] {
+      Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+        batchId = 2L, nlist = 8, k = 8)
+    }
+    assert(err.getMessage.contains("nlist: index=4 caller=8"))
+    assert(!Pq.appendBatchApplied(spark, dir, 2L),
+      "the refused batch must not have claimed its marker")
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == day2.count())
+
+    // a rebuild retrains and rewrites every code — changing the layout
+    // there is legal, and the stamp follows the swap
+    assert(Pq.rebuildIfDrifted(spark, dir, clustered, "vec_id", "embedding",
+      nlist = 8, m = 8, k = 8, maxGrowth = 1.01))
+    assert(graft.sources.IndexConf.read(spark, dir)
+      .exists(_("nlist") == "8"))
+    // appends now coordinate on the NEW layout: old request refused,
+    // new request replays/applies normally
+    intercept[IllegalStateException] {
+      Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+        batchId = 3L, nlist = 4, k = 8)
+    }
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 8, k = 8) == -1L)
+  }
+
   test("determinism: same model and ranks under different partitioning") {
     val a = Pq.train(clustered.repartition(7), "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val b = Pq.train(clustered.repartition(2), "vec_id", "embedding", m = 4, k = 8, iters = 2)

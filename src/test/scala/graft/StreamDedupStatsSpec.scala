@@ -126,4 +126,21 @@ class StreamDedupStatsSpec extends SparkTestBase {
       .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(rows == Seq(("s1", 4L, 1L, 0.25), ("s2", 4L, 2L, 0.5)))
   }
+
+  test("layout stamp: a restarted monitor under a different shingle n fails loudly") {
+    val indexDir = Files.createTempDirectory("sds_conf_idx").toString
+    val hitsDir = Files.createTempDirectory("sds_conf_hits").toString
+    val one = Seq((8L, t(0), "s2", textD)).toDF("doc_id", "ts", "source", "text")
+    assert(StreamDedupStats.applyBatch(
+      spark, one, "doc_id", "text", indexDir, hitsDir, batchId = 0L) == 0L)
+    // a monitor restarted with n=5 would band incompatibly and silently
+    // under-count near-dups against everything already indexed — refuse
+    val err = intercept[IllegalStateException] {
+      StreamDedupStats.applyBatch(
+        spark, one, "doc_id", "text", indexDir, hitsDir, batchId = 1L, n = 5)
+    }
+    assert(err.getMessage.contains("n: index=3 caller=5"))
+    assert(StreamDedupStats.applyBatch(
+      spark, one, "doc_id", "text", indexDir, hitsDir, batchId = 1L) == 0L)
+  }
 }

@@ -170,4 +170,32 @@ class StreamFingerprintSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$indexDir/keys").count() == 9L,
       "no duplicate keys after the claimed no-ops")
   }
+
+  test("layout stamp: a producer under a different maxHamming fails loudly on both grow and apply") {
+    val indexDir = Files.createTempDirectory("sfp_conf_idx").toString
+    val outDir = Files.createTempDirectory("sfp_conf_out").toString
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 1L) == 9L)
+    // a radius-3 producer emits a different chunk-pair covering: its
+    // probes would match almost nothing in a radius-4 index — refuse
+    val err = intercept[IllegalStateException] {
+      StreamFingerprint.growBatch(
+        spark, Seq((2L, imgA)).toDF("doc_id", "text"),
+        "doc_id", Multimodal.imagePhash, indexDir, batchId = 2L,
+        maxHamming = 3)
+    }
+    assert(err.getMessage.contains("maxHamming: index=4 caller=3"))
+    intercept[IllegalStateException] {
+      StreamFingerprint.applyBatch(
+        spark, Seq((2L, imgA)).toDF("doc_id", "text"), "doc_id",
+        Multimodal.imagePhash, indexDir, outDir, batchId = 2L,
+        maxHamming = 3)
+    }
+    // the refused producers appended nothing; the right radius proceeds
+    assert(spark.read.parquet(s"$indexDir/keys").count() == 9L)
+    assert(StreamFingerprint.growBatch(
+      spark, Seq((2L, imgA)).toDF("doc_id", "text"),
+      "doc_id", Multimodal.imagePhash, indexDir, batchId = 2L) == 9L)
+  }
 }

@@ -126,4 +126,41 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$indexDir/shingles").select("id")
       .as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("layout stamp: a producer under a different shingle n fails loudly, never silently mismatches keys") {
+    val indexDir = Files.createTempDirectory("snd_conf_idx").toString
+    val outDir = Files.createTempDirectory("snd_conf_out").toString
+    val day = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    assert(StreamNearDup.applyBatch(
+      spark, day, "doc_id", "text", indexDir, outDir, batchId = 1L) == 2L)
+    // day 2 configured with n=5: its band keys and shingle hashes are a
+    // different function — appending them would make future probes miss
+    val err = intercept[IllegalStateException] {
+      StreamNearDup.applyBatch(
+        spark, day, "doc_id", "text", indexDir, outDir, batchId = 2L, n = 5)
+    }
+    assert(err.getMessage.contains("n: index=3 caller=5"))
+    // index unchanged by the refused batch; the right n still proceeds
+    assert(spark.read.parquet(s"$indexDir/shingles").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(StreamNearDup.applyBatch(
+      spark, Seq((3L, docC)).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir, outDir, batchId = 2L) == 1L)
+  }
+
+  test("layout stamp migration: a pre-stamp index is stamped on first touch with the caller's n") {
+    val indexDir = Files.createTempDirectory("snd_legacy_idx").toString
+    val outDir = Files.createTempDirectory("snd_legacy_out").toString
+    val day = Seq((1L, docA)).toDF("doc_id", "text")
+    assert(StreamNearDup.applyBatch(
+      spark, day, "doc_id", "text", indexDir, outDir, batchId = 1L) == 1L)
+    // simulate a pre-upgrade index: data present, no stamp
+    new java.io.File(s"$indexDir/${graft.sources.IndexConf.ConfFile}").delete()
+    assert(graft.sources.IndexConf.read(spark, indexDir).isEmpty)
+    assert(StreamNearDup.applyBatch(
+      spark, Seq((2L, docB)).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir, outDir, batchId = 2L) == 1L)
+    assert(graft.sources.IndexConf.read(spark, indexDir)
+      .exists(_("n") == "3"), "first post-upgrade touch stamps")
+  }
 }
