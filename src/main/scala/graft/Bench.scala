@@ -20,9 +20,11 @@ object Bench {
     // by forensics. /proc reads; -1/"" when unavailable (non-Linux).
     def contention(): String = {
       val load =
-        try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-          .split(" ").take(3).mkString(",")
-        catch { case _: Throwable => "" }
+        try {
+          val s = scala.io.Source.fromFile("/proc/loadavg")
+          try s.mkString.trim.split(" ").take(3).mkString(",")
+          finally s.close()
+        } catch { case _: Throwable => "" }
       val javas =
         try new java.io.File("/proc").listFiles
           .count { f =>

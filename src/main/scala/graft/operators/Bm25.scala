@@ -196,7 +196,7 @@ object Bm25 {
       fingerprintBy: Option[String] = None): Bm25Index = {
     val (key, target) = fingerprintBy.fold((path, path)) { e =>
       val fp = BuildOnce.fingerprint(docs, e)
-      (s"$path#$fp", BuildOnce.versionedPath(path, fp))
+      (BuildOnce.versionKey(path, fp), BuildOnce.versionedPath(path, fp))
     }
     builtIndexes.getOrBuild(docs.sparkSession, key, s"buckets=$buckets",
       writeIndex(docs, target, buckets),
@@ -204,7 +204,7 @@ object Bm25 {
       // same-path artifact must not be reaped mid-build), and GC this
       // session's superseded content versions once this one is built
       intendedId = Some(target),
-      supersedes = fingerprintBy.map(_ => s"$path#"))
+      supersedes = fingerprintBy.map(_ => BuildOnce.supersedesPrefix(path)))
   }
 
   def readIndex(

@@ -99,10 +99,17 @@ private[graft] final class BuildOnce[V](
     */
   private final class Cell(
       val params: String, val intendedId: Option[String], thunk: () => V) {
+    // install order, for the supersede direction (see reapSuperseded):
+    // of two concurrent content versions, only the LATER-installed one
+    // may reap the other — without an order, racing versions reap each
+    // other and the survivor's handle points at a deleted artifact
+    val seq: Long = installSeq.incrementAndGet()
     @volatile private var built: Option[V] = None
     lazy val value: V = { val v = thunk(); built = Some(v); v }
     def maybeValue: Option[V] = built
   }
+
+  private val installSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def idOf(c: Cell): Option[String] =
     c.maybeValue.map(artifactId).orElse(c.intendedId)
@@ -144,7 +151,7 @@ private[graft] final class BuildOnce[V](
         "arguments. Use one parameter set per key, or fold the params " +
         "into the key/path.")
     val v = cell.value
-    supersedes.foreach(reapSuperseded(spark, _, key))
+    supersedes.foreach(reapSuperseded(spark, _, key, cell))
     v
   }
 
@@ -152,12 +159,26 @@ private[graft] final class BuildOnce[V](
     * content versions of the same bare key) and delete their artifacts —
     * unless a surviving entry still references the same artifact id.
     * Deletes run outside the monitor (tombstoned like [[collectDead]]'s).
+    *
+    * Two concurrency rules keep racing content versions from destroying
+    * each other (two threads of one session fingerprinting a mutating
+    * corpus — the documented DAG + live-stream pairing):
+    *  - only entries installed BEFORE the caller's own cell are
+    *    candidates (`seq` order): the racer that installed later owns
+    *    the GC, so the earlier finisher can never delete the later
+    *    version's artifact out from under its live handle;
+    *  - an UNBUILT (in-flight) candidate is skipped entirely — its entry
+    *    stays, keeping its intendedId visible to [[collectDead]] (the
+    *    no-delete-under-build guarantee) and its eventual artifact
+    *    reachable for the NEXT version's GC pass once it finishes.
     */
   private def reapSuperseded(
-      caller: SparkSession, keyPrefix: String, currentKey: String): Unit = {
+      caller: SparkSession, keyPrefix: String, currentKey: String,
+      ownCell: Cell): Unit = {
     val victims: Seq[V] = synchronized {
-      val superseded = entries.asScala.filter { case ((s, k), _) =>
-        (s eq caller) && k != currentKey && k.startsWith(keyPrefix)
+      val superseded = entries.asScala.filter { case ((s, k), c) =>
+        (s eq caller) && k != currentKey && k.startsWith(keyPrefix) &&
+          c.seq < ownCell.seq && c.maybeValue.isDefined
       }.toSeq
       if (superseded.isEmpty) return
       val victimKeys = superseded.map(_._1).toSet
@@ -267,6 +288,19 @@ private[graft] object BuildOnce {
     */
   def versionedPath(path: String, fp: String): String =
     path.stripSuffix("/") + ".fp-" + fp.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** The cache key of one content version of `bare`, and the prefix its
+    * builds pass as `supersedes`. The separator is deliberately not a
+    * lone `#`: supersede matching is by prefix, and a caller-chosen bare
+    * key that merely STARTS with another caller's bare-plus-`#` (the
+    * documented "fold the date into the key" pattern, e.g. `edges#2026-
+    * 08-15` vs fingerprinted `edges`) would be evicted — and its live
+    * artifact dropped — as if it were an old content version. Every
+    * fingerprinted caller must build keys through these two, never by
+    * hand.
+    */
+  def versionKey(bare: String, fp: String): String = s"$bare#v=$fp"
+  def supersedesPrefix(bare: String): String = s"$bare#v="
 
   /** Reap callback that deletes a local artifact directory. */
   def deleteDir(path: String): Unit =

@@ -149,7 +149,7 @@ object Graph {
       edges: => DataFrame, srcCol: String, dstCol: String,
       buckets: Int = 32, fingerprintBy: Option[String] = None): String = {
     val k = fingerprintBy.fold(key)(e =>
-      s"$key#${BuildOnce.fingerprint(edges, e)}")
+      BuildOnce.versionKey(key, BuildOnce.fingerprint(edges, e)))
     edgeTableCache.getOrBuild(spark, k,
       s"buckets=$buckets,src=$srcCol,dst=$dstCol", {
         val name =
@@ -165,7 +165,7 @@ object Graph {
       // build here. Superseded content versions of the same bare key
       // still GC in-session (the table of an old fingerprint is garbage
       // the moment a new digest builds — nobody can re-derive it).
-      supersedes = fingerprintBy.map(_ => s"$key#"))
+      supersedes = fingerprintBy.map(_ => BuildOnce.supersedesPrefix(key)))
   }
 
   /** The damped all-long fixpoint over a prepared (src, dst) edge frame —

@@ -278,7 +278,7 @@ object Pq {
       fingerprintBy: Option[String] = None): IvfPqIndex = {
     val (key, target) = fingerprintBy.fold((path, path)) { e =>
       val fp = BuildOnce.fingerprint(corpus, e)
-      (s"$path#$fp", BuildOnce.versionedPath(path, fp))
+      (BuildOnce.versionKey(path, fp), BuildOnce.versionedPath(path, fp))
     }
     builtIndexes.getOrBuild(corpus.sparkSession, key, s"nlist=$nlist",
       writeIndex(corpus, idCol, vecCol, model, target, nlist),
@@ -286,7 +286,7 @@ object Pq {
       // same-path artifact must not be reaped mid-build), and GC this
       // session's superseded content versions once this one is built
       intendedId = Some(target),
-      supersedes = fingerprintBy.map(_ => s"$path#"))
+      supersedes = fingerprintBy.map(_ => BuildOnce.supersedesPrefix(path)))
   }
 
   def writeIndex(

@@ -228,6 +228,12 @@ object Compaction {
       fs: org.apache.hadoop.fs.FileSystem, staged: Path, dir: Path,
       old: Path, lateNames: Set[String], dirPath: String): Unit = {
     var tries = 0
+    // every appender file folded into the stage across iterations: if the
+    // rename barrier is never won, these exist ONLY inside the stage and
+    // must be returned to the restored live dir (a sealed stage is
+    // discarded by the next writer heal — losing them would contradict
+    // the restore path's own "appends preserved" contract)
+    val folded = scala.collection.mutable.Set.empty[String]
     while (tries < 8) {
       tries += 1
       if (!fs.exists(staged)) {
@@ -248,27 +254,17 @@ object Compaction {
               throw new IllegalStateException(
                 s"compactFlat: could not fold appended file ${f.getPath} " +
                   s"into the stage for $dirPath")
+            folded += f.getPath.getName
           }
         fs.delete(dir, true)
       }
       if (fs.rename(staged, dir)) {
         // Hadoop renames INTO an existing dir (returning true) when the
         // destination was recreated between the delete above and this
-        // rename — then the stage is now a CHILD of the live dir.
-        // Un-nest: move its parquet files up, drop the nested husk (and
-        // its sentinel with it); the result is compacted + appended
-        // content, which is exactly the index
-        val nested = new Path(dir, staged.getName)
-        if (fs.exists(nested)) {
-          fs.listStatus(nested).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .foreach { f =>
-              if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
-                throw new IllegalStateException(
-                  s"compactFlat: could not un-nest ${f.getPath} for $dirPath")
-            }
-          fs.delete(nested, true)
-        }
+        // rename — then the stage is now a CHILD of the live dir:
+        // un-nest (the result is compacted + appended content, which is
+        // exactly the index)
+        unNestInstalled(fs, dir, staged.getName, dirPath)
         return
       }
       // rename refused: either a reader-heal installed the stage (next
@@ -306,9 +302,43 @@ object Compaction {
       throw new IllegalStateException(
         s"compactFlat: swap-in retries exhausted and restore failed for " +
           s"$dirPath; sealed stage remains at $staged — the next heal completes it")
+    // appender files folded during the loop exist only inside the stage —
+    // return them to the restored dir, or the next writer heal's
+    // stage-discard would lose them (they are NOT in lateNames: those
+    // came from `.old` and rode the restore above)
+    (folded -- lateNames).foreach { n =>
+      val from = new Path(staged, n)
+      if (fs.exists(from) && !fs.rename(from, new Path(dir, n)))
+        throw new IllegalStateException(
+          s"compactFlat: could not return folded file $n to $dirPath " +
+            "after the restore")
+    }
     throw new IllegalStateException(
       s"compactFlat: swap-in failed for $dirPath; live dir restored, " +
         "appends preserved")
+  }
+
+  /** Lift a stage that a racing appender's dir-recreation caused to be
+    * renamed INSIDE the live dir (Hadoop rename-into-existing-dir
+    * semantics) back up: move its parquet files into `dir`, drop the
+    * nested husk (and its sentinel with it). No-op when no nesting
+    * happened. Shared by [[installStage]] and [[healCompactFlat]]'s
+    * swap-completing arm — both renames have the same check-then-act
+    * window.
+    */
+  private def unNestInstalled(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, stagedName: String,
+      dirPath: String): Unit = {
+    val nested = new Path(dir, stagedName)
+    if (!fs.exists(nested)) return
+    fs.listStatus(nested).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+          throw new IllegalStateException(
+            s"compactFlat: could not un-nest ${f.getPath} for $dirPath")
+      }
+    fs.delete(nested, true)
   }
 
   private def stagedFlat(dirPath: String) =
@@ -326,11 +356,17 @@ object Compaction {
     * used to delete ANY stage while the live dir existed — including
     * one a concurrent nightly compactFlat was still writing, whose
     * sentinel then recreated an empty stage and the swap installed it
-    * over the live index): stage present + live dir present (crash
-    * before the move-aside, or an unsealed stage) → writer drops the
-    * stage, readers leave it; a leftover moved-aside copy (crash before
-    * its delete) → writer drops it, readers leave it. Readers therefore
-    * never destroy data; at worst stale debris waits for the next
+    * over the live index): stage present + live dir present with NO
+    * moved-aside manifest (crash before the move-aside, or an unsealed
+    * stage) → writer drops the stage, readers leave it; sealed stage +
+    * live dir + `.old` WITH manifest (a post-move-aside crash whose
+    * absent window a concurrent appender refilled — the live dir holds
+    * only that appender's files) → writer re-drives the install (fold,
+    * swap, late-append merge) instead of dropping the stage, readers
+    * leave it; a leftover moved-aside copy (crash before its delete) →
+    * writer preserves its post-snapshot appends then drops it, readers
+    * leave it. Readers therefore never destroy data; at worst stale
+    * debris (or a temporarily thin refilled dir) waits for the next
     * writer pass.
     */
   def healCompactFlat(
@@ -348,8 +384,36 @@ object Compaction {
           require(fs.exists(dir),
             s"healCompactFlat: completing rename failed for $dirPath " +
               "and no live dir exists — filesystem refused the swap")
+        else
+          // the same check-then-act window installStage defends against:
+          // an appender can recreate `dir` between the exists check and
+          // the rename, which then lands the stage INSIDE it — without
+          // the un-nest, the compacted history becomes an invisible
+          // nested subdir and the next writer pass deletes `.old`,
+          // making the loss permanent
+          unNestInstalled(fs, dir, staged.getName, dirPath)
+        fs.delete(new Path(dir, SwapReady), false)
+      } else if (ready && writer && fs.exists(old)
+          && readSnapshotManifest(fs, old).isDefined) {
+        // sealed stage + live dir + moved-aside copy WITH manifest: a
+        // post-move-aside crash whose absent window an appender refilled
+        // (`dir` holds ONLY that appender's files; the stage holds the
+        // compacted snapshot; `.old` holds the full snapshot + any
+        // appends that rode the move-aside). Deleting the stage here —
+        // the pre-fix writer branch — and then letting the old-discard
+        // block below drop `.old`'s manifest files as "already in the
+        // compacted stage" lost the ENTIRE index except the appender's
+        // batch. Re-drive the writer's own install instead: fold late
+        // appends out of `.old`, install the stage over the appender
+        // files; the block below then discards the now-redundant copy.
+        val snapshot = readSnapshotManifest(fs, old).get
+        val late = mergeLateAppends(fs, old, snapshot, staged, dir)
+        installStage(fs, staged, dir, old, late, dirPath)
         fs.delete(new Path(dir, SwapReady), false)
       } else if (writer) fs.delete(staged, true)
+      // readers in the refilled crash state leave everything in place:
+      // they read the (temporarily thin) live dir and the nightly
+      // writer pass completes the swap — readers never destroy
     }
     if (writer && fs.exists(old) && fs.exists(dir)) {
       // before discarding the moved-aside copy, preserve any

@@ -58,6 +58,16 @@ object IndexConf {
 
   private[graft] val ConfFile = "_conf"
 
+  /** Per-index-root monitors: every producer of every index calls
+    * [[ensure]] once per batch, and the critical section wraps
+    * filesystem round-trips — one JVM-global lock would serialize ALL
+    * ingest on the slowest store call (the contention shape BuildOnce's
+    * reap path just shed). Lock objects are tiny and index roots few;
+    * the map is never pruned.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Stamp-or-validate `conf` at `indexDir` (see object doc). `what`
     * names the index family in failure messages.
     */
@@ -70,9 +80,10 @@ object IndexConf {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val p = new Path(dir, ConfFile)
-    // serialize same-JVM stamp-or-validate (see the object doc's race
-    // paragraph); the section is one exists + one tiny file read/write
-    synchronized {
+    // serialize same-JVM stamp-or-validate PER INDEX ROOT (see the
+    // object doc's race paragraph); the section is one exists + one tiny
+    // file read/write
+    locks.computeIfAbsent(indexDir, _ => new Object).synchronized {
       if (fs.exists(p)) { validate(fs, p, conf, what, indexDir); return }
       fs.mkdirs(dir)
       try write(fs, p, conf, overwrite = false)

@@ -28,10 +28,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * relied on micro-batch counters never reaching the ~18k epoch-day
   * range; a long-lived stream crossing it would silently no-op a
   * nightly grow). MIGRATION (r13 ADVICE): a pre-upgrade index carries
-  * bare `_batches/<id>` markers — a bare `<id>` is treated as claimed by
-  * BOTH producers, so previously-completed days still no-op their grow
-  * and replayed micro-batches still skip, instead of re-running their
-  * history on upgrade. Survivors (full input rows) land in
+  * bare `_batches/<id>` markers — [[Markers]] owns the admission rule
+  * (shared with StreamNearDup): previously-completed days still no-op
+  * their grow and replayed micro-batches still skip, but the `day`
+  * namespace only honors bare ids up to the epoch day recorded at
+  * migration, so a legacy stream's contiguous counter range can never
+  * shadow future grows. Survivors (full input rows) land in
   * `survivorsDir/batch=<id>/`, overwritten per batch id.
   *
   * Delivery semantics — [[StreamNearDup]]'s write order, verbatim:
@@ -80,19 +82,15 @@ object StreamFingerprint {
       .start()
 
   /** True iff `batchId` is already applied under `namespace` ("mb" or
-    * "day") — namespaced marker OR the legacy bare marker (pre-upgrade
-    * indexes; claimed by both producers, see the class doc). Shared by
+    * "day") — namespaced marker OR an admissible legacy bare marker
+    * ([[Markers]] owns the migration rule, see the class doc). Shared by
     * [[applyBatch]], [[growBatch]] and the LlmIngestDag gate so gate and
     * apply can never disagree on what "applied" means.
     */
   def batchApplied(
       spark: SparkSession, indexDir: String, batchId: Long,
-      namespace: String): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
-    val fs = marker.getFileSystem(conf)
-    fs.exists(marker) || fs.exists(new Path(s"$indexDir/_batches/$batchId"))
-  }
+      namespace: String): Boolean =
+    Markers.applied(spark, indexDir, batchId, namespace)
 
   /** One batch of the protocol above (factored out so the semantics are
     * unit-testable without a streaming runtime). Returns the number of

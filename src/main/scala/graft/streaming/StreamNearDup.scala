@@ -23,13 +23,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * pattern: sharing one numeric namespace relied on micro-batch counters
   * never reaching the ~18k epoch-day range; a long-lived stream crossing
   * it would silently no-op a day's ingest). MIGRATION: a pre-upgrade index
-  * carries bare `_batches/<id>` markers; a bare `<id>` is treated as
-  * claimed by BOTH producers — so a deployed index never re-applies its
-  * history after the upgrade (the alternative, re-running, would re-dedup
-  * a day against an index that already holds its survivors: every doc
-  * self-hits and the day's survivor set is emptied — far worse than the
-  * one-in-18k chance a legacy stream counter shadows a future day id,
-  * which the gate surfaces as an already-applied no-op, not data loss).
+  * carries bare `_batches/<id>` markers from both producers; [[Markers]]
+  * owns the admission rule (shared with StreamFingerprint) — a bare id
+  * stays honored so a deployed index never re-applies its history
+  * (re-running a day would self-hit every doc against its own index keys
+  * and empty the survivor set), but the `day` namespace only honors bare
+  * ids up to the epoch day recorded at migration: a legacy stream whose
+  * counter ran past today's epoch day has a CONTIGUOUS bare range that
+  * would otherwise shadow every future ingest day, which is systematic,
+  * not a one-in-18k accident.
   * Survivors land in `survivorsDir/batch=<id>/` (full rows), overwritten
   * per batch id — survivor dirs stay bare-numeric on purpose: the two
   * producers' id RANGES are what collide in the marker namespace, but a
@@ -76,18 +78,15 @@ object StreamNearDup {
   val DayNamespace = "day"
 
   /** True iff `batchId` is already applied under `namespace` — namespaced
-    * marker OR the legacy bare marker (pre-upgrade indexes; claimed by
-    * both producers, see the class doc). The LlmIngestDag gate uses this
-    * so gate and apply can never disagree on what "applied" means.
+    * marker OR an admissible legacy bare marker ([[Markers]] owns the
+    * migration rule, shared with [[StreamFingerprint]] so the two
+    * indexes' "applied" semantics cannot drift). The LlmIngestDag gate
+    * uses this so gate and apply can never disagree.
     */
   def batchApplied(
       spark: SparkSession, indexDir: String, batchId: Long,
-      namespace: String): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
-    val fs = marker.getFileSystem(conf)
-    fs.exists(marker) || fs.exists(new Path(s"$indexDir/_batches/$batchId"))
-  }
+      namespace: String): Boolean =
+    Markers.applied(spark, indexDir, batchId, namespace)
 
   /** One batch of the protocol above (factored out so the semantics are
     * unit-testable without a streaming runtime). `namespace` identifies

@@ -335,4 +335,76 @@ class BuildOnceSpec extends SparkTestBase {
       assert(builds.get() == 1, s"expected one build, ran ${builds.get()}")
     } finally pool.shutdownNow()
   }
+
+  test("racing content versions never reap each other; the next version GCs both") {
+    // two threads of one session fingerprint a mutating corpus: A
+    // installs version 1 and is still BUILDING when B installs and
+    // completes version 2. Pre-fix, B's supersede evicted A's in-flight
+    // entry (dropping its intendedId protection and orphaning its dir),
+    // and A's later supersede deleted B's artifact out from under B's
+    // live handle. Rule now: only LATER-installed versions reap, and
+    // in-flight cells are skipped.
+    import scala.jdk.CollectionConverters._
+    val reaped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cache = new BuildOnce[String]("spec-version-race",
+      (_, v) => { reaped.add(v); () }, identity)
+    val aInstalled = new java.util.concurrent.CountDownLatch(1)
+    val aGate = new java.util.concurrent.CountDownLatch(1)
+    val prefix = BuildOnce.supersedesPrefix("p")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.getOrBuild(
+          spark, BuildOnce.versionKey("p", "1"), "x", {
+            aInstalled.countDown()
+            assert(aGate.await(20, java.util.concurrent.TimeUnit.SECONDS))
+            "A"
+          }, supersedes = Some(prefix))
+      })
+      assert(aInstalled.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // B installs LATER and completes while A is mid-build: A's entry
+      // is in flight — B must skip it (no eviction, no reap)
+      val b = cache.getOrBuild(spark, BuildOnce.versionKey("p", "2"), "x",
+        "B", supersedes = Some(prefix))
+      assert(b == "B" && reaped.isEmpty,
+        s"B reaped the in-flight older version: ${reaped.asScala.toSeq}")
+      // A finishes LAST: B installed after A, so A must not reap it
+      aGate.countDown()
+      assert(a.get(20, java.util.concurrent.TimeUnit.SECONDS) == "A")
+      assert(reaped.isEmpty,
+        s"the earlier version reaped the later one: ${reaped.asScala.toSeq}")
+      // a third version now supersedes BOTH built predecessors
+      val c = cache.getOrBuild(spark, BuildOnce.versionKey("p", "3"), "x",
+        "C", supersedes = Some(prefix))
+      assert(c == "C")
+      assert(reaped.asScala.toSet == Set("A", "B"),
+        s"the next version must GC both: ${reaped.asScala.toSeq}")
+    } finally pool.shutdownNow()
+  }
+
+  test("a caller key that merely starts with bare+'#' is not evicted as a content version") {
+    // the documented "fold the date into the key" pattern collides with
+    // a bare '#' version separator: key `edges#2026-08-15` starts with
+    // prefix `edges#`, so a fingerprinted build of bare key `edges`
+    // would evict it and DROP its live artifact. versionKey/
+    // supersedesPrefix use `#v=`, which no date-folded key produces.
+    import scala.jdk.CollectionConverters._
+    val reaped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cache = new BuildOnce[String]("spec-prefix",
+      (_, v) => { reaped.add(v); () }, identity)
+    assert(cache.getOrBuild(spark, "edges#2026-08-15", "x", "D") == "D")
+    assert(cache.getOrBuild(spark, BuildOnce.versionKey("edges", "f1"), "x",
+      "V1", supersedes = Some(BuildOnce.supersedesPrefix("edges"))) == "V1")
+    assert(reaped.isEmpty,
+      s"the date-keyed neighbor was evicted as a version: ${reaped.asScala.toSeq}")
+    // the neighbor's entry survived — its cached value still serves
+    var rebuilt = false
+    assert(cache.getOrBuild(spark, "edges#2026-08-15", "x",
+      { rebuilt = true; "D2" }) == "D")
+    assert(!rebuilt, "the date-keyed entry was evicted and rebuilt")
+    // while a REAL older content version is still GC'd
+    assert(cache.getOrBuild(spark, BuildOnce.versionKey("edges", "f2"), "x",
+      "V2", supersedes = Some(BuildOnce.supersedesPrefix("edges"))) == "V2")
+    assert(reaped.asScala.toSeq == Seq("V1"))
+  }
 }

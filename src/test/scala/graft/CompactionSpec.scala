@@ -261,6 +261,65 @@ class CompactionSpec extends SparkTestBase {
     assert(!old.exists() && !staged.exists())
   }
 
+  test("writer heal re-drives the install when an appender refilled the absent window (never discards the sealed stage)") {
+    // THE loss state: compactFlat crashed after its move-aside (sealed
+    // stage + .old with manifest, live dir absent), and an appender's
+    // write then RECREATED the live dir with only its batch. The pre-fix
+    // writer heal saw stage+dir present and deleted the sealed stage,
+    // then discarded .old's manifest files as "already in the stage" —
+    // the entire index silently reduced to the appender's one batch.
+    // The heal must instead re-drive the install: fold, swap, merge.
+    val root = Files.createTempDirectory("compactrefill").toString
+    val dir = s"$root/keys"
+    (1 to 20).map(i => (i.toLong, i * 7L)).toDF("id", "bh")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
+    val staged = new java.io.File(s"$dir.compact.staged")
+    copyTree(new java.io.File(dir), staged) // the compacted snapshot
+    new java.io.File(staged, "_swap_ready").createNewFile()
+    // manifest written into the LIVE dir (pre-move-aside), then the
+    // move-aside carries it into .old
+    val snapshotNames = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_snapshot"),
+      snapshotNames.sorted.mkString("\n").getBytes("UTF-8"))
+    val old = new java.io.File(s"$dir.compact.old")
+    assert(new java.io.File(dir).renameTo(old), "simulate the move-aside")
+    // an append that rode into .old before the crash (not in the manifest)
+    val tmp = s"$root/append_tmp"
+    Seq((999L, 999L)).toDF("id", "bh").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val ride = new java.io.File(tmp).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    assert(ride.renameTo(new java.io.File(old, ride.getName)))
+    // the appender refills the absent live dir with only ITS batch
+    Seq((777L, 777L)).toDF("id", "bh").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+    // a READER in this state must touch nothing (it reads the thin dir
+    // until the nightly writer pass)
+    Compaction.healCompactFlat(spark, dir)
+    assert(staged.exists() && old.exists(),
+      "reader heal must leave the crash state for the writer")
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+      == Set((777L, 777L)))
+
+    // the WRITER heal re-drives the install
+    Compaction.healCompactFlat(spark, dir, writer = true)
+    assert(!staged.exists() && !old.exists(), "swap completed, debris swept")
+    assert(!new java.io.File(s"$dir/_swap_ready").exists())
+    assert(!new java.io.File(s"$dir/keys.compact.staged").exists(),
+      "no nested stage may survive the heal")
+    val got = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    assert(got == (1 to 20).map(i => (i.toLong, i * 7L)).toSet
+      + ((777L, 777L)) + ((999L, 999L)),
+      "history + the refill append + the ridden append, nothing lost")
+  }
+
   test("swap-in folds a recreated live dir into the stage (the append-in-the-absent-window race, deterministic)") {
     // the exact state an appender creates between compactFlat's two
     // renames: the live dir was moved aside, the sealed stage holds the
