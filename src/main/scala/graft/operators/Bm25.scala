@@ -246,8 +246,10 @@ object Bm25 {
     * the ANN index, applied verbatim to the posting index (r11 verdict
     * #3; [[appendToIndex]]'s scaladoc already named this as the
     * production answer to its stats-write crash window):
-    *  - a non-empty `_batches/<batchId>` marker → the batch is applied;
-    *    a replayed day no-ops (-1) instead of double-appending postings
+    *  - a non-empty `_batches/day-<batchId>` marker (or an admissible
+    *    legacy bare one — [[graft.streaming.Markers]] owns the rule) →
+    *    the batch is applied; a replayed day no-ops (-1) instead of
+    *    double-appending postings
     *  - the first batch (or a day-one replay whose attempt died before
     *    the marker) BUILDS via [[writeIndex]] — overwrite is exactly-once
     *    where appending would duplicate
@@ -260,21 +262,31 @@ object Bm25 {
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       indexDir: String, batchId: Long, buckets: Int = 64): Long = {
+    // markers route through graft.streaming.Markers (r15, with the ANN
+    // index): new claims are `day-<id>`, legacy bare ids honored under
+    // the migration rule — so a future live BM25-grow leg can share this
+    // index without reopening the bare-namespace shadowing bug class
+    val ns = "day"
+    graft.streaming.Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
-    val pre = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId.pre")
+    val marker = graft.streaming.Markers.markerPath(indexDir, batchId, ns)
+    val pre = new org.apache.hadoop.fs.Path(
+      marker.getParent, marker.getName + ".pre")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) {
-      if (fs.getFileStatus(marker).getLen > 0) return -1L // applied replay
-      val safe = fs.exists(pre) && {
-        val in = fs.open(pre)
-        val recorded = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        recorded == Pq.dataFileManifest(fs, indexDir)
+    graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
+      .foreach { m =>
+        if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+        val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+        val safe = fs.exists(mPre) && {
+          val in = fs.open(mPre)
+          val recorded = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          recorded == Pq.dataFileManifest(fs, indexDir)
+        }
+        if (!safe) return -1L
+        fs.delete(m, false) // provably nothing landed: retry, namespaced
+        fs.delete(mPre, false)
       }
-      if (!safe) return -1L
-      fs.delete(marker, false) // provably nothing landed: retry the append
-    }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
@@ -284,7 +296,7 @@ object Bm25 {
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_stats")
     val batchesDir = marker.getParent
     val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
-      .exists(_.getPath.getName.forall(_.isDigit))
+      .exists(st => graft.streaming.Markers.isBatchMarker(st.getPath.getName))
     if (!fs.exists(built) || !anyApplied) {
       val n = docs.filter(col("text").isNotNull).count()
       if (n == 0L) { commitMarker(0L); return 0L }
@@ -316,11 +328,8 @@ object Bm25 {
     */
   def appendBatchApplied(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.getFileStatus(p).getLen > 0
-  }
+      batchId: Long): Boolean =
+    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, "day")
 
   /** [[retrieve]] against the PERSISTED index: the probe resolves the
     * query terms' buckets with the SAME hash expression the build used

@@ -340,8 +340,11 @@ object Pq {
     * discipline, so a pipeline (LlmIngestDag) can grow the ANN index
     * alongside the minhash one with the same replay semantics: day one
     * BUILDS the index (train + [[writeIndex]]); every later day appends
-    * under the frozen model; a `_batches/<batchId>` marker makes each
-    * batch apply at most once (a replayed day is a no-op).
+    * under the frozen model; a `_batches/day-<batchId>` marker makes each
+    * batch apply at most once (a replayed day is a no-op). Markers route
+    * through [[graft.streaming.Markers]] (r15): claims are
+    * producer-namespaced, and pre-migration bare `_batches/<id>` markers
+    * stay honored under its day-bound rule.
     *
     * Crash protocol (r10, tightened by the self-review):
     *  - Build vs append is decided by whether ANY batch marker exists —
@@ -371,24 +374,42 @@ object Pq {
       nlist: Int = 32, m: Int = 8, k: Int = 16): Long = {
     healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
     // never be read as "no markers" (the silent single-day rebuild)
+    // markers are producer-namespaced through graft.streaming.Markers
+    // (r14 verdict: single-producer today, but the moment a live ANN-grow
+    // leg lands beside the DAG, a shared bare numeric namespace reopens
+    // the StreamNearDup shadowing bug class — migrate while every
+    // existing bare marker has exactly one producer). New claims write
+    // `day-<id>`; legacy bare ids stay honored under the migration rule.
+    val ns = "day"
+    graft.streaming.Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
-    val pre = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId.pre")
+    val marker = graft.streaming.Markers.markerPath(indexDir, batchId, ns)
+    val pre = new org.apache.hadoop.fs.Path(
+      marker.getParent, marker.getName + ".pre")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) {
-      if (fs.getFileStatus(marker).getLen > 0) return -1L // applied replay
-      // claimed-but-dead: re-run ONLY if provably nothing landed —
-      // manifest unchanged since the claim. No `.pre` (a legacy or
-      // hand-made claim) means no proof: stay red for the operator.
-      val safe = fs.exists(pre) && {
-        val in = fs.open(pre)
-        val recorded = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        recorded == dataFileManifest(fs, indexDir)
+    graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
+      .foreach { m =>
+        if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+        // claimed-but-dead: re-run ONLY if provably nothing landed —
+        // manifest unchanged since the claim. The `.pre` sidecar lives
+        // next to whichever spelling (bare or namespaced) claimed it. No
+        // `.pre` (a legacy or hand-made claim) means no proof: stay red
+        // for the operator.
+        val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+        val safe = fs.exists(mPre) && {
+          val in = fs.open(mPre)
+          val recorded = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          recorded == dataFileManifest(fs, indexDir)
+        }
+        if (!safe) return -1L
+        // retry under the NAMESPACED spelling: drop the dead claim and
+        // its proof sidecar (a healed bare claim must not linger — its
+        // id would stay admissible and shadow nothing, but debris is
+        // debris)
+        fs.delete(m, false)
+        fs.delete(mPre, false)
       }
-      if (!safe) return -1L
-      fs.delete(marker, false) // fall through and retry the append
-    }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)
       val out = fs.create(marker, true)
@@ -398,7 +419,7 @@ object Pq {
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")
     val batchesDir = marker.getParent
     val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
-      .exists(_.getPath.getName.forall(_.isDigit))
+      .exists(st => graft.streaming.Markers.isBatchMarker(st.getPath.getName))
     if (!fs.exists(built) || !anyApplied) {
       // build branch — also taken on a day-one replay whose first attempt
       // wrote the index but died before the marker: writeIndex overwrites,
@@ -485,11 +506,8 @@ object Pq {
     */
   def appendBatchApplied(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.getFileStatus(p).getLen > 0
-  }
+      batchId: Long): Boolean =
+    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, "day")
 
   /** Occupancy-DRIFT gate for a persisted index: when appends under the
     * frozen coarse quantizer pile into few cells (the data distribution

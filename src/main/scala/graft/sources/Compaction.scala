@@ -410,7 +410,15 @@ object Compaction {
         val late = mergeLateAppends(fs, old, snapshot, staged, dir)
         installStage(fs, staged, dir, old, late, dirPath)
         fs.delete(new Path(dir, SwapReady), false)
-      } else if (writer) fs.delete(staged, true)
+      } else if (writer) {
+        fs.delete(staged, true)
+        // a crash after writeSnapshotManifest but before the move-aside
+        // leaves the manifest in the LIVE dir (the move-aside is what
+        // carries it into `.old`); nothing ever reads it there — it is
+        // pure debris — but without this it lingers until the next
+        // compaction of this dir, which may never come
+        if (fs.exists(dir)) fs.delete(new Path(dir, SnapshotManifest), false)
+      }
       // readers in the refilled crash state leave everything in place:
       // they read the (temporarily thin) live dir and the nightly
       // writer pass completes the swap — readers never destroy

@@ -82,12 +82,23 @@ object IndexConf {
     val p = new Path(dir, ConfFile)
     // serialize same-JVM stamp-or-validate PER INDEX ROOT (see the
     // object doc's race paragraph); the section is one exists + one tiny
-    // file read/write
-    locks.computeIfAbsent(indexDir, _ => new Object).synchronized {
+    // file read/write. The key is the QUALIFIED path, not the caller's
+    // string: path aliases (trailing slash, relative vs absolute,
+    // scheme-qualified vs bare) must take the SAME monitor, or same-JVM
+    // racers through different spellings silently fall back to the weaker
+    // cross-JVM create-exclusive story.
+    locks.computeIfAbsent(
+        fs.makeQualified(dir).toString, _ => new Object).synchronized {
       if (fs.exists(p)) { validate(fs, p, conf, what, indexDir); return }
       fs.mkdirs(dir)
       try write(fs, p, conf, overwrite = false)
-      catch { case _: java.io.IOException => () } // cross-JVM racer won
+      catch { case e: java.io.IOException =>
+        // a cross-JVM racer winning the exclusive create is the expected
+        // (and recoverable) cause — but only if the file now EXISTS. A
+        // real write failure (disk full, permissions) must surface as
+        // itself, not as a confusing not-found from the validate read.
+        if (!fs.exists(p)) throw e
+      }
       // unconditional: even a successful create re-reads, so a racer
       // whose exclusive-create was torn (non-atomic local FS) fails
       // loudly instead of proceeding under values the file doesn't hold

@@ -3,10 +3,11 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Shared batch-marker resolution for the two-producer indexes
-  * ([[StreamNearDup]] text near-dup, [[StreamFingerprint]] media) — one
-  * implementation of "is this batch applied?" so the DAG gates and the
-  * apply paths can never drift apart, and the legacy-marker migration
+/** Shared batch-marker resolution for the producer-namespaced indexes
+  * ([[StreamNearDup]] text near-dup, [[StreamFingerprint]] media, and the
+  * DAG-grown ANN/BM25 indexes via `Pq.appendBatch`/`Bm25.appendBatch`) —
+  * one implementation of "is this batch applied?" so the DAG gates and
+  * the apply paths can never drift apart, and the legacy-marker migration
   * rule lives in exactly one place.
   *
   * == Namespaces ==
@@ -27,13 +28,13 @@ import org.apache.spark.sql.SparkSession
   * downstream read to fail loudly — the index just stops growing).
   *
   * The disambiguator is time: a day marker can only exist for a day that
-  * has already happened. On first post-upgrade touch, [[legacyBound]]
-  * records the CURRENT epoch day in `_batches/_migration`; a bare marker
-  * then claims the `day` namespace only for ids ≤ that bound (every
-  * legitimate pre-upgrade day marker is ≤ it by definition), so ingest
-  * days AFTER the migration are never shadowed, however far the legacy
-  * stream counter ran. The `mb` namespace keeps claiming all bare ids:
-  * the stream's checkpoint resumes its counter past its own legacy
+  * has already happened. On first post-upgrade touch, the migration
+  * sentinel `_batches/_migration` records the CURRENT epoch day; a bare
+  * marker then claims the `day` namespace only for ids ≤ that bound
+  * (every legitimate pre-upgrade day marker is ≤ it by definition), so
+  * ingest days AFTER the migration are never shadowed, however far the
+  * legacy stream counter ran. The `mb` namespace keeps claiming all bare
+  * ids: the stream's checkpoint resumes its counter past its own legacy
   * range, so the only residual collision is the stream counter GROWING
   * INTO a sparse pre-upgrade day id (~one bare marker per pre-upgrade
   * ingest day) — bounded, non-systematic, and surfaced as an
@@ -41,49 +42,204 @@ import org.apache.spark.sql.SparkSession
   * Deploy both producers' binaries together: an old binary writing bare
   * markers after the sentinel exists would re-widen the ambiguity.
   *
-  * The sentinel is one small file; a crash before it commits just
-  * recomputes (the bare-marker set is immutable post-upgrade, so the
-  * recomputation is deterministic up to the day boundary).
+  * == The sentinel's own lifecycle (hardened r15) ==
+  * Producers pin the bound EAGERLY via [[ensureMigrationBound]] on every
+  * entry (applyBatch/growBatch/appendBatch), not just inside the day
+  * gate: if day grows pause between the upgrade and the first day-gate
+  * consult, ingest days in that gap whose ids collide with the legacy
+  * bare range would otherwise still be shadowed — the continuously
+  * running producer (usually the stream) pins the bound at deploy
+  * instead. The write is create-exclusive with read-after-lose, so two
+  * first-touch producers racing across a UTC midnight end with ONE bound
+  * (the first write sticks; the loser reads it). A torn sentinel (crash
+  * between create and write — empty or unparseable) is treated as ABSENT
+  * and rewritten: recomputation is safe because the bare-marker set is
+  * immutable post-upgrade, so the recomputed bound differs from the lost
+  * one only if the heal crosses a day boundary, within the rule's slack.
+  * The bound is immutable once committed, so each JVM caches it per
+  * batches dir — the bare-fallback path costs no filesystem read after
+  * first touch.
   */
 object Markers {
 
-  private[streaming] val MigrationSentinel = "_migration"
+  private[graft] val MigrationSentinel = "_migration"
+
+  /** JVM cache of the committed migration bound per QUALIFIED batches
+    * dir (the sentinel is write-once, so a cached value can never go
+    * stale), plus per-dir monitors so same-JVM first-touch racers
+    * serialize on the load instead of falling back to the cross-JVM
+    * create-exclusive path (the IndexConf discipline). Neither map is
+    * pruned: entries are tiny and index roots few. A test that deletes
+    * and recreates an index UNDER THE SAME PATH within one JVM sees the
+    * cached bound — semantically identical unless the recreation crosses
+    * UTC midnight, which is inside the rule's slack anyway.
+    */
+  private val bounds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val boundLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** True iff `batchId` is applied under `namespace` — the namespaced
     * marker, or a legacy bare marker admissible under the migration rule
-    * above.
+    * above. Existence-only: producers whose markers carry content (the
+    * Pq/Bm25 claimed-empty protocol) gate on [[appliedNonEmpty]].
     */
   def applied(
       spark: SparkSession, indexDir: String, batchId: Long,
       namespace: String): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
-    val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
-    val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return true
-    val bare = new Path(s"$indexDir/_batches/$batchId")
-    fs.exists(bare) && (namespace != "day" ||
-      batchId <= legacyBound(fs, bare.getParent))
+    val fs = fsOf(spark, indexDir)
+    existingMarker(fs, indexDir, batchId, namespace).isDefined
   }
 
-  /** The epoch day recorded at migration (first post-upgrade touch of an
-    * index that still carries bare markers) — the upper bound on bare
-    * ids the `day` namespace honors. Reads the sentinel; writes it with
-    * TODAY's epoch day if absent.
+  /** True iff `batchId` is applied WITH CONTENT under `namespace` — the
+    * non-empty-marker gate of the `Pq.appendBatch`/`Bm25.appendBatch`
+    * protocol, where an EMPTY marker is a claimed-but-dead attempt that
+    * must read as not-applied. Legacy bare markers count under the same
+    * admission rule as [[applied]].
+    */
+  def appliedNonEmpty(
+      spark: SparkSession, indexDir: String, batchId: Long,
+      namespace: String): Boolean = {
+    val fs = fsOf(spark, indexDir)
+    existingMarker(fs, indexDir, batchId, namespace)
+      .exists(p => fs.getFileStatus(p).getLen > 0)
+  }
+
+  /** The marker file that currently REPRESENTS (`batchId`, `namespace`),
+    * if any: the namespaced marker when present, else an admissible
+    * legacy bare one. Protocol code that must inspect or heal the
+    * claimed state (the Pq/Bm25 empty-marker retry) resolves through
+    * this so the legacy and namespaced spellings share one rule.
+    */
+  private[graft] def existingMarker(
+      fs: FileSystem, indexDir: String, batchId: Long,
+      namespace: String): Option[Path] = {
+    val ns = new Path(s"$indexDir/_batches/$namespace-$batchId")
+    if (fs.exists(ns)) return Some(ns)
+    val bare = new Path(s"$indexDir/_batches/$batchId")
+    if (fs.exists(bare) && (namespace != "day" ||
+        batchId <= legacyBound(fs, bare.getParent))) Some(bare)
+    else None
+  }
+
+  /** The path a NEW claim for (`batchId`, `namespace`) is written at —
+    * always namespaced; legacy bare spellings are read-only history.
+    */
+  private[graft] def markerPath(
+      indexDir: String, batchId: Long, namespace: String): Path =
+    new Path(s"$indexDir/_batches/$namespace-$batchId")
+
+  /** True for file names that are batch markers (bare `<digits>` or
+    * namespaced `<letters>-<digits>`), false for sidecars (`.pre`,
+    * `_migration`, `_SUCCESS`, …) — the build-vs-append decision's "has
+    * any batch ever applied here" listing filter.
+    */
+  private[graft] def isBatchMarker(name: String): Boolean = {
+    val i = name.indexOf('-')
+    val digits = if (i < 0) name else name.substring(i + 1)
+    digits.nonEmpty && digits.forall(_.isDigit) &&
+      (i != 0) && (i < 0 || name.substring(0, i).forall(_.isLetter))
+  }
+
+  /** Pin the migration bound NOW if this index still lacks one — called
+    * from every producer entry so the bound records deploy time, not the
+    * first day-gate consult (see the class doc). Idempotent; after the
+    * first call per JVM it is one cache lookup.
+    */
+  def ensureMigrationBound(spark: SparkSession, indexDir: String): Unit = {
+    val batches = new Path(s"$indexDir/_batches")
+    legacyBound(batches.getFileSystem(spark.sessionState.newHadoopConf()),
+      batches)
+  }
+
+  private def fsOf(spark: SparkSession, indexDir: String): FileSystem =
+    new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The epoch day recorded at migration — the upper bound on bare ids
+    * the `day` namespace honors. Cached per batches dir after first
+    * load; first-touch writes it create-exclusively (see class doc).
     */
   private def legacyBound(fs: FileSystem, batchesDir: Path): Long = {
-    val p = new Path(batchesDir, MigrationSentinel)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.trim.toLong
-    } else {
-      val bound = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
-      val out = fs.create(p, true)
-      try out.write(bound.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      bound
+    val key = fs.makeQualified(batchesDir).toString
+    val cached = bounds.get(key)
+    if (cached != null) return cached.longValue()
+    boundLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val c = bounds.get(key)
+      if (c != null) return c.longValue()
+      val b = loadOrWriteBound(fs, batchesDir)
+      bounds.put(key, b)
+      b
     }
   }
+
+  /** Read the committed bound, or commit TODAY's epoch day if absent.
+    * The commit is write-temp-then-RENAME, so no reader can ever observe
+    * a half-written sentinel — the pre-fix create-then-write protocol
+    * left an empty-file window that a racing first-touch could read,
+    * "heal" by deletion, and livelock against (each racer deleting the
+    * others' mid-write files). An EXISTING empty/unparseable sentinel
+    * (torn by a pre-upgrade crash between create and write, or a stale
+    * checksum) is treated as absent and rewritten — recomputation is
+    * safe, see the class doc.
+    *
+    * Racer convergence: on HDFS/object stores rename does not replace an
+    * existing destination, so the FIRST commit sticks and losers read it
+    * back. On the local filesystem a rename may replace — the file still
+    * always holds exactly ONE complete bound, and two racers' bounds can
+    * differ only when their first touches straddle UTC midnight, leaving
+    * at most one day of slack in the bare-claim window (each writes the
+    * epoch day of its own instant).
+    */
+  private def loadOrWriteBound(fs: FileSystem, batchesDir: Path): Long = {
+    val p = new Path(batchesDir, MigrationSentinel)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      if (fs.exists(p)) {
+        val parsed =
+          try {
+            val in = fs.open(p)
+            val text = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            text.trim.toLongOption
+          } catch { case _: java.io.IOException => None } // a racer's
+          // commit mid-flight (or a stale checksum sidecar): retry
+        parsed match {
+          case Some(b) => return b
+          case None =>
+            // legacy torn sentinel: recompute (safe, see class doc). A
+            // racer may delete concurrently — either way the loop
+            // re-commits or reads the other's commit.
+            try fs.delete(p, false)
+            catch { case _: java.io.IOException => () }
+        }
+      } else {
+        fs.mkdirs(batchesDir)
+        val bound = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+        val tmp = new Path(batchesDir,
+          s"$MigrationSentinel.tmp.${java.util.UUID.randomUUID().toString}")
+        val out = fs.create(tmp, true)
+        try out.write(bound.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false) // a racer committed
+        // first: drop ours, loop reads theirs (the read-after-lose rule)
+      }
+    }
+    throw new IllegalStateException(
+      s"Markers: could not read or write the migration sentinel at " +
+        s"$batchesDir/$MigrationSentinel after $attempts attempts — " +
+        "racing writers are expected to converge within a few rounds")
+  }
+
+  /** TEST-ONLY seams: [[loadOrWriteBound]] bypassing the JVM cache and
+    * per-dir monitor (simulates racing first-touch producers in SEPARATE
+    * JVMs, which the same-JVM monitor would otherwise serialize), and a
+    * cache drop (simulates a fresh JVM against an existing sentinel).
+    */
+  private[graft] def loadOrWriteBoundForTest(
+      fs: FileSystem, batchesDir: Path): Long = loadOrWriteBound(fs, batchesDir)
+  private[graft] def dropCachedBoundForTest(
+      fs: FileSystem, batchesDir: Path): Unit =
+    bounds.remove(fs.makeQualified(batchesDir).toString)
 }

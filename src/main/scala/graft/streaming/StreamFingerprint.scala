@@ -111,6 +111,10 @@ object StreamFingerprint {
     // both producers must ship the same decode, as with any model).
     graft.sources.IndexConf.ensure(spark, indexDir,
       Map("maxHamming" -> maxHamming.toString), "media fingerprint index")
+    // pin the legacy-marker migration bound at PRODUCER entry (Markers
+    // class doc, r14 ADVICE): the continuously-running stream pins it at
+    // deploy even when the day leg is paused
+    Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/mb-$batchId")
     val fs = marker.getFileSystem(conf)
@@ -190,6 +194,7 @@ object StreamFingerprint {
     // keys/ artifact, so both must agree on the blocking radius
     graft.sources.IndexConf.ensure(spark, indexDir,
       Map("maxHamming" -> maxHamming.toString), "media fingerprint index")
+    Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/day-$batchId")
     val fs = marker.getFileSystem(conf)

@@ -110,6 +110,10 @@ object StreamNearDup {
     graft.sources.IndexConf.ensure(spark, indexDir,
       Map("n" -> n.toString, "bands" -> "32", "rowsPerBand" -> "4"),
       "near-dup band/shingle index")
+    // pin the legacy-marker migration bound at PRODUCER entry, not at the
+    // first day-gate consult — a paused day leg must not widen the bare
+    // range the `day` namespace honors (Markers class doc, r14 ADVICE)
+    Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val marker = new Path(s"$indexDir/_batches/$namespace-$batchId")
     val fs = marker.getFileSystem(conf)

@@ -116,6 +116,32 @@ class Bm25Spec extends SparkTestBase {
     assert(err.getMessage.contains("buckets"))
   }
 
+  test("legacy bare markers: a pre-migration applied day replays as a no-op; new claims are day-namespaced; future-day bare ids are not honored") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_legacy").toString + "/idx"
+    // a pre-upgrade index: day 1 applied under the OLD bare spelling —
+    // simulate by renaming the namespaced marker to bare (the
+    // CatchupSpec/StreamFingerprintSpec migration pattern)
+    assert(Bm25.appendBatch(spark, day(0, 4), dir, batchId = 1L) == 4L)
+    assert(new java.io.File(s"$dir/_batches/day-1")
+      .renameTo(new java.io.File(s"$dir/_batches/1")))
+    // the bare marker stays honored: the replay no-ops instead of
+    // double-appending postings (re-running an applied batch is the
+    // catastrophic case the migration rule exists to prevent)
+    assert(Bm25.appendBatchApplied(spark, dir, 1L))
+    assert(Bm25.appendBatch(spark, day(0, 4), dir, batchId = 1L) == -1L)
+    // a fresh batch claims under the NAMESPACED spelling only
+    assert(Bm25.appendBatch(spark, day(4, 8), dir, batchId = 2L) == 4L)
+    assert(new java.io.File(s"$dir/_batches/day-2").exists())
+    assert(!new java.io.File(s"$dir/_batches/2").exists())
+    // a bare marker for a FUTURE ingest day (a legacy stream counter that
+    // ran past today) does NOT shadow it in the day namespace
+    val future = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay + 40
+    val fut = new java.io.File(s"$dir/_batches/$future")
+    val out = new java.io.FileOutputStream(fut)
+    out.write("99".getBytes("UTF-8")); out.close()
+    assert(!Bm25.appendBatchApplied(spark, dir, future))
+  }
+
   test("pb-partition compaction: 10 appends fold to a bounded file count, probes unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_compact").toString + "/idx"
     // 10 daily appends over a tiny bucket space -> many small files per pb

@@ -190,9 +190,10 @@ class LlmIngestDagSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(annIds().toSet == survivors, "ANN index must hold survivors only")
     assert(annIds().size == survivors.size, "no duplicate ANN entries")
-    // both batch markers exist (day 1 = build, day 2 = append)
+    // both batch markers exist (day 1 = build, day 2 = append) — written
+    // producer-namespaced since r15 (graft.streaming.Markers)
     for (d <- Seq(d1, d2))
-      assert(new java.io.File(s"$annDir/_batches/${d.toEpochDay}").exists())
+      assert(new java.io.File(s"$annDir/_batches/day-${d.toEpochDay}").exists())
 
     // the grown artifact probes end-to-end through the persisted path
     val idx = graft.operators.Pq.readIndex(spark, annDir)

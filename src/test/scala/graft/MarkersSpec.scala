@@ -47,4 +47,103 @@ class MarkersSpec extends SparkTestBase {
     touch(dir, s"day-${today + 50}")
     assert(Markers.applied(spark, dir, today + 50, "day"))
   }
+
+  test("the bound is cached per JVM: the bare-fallback path pays no filesystem read after first touch") {
+    val dir = Files.createTempDirectory("markers_cache").toString
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+    touch(dir, "7")
+    assert(Markers.applied(spark, dir, 7, "day")) // first consult: loads + caches
+    val sentinel = new java.io.File(s"$dir/_batches/_migration")
+    assert(sentinel.exists())
+    // delete the sentinel from under the JVM — a cached bound must keep
+    // answering identically without re-reading (the per-call-FS-read cost
+    // ADVICE flagged); the bound is write-once, so the cache can never go
+    // stale in a live system
+    assert(sentinel.delete())
+    assert(Markers.applied(spark, dir, 7, "day"))
+    assert(!Markers.applied(spark, dir, today + 9, "day"))
+  }
+
+  test("a torn sentinel (crash between create and write) heals: treated as absent and rewritten") {
+    val dir = Files.createTempDirectory("markers_torn").toString
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+    touch(dir, "3")
+    touch(dir, Markers.MigrationSentinel) // 0-length file: the torn state
+    // pre-fix this threw NumberFormatException on ''.trim.toLong with no
+    // self-heal path, blocking every day-namespace gate until manual
+    // cleanup; now it recomputes (safe: the bare set is immutable)
+    assert(Markers.applied(spark, dir, 3, "day"))
+    val recorded = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_batches/${Markers.MigrationSentinel}")),
+      "UTF-8").trim.toLong
+    assert(recorded == today)
+    // unparseable garbage heals the same way (fresh JVM view); written
+    // through the hadoop fs so the checksum sidecar stays consistent and
+    // the PARSE path (not the IO path) is what heals
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(bdir, Markers.MigrationSentinel), true)
+    out.write("not-a-number".getBytes("UTF-8")); out.close()
+    Markers.dropCachedBoundForTest(fs, bdir)
+    assert(Markers.applied(spark, dir, 3, "day"))
+  }
+
+  test("racing first-touch producers (separate JVMs) converge on ONE bound; losers read the winner's") {
+    val dir = Files.createTempDirectory("markers_race").toString
+    new java.io.File(s"$dir/_batches").mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+    // loadOrWriteBoundForTest bypasses the same-JVM monitor, so these 8
+    // threads hit the filesystem concurrently — the cross-JVM shape. The
+    // create-exclusive write means exactly one creation sticks; every
+    // loser must take the IOException → read-after-lose path and return
+    // the winner's bound, never throw and never fork a second bound.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = Markers.loadOrWriteBoundForTest(fs, bdir)
+        }))
+      val bounds = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(bounds.distinct.size == 1, s"racers forked bounds: $bounds")
+      val onDisk = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_batches/${Markers.MigrationSentinel}")),
+        "UTF-8").trim.toLong
+      assert(onDisk == bounds.head)
+      // day claims are identical under the converged bound
+      touch(dir, "5")
+      assert(Markers.applied(spark, dir, 5, "day"))
+      assert(!Markers.applied(spark, dir, onDisk + 40, "day"))
+    } finally pool.shutdownNow()
+  }
+
+  test("ensureMigrationBound pins the bound at producer entry (deploy time), not at the first day-gate consult") {
+    val dir = Files.createTempDirectory("markers_eager").toString
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+    // producer entry on an index that has legacy bare markers writes the
+    // sentinel immediately — a paused day leg can no longer widen the
+    // window in which a growing stream counter adds days to the bare range
+    touch(dir, "11")
+    Markers.ensureMigrationBound(spark, dir)
+    val sentinel = new java.io.File(s"$dir/_batches/_migration")
+    assert(sentinel.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(sentinel.toPath),
+      "UTF-8").trim.toLong == today)
+    // idempotent, and a pre-existing bound is never overwritten (written
+    // through the hadoop fs so the checksum sidecar stays consistent)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(bdir, Markers.MigrationSentinel), true)
+    out.write("12345".getBytes("UTF-8")); out.close()
+    Markers.dropCachedBoundForTest(fs, bdir)
+    Markers.ensureMigrationBound(spark, dir)
+    assert(new String(java.nio.file.Files.readAllBytes(sentinel.toPath),
+      "UTF-8").trim == "12345")
+    assert(Markers.applied(spark, dir, 11, "day"))
+  }
 }

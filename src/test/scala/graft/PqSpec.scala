@@ -230,7 +230,7 @@ class PqSpec extends SparkTestBase {
     // branch (idempotent overwrite) — the old decision keyed on
     // _centroids existing and would have detoured into append,
     // duplicating every day-one vector
-    val m1 = new java.io.File(s"$dir/_batches/1")
+    val m1 = new java.io.File(s"$dir/_batches/day-1")
     assert(m1.delete())
     val n1b = Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
       batchId = 1L, nlist = 4, k = 8)
@@ -250,7 +250,7 @@ class PqSpec extends SparkTestBase {
     // simulate a crashed day-three append: an EMPTY claim marker. The
     // replay is a no-op (-1, missing-not-duplicated) and the gate reads
     // RED — bare exists() would have reported it green forever
-    val m3 = new java.io.File(s"$dir/_batches/3")
+    val m3 = new java.io.File(s"$dir/_batches/day-3")
     m3.getParentFile.mkdirs()
     assert(m3.createNewFile())
     assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
@@ -311,6 +311,36 @@ class PqSpec extends SparkTestBase {
     assert(m3.delete()) // the documented manual repair still works
     assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
       batchId = 3L, nlist = 4, k = 8) == day2.count())
+  }
+
+  test("legacy bare markers: a pre-migration applied day replays as a no-op; new claims are day-namespaced") {
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6)
+    val dir = java.nio.file.Files.createTempDirectory("pq_legacy").toString + "/idx"
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == day1.count())
+    // simulate a pre-upgrade index: the applied marker under the OLD bare
+    // spelling (rename, preserving its row-count content)
+    assert(new java.io.File(s"$dir/_batches/day-1")
+      .renameTo(new java.io.File(s"$dir/_batches/1")))
+    assert(Pq.appendBatchApplied(spark, dir, 1L))
+    // the replay no-ops through the bare marker — the index is never
+    // rebuilt from a single day or double-appended
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == -1L)
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length)
+    // fresh batches claim namespaced only
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == day2.count())
+    assert(new java.io.File(s"$dir/_batches/day-2").exists())
+    assert(!new java.io.File(s"$dir/_batches/2").exists())
+    // a bare marker for a FUTURE ingest day (legacy stream counter range)
+    // does not shadow that day
+    val future = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay + 40
+    val out = new java.io.FileOutputStream(s"$dir/_batches/$future")
+    out.write("99".getBytes("UTF-8")); out.close()
+    assert(!Pq.appendBatchApplied(spark, dir, future))
   }
 
   test("rebuildIfDrifted: a no-drift day leaves every byte alone; drift rebuilds to fresh-build probes with replay markers intact") {
