@@ -198,13 +198,39 @@ object Bm25 {
       val fp = BuildOnce.fingerprint(docs, e)
       (BuildOnce.versionKey(path, fp), BuildOnce.versionedPath(path, fp))
     }
-    builtIndexes.getOrBuild(docs.sparkSession, key, s"buckets=$buckets",
-      writeIndex(docs, target, buckets),
+    val spark = docs.sparkSession
+    builtIndexes.getOrBuild(spark, key, s"buckets=$buckets",
+      // cross-JVM coordination (r14 verdict #1, the Pq.writeIndexOnce
+      // twin): serialize same-path builders from different JVMs on the
+      // artifact's build lease; a waiter finding the winner's completed
+      // index reads it instead of rebuilding over it. `_stats/_SUCCESS`
+      // is the completeness witness (writeStats is writeIndex's last
+      // write).
+      graft.sources.BuildLock.withLease(spark, target, "BM25 index build") {
+        if (indexComplete(spark, target)) {
+          val idx = readIndex(spark, target)
+          require(idx.buckets == buckets,
+            s"writeIndexOnce: completed index at $target was built with " +
+              s"${idx.buckets} buckets but this caller requested $buckets " +
+              "— same-path producers must agree on layout")
+          idx
+        } else writeIndex(docs, target, buckets)
+      },
       // protect the output path from install time (a dead session's
       // same-path artifact must not be reaped mid-build), and GC this
       // session's superseded content versions once this one is built
       intendedId = Some(target),
       supersedes = fingerprintBy.map(_ => BuildOnce.supersedesPrefix(path)))
+  }
+
+  /** True iff a [[writeIndex]] at `path` ran to completion — `_stats` is
+    * its last write, so that sidecar's `_SUCCESS` witnesses the postings
+    * landed too.
+    */
+  private[graft] def indexComplete(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_stats/_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   def readIndex(

@@ -72,6 +72,17 @@ import scala.jdk.CollectionConverters._
   * — its entry is dropped and any partial output is left to the
   * artifact's own overwrite/heal discipline.
   *
+  * == CROSS-JVM ==
+  * This cache is JVM-local by construction (it holds live object
+  * handles). Path-addressed callers (`Pq`/`Bm25.writeIndexOnce`) close
+  * the cross-JVM gap by running their build closure under
+  * [[graft.sources.BuildLock]]: same-path builders in separate JVMs
+  * serialize on a create-exclusive lease, and the loser reads the
+  * winner's completed artifact instead of rebuilding over it. The
+  * table-addressed caller (`Graph.bucketedEdgeTableOnce`) needs no
+  * lease — fresh UUID names cannot collide, and session catalogs do not
+  * span JVMs (see its scaladoc).
+  *
   * == SUPERSEDED VERSIONS (r13 verdict #3) ==
   * Fingerprinted callers version their keys (`<bare>#<digest>`) and
   * their artifact paths ([[BuildOnce.versionedPath]] siblings). Without

@@ -143,6 +143,15 @@ object Graph {
     * indirection needed). Eviction drops dead sessions'
     * `graft_pr_edges_*` tables with the CALLING session (same warehouse —
     * one JVM) instead of stranding them until a manual warehouse sweep.
+    *
+    * Cross-JVM: no build lease here, deliberately (unlike the
+    * path-addressed `Pq`/`Bm25.writeIndexOnce`, which serialize on
+    * [[graft.sources.BuildLock]]). Each build mints a fresh UUID table
+    * name, so two JVMs can never overwrite each other's artifact — and a
+    * waiter could not SERVE the winner's table anyway: managed tables
+    * live in the session catalog, which does not span JVMs. The cross-JVM
+    * cost is therefore a duplicate build (each JVM its own table), never
+    * a race.
     */
   def bucketedEdgeTableOnce(
       spark: org.apache.spark.sql.SparkSession, key: String,

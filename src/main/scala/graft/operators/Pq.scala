@@ -280,13 +280,43 @@ object Pq {
       val fp = BuildOnce.fingerprint(corpus, e)
       (BuildOnce.versionKey(path, fp), BuildOnce.versionedPath(path, fp))
     }
-    builtIndexes.getOrBuild(corpus.sparkSession, key, s"nlist=$nlist",
-      writeIndex(corpus, idCol, vecCol, model, target, nlist),
+    val spark = corpus.sparkSession
+    builtIndexes.getOrBuild(spark, key, s"nlist=$nlist",
+      // cross-JVM coordination (r14 verdict #1): BuildOnce amortizes per
+      // (session, key) inside ONE JVM; a second JVM against the same
+      // shared path (nightly DAG + ad-hoc session) serializes on the
+      // artifact's build lease, and the waiter — finding the winner's
+      // COMPLETED artifact — reads it instead of rebuilding over it.
+      // `_occupancy/_SUCCESS` is the completeness witness: writeIndex
+      // writes it last, so its commit implies data + both sidecars. The
+      // same trust-the-path contract as the in-JVM cache applies: same
+      // path = same artifact (fingerprinted callers get versioned paths).
+      graft.sources.BuildLock.withLease(spark, target, "IVF-PQ index build") {
+        if (indexComplete(spark, target)) {
+          val idx = readIndex(spark, target)
+          require(idx.centroids.length == nlist,
+            s"writeIndexOnce: completed index at $target has " +
+              s"${idx.centroids.length} cells but this caller requested " +
+              s"nlist=$nlist — same-path producers must agree on layout " +
+              "(fold nlist into the path, or rebuild)")
+          idx
+        } else writeIndex(corpus, idCol, vecCol, model, target, nlist)
+      },
       // protect the output path from install time (a dead session's
       // same-path artifact must not be reaped mid-build), and GC this
       // session's superseded content versions once this one is built
       intendedId = Some(target),
       supersedes = fingerprintBy.map(_ => BuildOnce.supersedesPrefix(path)))
+  }
+
+  /** True iff a [[writeIndex]] at `path` ran to completion: `_occupancy`
+    * is the LAST artifact it writes, so its `_SUCCESS` commit witnesses
+    * data, `_centroids` and `_books` all landed.
+    */
+  private[graft] def indexComplete(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_occupancy/_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   def writeIndex(

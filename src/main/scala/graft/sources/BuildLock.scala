@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem, LocalFileSystem}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-JVM serialization for the path-addressed amortized index builds
+  * (`Pq.writeIndexOnce`, `Bm25.writeIndexOnce`) — the fifth lifecycle
+  * discipline next to grow, heal, compact, and layout-stamp.
+  *
+  * [[graft.operators.BuildOnce]] amortizes builds per (session, key)
+  * INSIDE one JVM; two sessions in different JVMs (the nightly DAG plus
+  * an ad-hoc analyst session on one shared store — the deployment shape
+  * this exists for) used to double-build the same artifact path and race
+  * the root overwrite. This lease serializes them: the build runs under
+  * a create-exclusive `<path>.build.lock` sibling file, and the waiter —
+  * once the winner releases — finds the completed artifact and READS it
+  * instead of rebuilding. The lock is a SIBLING because the artifact
+  * root itself is overwritten by the build it guards.
+  *
+  * == Lease protocol ==
+  *  - Acquire: create the lock file exclusively with
+  *    `token=<uuid> holder=<host:pid> expires=<epochMs>`, then read it
+  *    back — only the caller whose token survived holds the lease (the
+  *    IndexConf validate-after-write rule; on HDFS and object stores the
+  *    exclusive create is atomic and the read-back a formality; on the
+  *    local filesystem the claim goes through `java.nio`'s O_EXCL create,
+  *    which IS atomic, sidestepping Hadoop's check-then-act local create).
+  *  - Wait: a loser polls. A parseable unexpired lock → sleep. An
+  *    expired one → heal (delete, then re-race the create — a racing
+  *    healer loses the create and simply waits on the new holder). An
+  *    UNPARSEABLE lock (a writer mid-flight or a torn crash) is only
+  *    treated as stale once its modification time is older than the
+  *    lease — before that it may be a claim in progress whose expiry is
+  *    simply not readable yet.
+  *  - Renew: the holder re-writes the lock with an extended expiry every
+  *    lease/3 from a daemon thread, so a slow build is never healed out
+  *    from under a LIVE holder; expiry only fires for crashed ones.
+  *  - Release: delete the lock iff the token is still ours.
+  *
+  * The residual window is inherited from the store's create semantics:
+  * where exclusive-create is atomic (HDFS, object stores with
+  * conditional put, the local-FS nio path) there is exactly one holder;
+  * a store with neither gets the validate-after-write downgrade — two
+  * racers can transiently both believe they hold, and the artifact's own
+  * overwrite idempotence bounds the damage to a wasted duplicate build
+  * (the pre-lock status quo), never a torn read.
+  */
+object BuildLock {
+
+  private[graft] def lockPath(artifactPath: String): Path =
+    new Path(artifactPath.stripSuffix("/") + ".build.lock")
+
+  /** Run `body` under the artifact path's build lease. `what` names the
+    * artifact family in failure messages.
+    */
+  def withLease[T](spark: SparkSession, artifactPath: String, what: String,
+      leaseMs: Long = 10 * 60 * 1000L, pollMs: Long = 200L,
+      maxWaitMs: Long = 60 * 60 * 1000L)(body: => T): T = {
+    val p = lockPath(artifactPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val token = java.util.UUID.randomUUID().toString
+    acquire(fs, p, token, what, leaseMs, pollMs, maxWaitMs)
+    val renewer = startRenewer(fs, p, token, leaseMs)
+    try body
+    finally {
+      renewer.cancel(false)
+      release(fs, p, token)
+    }
+  }
+
+  private def acquire(fs: FileSystem, p: Path, token: String, what: String,
+      leaseMs: Long, pollMs: Long, maxWaitMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (System.currentTimeMillis() < deadline) {
+      if (!fs.exists(p)) {
+        if (tryClaim(fs, p, token, leaseMs) &&
+            readLock(fs, p).exists(_.token == token)) return
+      } else readLock(fs, p) match {
+        case Some(l) if l.token == token => return // our claim survived
+        case Some(l) if l.expires < System.currentTimeMillis() =>
+          // crashed holder (a live one renews every lease/3): heal. A
+          // racing healer's delete is a benign no-op; the next create
+          // decides the new holder.
+          fs.delete(p, false)
+        case Some(_) => Thread.sleep(pollMs) // live holder: wait
+        case None =>
+          // unreadable: a claim mid-write, or a torn crash. Only the
+          // latter is stale — and only age can tell them apart.
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.IOException => 0L } // vanished: re-race
+          if (age > leaseMs) fs.delete(p, false) else Thread.sleep(pollMs)
+      }
+    }
+    throw new IllegalStateException(
+      s"$what: could not acquire build lease $p within ${maxWaitMs}ms — " +
+        "a holder is renewing but never finishing; inspect its " +
+        "holder= line and the build it is running")
+  }
+
+  /** One exclusive-create attempt. Local filesystems route through
+    * `java.nio`'s atomic O_EXCL create (Hadoop's local create is
+    * check-then-act); everything else uses the store's own
+    * create-exclusive. False = somebody else claimed first.
+    */
+  private def tryClaim(
+      fs: FileSystem, p: Path, token: String, leaseMs: Long): Boolean = {
+    val content = render(token, leaseMs)
+    fs.mkdirs(p.getParent)
+    val isLocal = fs.isInstanceOf[LocalFileSystem] ||
+      fs.isInstanceOf[RawLocalFileSystem]
+    if (isLocal) {
+      val f = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.write(f, content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case e: java.io.IOException =>
+        if (!fs.exists(p)) throw e // real write failure, not a lost race
+        false
+      }
+    }
+  }
+
+  private def render(token: String, leaseMs: Long): Array[Byte] = {
+    val expires = System.currentTimeMillis() + leaseMs
+    val holder = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current().pid()}"
+    s"token=$token\nholder=$holder\nexpires=$expires"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private final case class Lock(token: String, expires: Long)
+
+  private def readLock(fs: FileSystem, p: Path): Option[Lock] =
+    try {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = text.split('\n').iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => (k, v) }.toMap
+      for {
+        t <- kv.get("token")
+        e <- kv.get("expires").flatMap(_.trim.toLongOption)
+      } yield Lock(t, e)
+    } catch { case _: java.io.IOException => None }
+
+  /** Shared daemon scheduler for lease renewal — one thread serves every
+    * concurrently-held lease (holds are build-scoped and few).
+    */
+  private lazy val scheduler = {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-build-lock-renewer")
+      t.setDaemon(true)
+      t
+    })
+    s.setRemoveOnCancelPolicy(true)
+    s
+  }
+
+  private def startRenewer(fs: FileSystem, p: Path, token: String,
+      leaseMs: Long): java.util.concurrent.ScheduledFuture[_] =
+    scheduler.scheduleAtFixedRate(() => {
+      try {
+        // renew only what is still ours — a healed-out holder must not
+        // clobber the new one's lock (it can only log; aborting a Spark
+        // job mid-build from a watchdog thread is worse than the
+        // duplicate build the new holder is about to run)
+        if (readLock(fs, p).exists(_.token == token)) {
+          val out = fs.create(p, true)
+          try out.write(render(token, leaseMs)) finally out.close()
+        } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"BuildLock: lease $p no longer held by this builder " +
+            "(healed as stale by a waiter?) — finishing anyway; the " +
+            "artifact's overwrite discipline bounds the damage")
+      } catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"BuildLock: lease renewal failed for $p: $e")
+      }
+    }, leaseMs / 3, leaseMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  private def release(fs: FileSystem, p: Path, token: String): Unit =
+    try {
+      if (readLock(fs, p).exists(_.token == token)) fs.delete(p, false)
+    } catch { case e: Throwable =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"BuildLock: could not release $p: $e — a waiter heals it " +
+          "after expiry")
+    }
+}
