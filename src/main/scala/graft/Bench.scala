@@ -39,6 +39,19 @@ object Bench {
     }
     val contentionStart = contention()
 
+    // Launcher pin (r14 lesson, SURVEY §5): the same code measured 193.2 s
+    // through `sbt runMain` vs 160.5 s via the direct-java runner — that
+    // 20% is launcher overhead + the sbt JVM's contention, not code. The
+    // record carries WHICH launcher produced it so no prose adjudication
+    // is needed. Heuristic: sbt's forked JVM carries the coursier test
+    // jars on its classpath; the canonical timed path
+    // (tools/runjava.sh) carries only classes + /opt/spark/jars.
+    val launcher = sys.env.getOrElse("SPARK_GRAFT_LAUNCHER", {
+      val cp = sys.props.getOrElse("java.class.path", "")
+      if (cp.contains("coursier") || cp.contains("sbt")) "sbt-runMain"
+      else "direct-java"
+    })
+
     // JVM/codegen warmup outside the timed region: small end-to-end runs
     // at sf0.001 so measured queries don't pay classloading + JIT for the
     // relational, dedup, and vector kernels.
@@ -119,14 +132,14 @@ object Bench {
     val contentionJson =
       s"""{"start":$contentionStart,"end":$contentionEnd}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"suspect":$suspect,"failed":$failed,"contention":$contentionJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"launcher":"$launcher","queries":$qs,"spread":$spread,"suspect":$suspect,"failed":$failed,"contention":$contentionJson,"sf":"$sfDir"}"""
     // stdout must stay COMPACT: the driver captures a bounded tail of the
     // run and JSON-parses one line — the 65-query line (~3.4 KB) overflowed
     // it at r4 and the official record got "parsed": null. Per-query
     // detail lives in the bench_out.json file (the machine-readable
     // channel); stdout carries only the headline the tail can always hold.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"nqueries":${results.size},"suspect":$suspect,"failed":$failed,"contention":$contentionJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"launcher":"$launcher","nqueries":${results.size},"suspect":$suspect,"failed":$failed,"contention":$contentionJson,"sf":"$sfDir"}"""
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(

@@ -165,7 +165,13 @@ object Bm25 {
   def writeIndex(docs: DataFrame, path: String, buckets: Int = 64): Bm25Index = {
     require(buckets > 0, "positive bucket count")
     val sp = docs.sparkSession
+    // pre-shuffle by bucket before the dynamic-partition write (the
+    // Pq.writeIndex discipline, SCALING_r15 §1): straight off the
+    // groupBy, every write task sees ~every pb value and opens
+    // numTasks × buckets small files; one shuffle of the posting rows
+    // lands one file per bucket — the layout the pb-pruned probe wants.
     postingRows(docs, buckets)
+      .repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(path)
     val st = docs.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("n"),
@@ -256,6 +262,7 @@ object Bm25 {
   def appendToIndex(index: Bm25Index, delta: DataFrame): Bm25Index = {
     val sp = delta.sparkSession
     postingRows(delta, index.buckets)
+      .repartition(col("pb")) // one file per touched bucket per append
       .write.partitionBy("pb").mode("append").parquet(index.path)
     val st = delta.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("n"),

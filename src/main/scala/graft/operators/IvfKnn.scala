@@ -57,6 +57,131 @@ object IvfKnn {
     centroids
   }
 
+  /** Above this nlist, [[coarseCentroidsForBuild]] switches from the
+    * driver-side Lloyd to [[trainCentroidsAtScale]]: the driver loop is
+    * O(iters · sample · nlist · d) SINGLE-THREADED, and a useful sample
+    * grows with nlist (≥ a few dozen points per cell), so its cost is
+    * effectively quadratic in nlist — fine at the q27/q107 registration
+    * shape (nlist ≤ 32, milliseconds), the superlinear corner of the
+    * whole index build at production nlist (SCALING_r14 §1: 104 s at
+    * nlist=1024 on 200k vectors). Below the threshold the distributed
+    * trainer's per-iteration job overhead would dominate instead.
+    */
+  val scaleTrainerThreshold = 128
+
+  /** The coarse trainer an index BUILD uses: identical semantics —
+    * deterministic sampled Lloyd, cosine metric, empty cell keeps its
+    * centroid — with the engine picked by nlist (see
+    * [[scaleTrainerThreshold]]). Registered query shapes (nlist ≤ 32)
+    * stay on the original driver Lloyd bit-for-bit.
+    */
+  def coarseCentroidsForBuild(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Float]] =
+    if (nlist >= scaleTrainerThreshold)
+      trainCentroidsAtScale(corpus, idCol, vecCol, nlist)
+    else trainCentroids(corpus, idCol, vecCol, nlist)
+
+  /** Distributed sampled Lloyd for PRODUCTION nlist (thousands of cells;
+    * the faiss guidance of tens of samples per cell) — the corpus never
+    * leaves the executors and the driver only ever holds the MODEL
+    * (nlist × d), never the sample:
+    *
+    *   - SAMPLE: deterministic hash thinning
+    *     (`xxhash64(id) mod 10⁶ < rate` — the q35 idHash discipline:
+    *     partitioning- and engine-independent, no driver RNG) down to
+    *     ~`nlist · samplePerCell` vectors, L2-normalized on executors,
+    *     materialized once (`localCheckpoint` locally, a persisted table
+    *     on a cluster) so `iters` passes don't re-read the corpus.
+    *   - ASSIGN (per iteration): the codegen'd [[VectorFunctions
+    *     .nearestCells]] kernel over the sample — embarrassingly
+    *     parallel, the same expression the corpus routing uses.
+    *   - UPDATE (per iteration): per-(cell, dim) sums of the 6-dp GRID
+    *     projection of each normalized vector (the q86 long-grid
+    *     discipline: exact integer sums, so the update is
+    *     order-independent — a float sum here would make the trained
+    *     centroids depend on partitioning). Map-side combine reduces the
+    *     shuffle to nlist × d rows; the driver collects exactly the
+    *     model size, re-normalizes, and broadcasts the next round's
+    *     centroids inside the expression.
+    *
+    * Determinism: hash sample + pinned init (the nlist smallest-id
+    * sample vectors) + exact-long update sums + fixed-order driver
+    * normalization ⇒ a pure function of the input multiset, like
+    * [[trainCentroids]] (IvfScaleSpec asserts run-to-run and
+    * repartition invariance). The two trainers differ numerically (grid
+    * rounding, init rule), so indexes must not mix them — an index
+    * build picks one via [[coarseCentroidsForBuild]] and freezes it in
+    * the persisted `_centroids` sidecar like any other build.
+    *
+    * Scale shape (100 TB): one thinning scan + `iters` scans of a
+    * bounded sample; every stage's driver state and shuffle volume is
+    * O(nlist · d). At nlist = 65 536 and 64 dims the per-iteration
+    * collect is ~4 M (cell, dim, sum, count) tuples — the model itself,
+    * the documented bounded-model-collect contract.
+    */
+  def trainCentroidsAtScale(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 10, samplePerCell: Int = 32): Array[Array[Float]] = {
+    require(nlist > 0 && iters >= 0 && samplePerCell > 0,
+      "nlist/samplePerCell must be positive, iters non-negative")
+    val base = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+    val n = base.count()
+    val target = nlist.toLong * samplePerCell
+    val den = 1000000L
+    val num = if (n <= target) den else math.max(1L, den * target / n)
+    val thinned =
+      if (num >= den) base
+      else base.filter(
+        pmod(xxhash64(lit("ivf-coarse-sample"), col("id")), lit(den)) < lit(num))
+    // L2-normalize on executors; zero vectors carry no direction and are
+    // dropped from the TRAINING sample (assignment still routes them —
+    // the kernel's dot against every centroid is 0, ties to cell 0)
+    val sample = thinned
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .filter(col("nrm") > 0.0d)
+      .select(
+        col("id"),
+        transform(col("v"), x => (x.cast("double") / col("nrm")).cast("float"))
+          .as("vf"),
+        transform(col("v"),
+          x => round(x.cast("double") / col("nrm") * lit(1e6), 0).cast("long"))
+          .as("v6"))
+      .localCheckpoint()
+    val got = sample.count()
+    require(got >= nlist, s"sample $got < nlist $nlist")
+
+    // init: the nlist smallest-id sample vectors (pinned-init discipline)
+    var centroids: Array[Array[Float]] = sample
+      .orderBy(col("id")).limit(nlist)
+      .select(col("vf")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val rows = sample
+        .select(
+          element_at(
+            VectorFunctions.nearestCells(col("vf"), centroids, 1), 1)
+            .as("cell"),
+          posexplode(col("v6")).as(Seq("dim", "g")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("g")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c).fold(old) { rs =>
+          normalize(rs.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2).toDouble / r.getLong(3) / 1e6).toFloat))
+        }
+      }
+    }
+    centroids
+  }
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var n = 0.0
     var i = 0

@@ -319,13 +319,36 @@ object Pq {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** `coarse`: a pre-trained coarse quantizer to freeze into the index
+    * instead of training one here (the faiss `clustering_index` pattern —
+    * train once on a reference sample, reuse across related builds).
+    * When absent, the trainer is nlist-dispatched (r14 verdict #4):
+    * registered shapes (nlist ≤ 32) keep the driver Lloyd bit-for-bit;
+    * production nlist (≥ 128) trains distributed — see
+    * [[IvfKnn.trainCentroidsAtScale]].
+    */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      model: PqModel, path: String, nlist: Int = 32): IvfPqIndex = {
+      model: PqModel, path: String, nlist: Int = 32,
+      coarse: Option[Array[Array[Float]]] = None): IvfPqIndex = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    val centroids = IvfKnn.trainCentroids(corpus, idCol, vecCol, nlist)
+    require(coarse.forall(_.length == nlist),
+      s"pre-trained coarse quantizer must have exactly nlist=$nlist cells")
+    val centroids = coarse.getOrElse(
+      IvfKnn.coarseCentroidsForBuild(corpus, idCol, vecCol, nlist))
+    // Pre-shuffle by cell before the dynamic-partition write: without it
+    // every write task opens a file in every cell it sees — numTasks ×
+    // nlist small files, and at production nlist THAT (not any trainer)
+    // is the whole build wall (SCALING_r15 §1: 83.9 s / 32 686 files at
+    // nlist=1024 on 200k rows vs 4.4 s / 1024 files pre-shuffled; the
+    // occupancy read-back over the shattered layout pays another 5×).
+    // One shuffle of the ~12 B (id, cell, codes) rows buys the layout a
+    // reader wants anyway: one file per cell, the partition-pruned probe's
+    // open count == its cell count. Cells are ~|corpus|/nlist code rows
+    // (~12 B each), so a cell is task-sized at any production nlist.
     indexRows(corpus, idCol, vecCol, model, centroids)
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -361,7 +384,11 @@ object Pq {
       index: IvfPqIndex, delta: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val rows = indexRows(delta, idCol, vecCol, index.model, index.centroids)
       .localCheckpoint() // one encode pass feeds both the write and the counts
-    rows.write.partitionBy("cell").mode("append").parquet(index.path)
+    // one file per touched cell per append (the writeIndex pre-shuffle
+    // discipline) — otherwise a delta appends numTasks files into EVERY
+    // touched cell and the per-cell file count compounds daily
+    rows.repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(index.path)
     rows.groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
   }
 
