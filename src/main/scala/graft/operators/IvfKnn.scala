@@ -160,22 +160,34 @@ object IvfKnn {
       .orderBy(col("id")).limit(nlist)
       .select(col("vf")).collect()
       .map(_.getSeq[Float](0).toArray)
+    val d = centroids.head.length
 
+    // Per-dimension sums as d AGGREGATE COLUMNS under one hash-agg —
+    // NOT a posexplode to (cell, dim) rows: the Generate stage inlines
+    // its non-generator projections into the per-OUTPUT-row loop, so an
+    // exploded update re-evaluated the O(nlist·d) nearest-cell kernel
+    // once per dim — a d× blowup that dwarfed the work being distributed
+    // (measured: the nlist=4096 update ran minutes per iteration; the
+    // agg-columns shape runs the kernel once per sample row). The
+    // shuffle also carries nlist rows of d sums instead of nlist·d rows.
+    val aggCols = count(lit(1)).as("cnt") +:
+      (0 until d).map(i => sum(element_at(col("v6"), i + 1)).as(s"s$i"))
     for (_ <- 1 to iters) {
       val rows = sample
         .select(
           element_at(
             VectorFunctions.nearestCells(col("vf"), centroids, 1), 1)
             .as("cell"),
-          posexplode(col("v6")).as(Seq("dim", "g")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("g")).as("s"), count(lit(1)).as("cnt"))
+          col("v6"))
+        .groupBy(col("cell"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
-      val byCell = rows.groupBy(_.getInt(0))
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        byCell.get(c).fold(old) { rs =>
-          normalize(rs.sortBy(_.getInt(1))
-            .map(r => (r.getLong(2).toDouble / r.getLong(3) / 1e6).toFloat))
+        byCell.get(c).fold(old) { r =>
+          val cnt = r.getLong(1)
+          normalize(Array.tabulate(d)(i =>
+            (r.getLong(2 + i).toDouble / cnt / 1e6).toFloat))
         }
       }
     }

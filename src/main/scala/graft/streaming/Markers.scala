@@ -177,10 +177,14 @@ object Markers {
     * a half-written sentinel — the pre-fix create-then-write protocol
     * left an empty-file window that a racing first-touch could read,
     * "heal" by deletion, and livelock against (each racer deleting the
-    * others' mid-write files). An EXISTING empty/unparseable sentinel
-    * (torn by a pre-upgrade crash between create and write, or a stale
-    * checksum) is treated as absent and rewritten — recomputation is
-    * safe, see the class doc.
+    * others' mid-write files). An EXISTING sentinel whose content READS
+    * COMPLETELY but doesn't parse (torn by a pre-upgrade crash between
+    * create and write) is treated as absent and rewritten — recomputation
+    * is safe, see the class doc. A read that ERRORS (transient store
+    * failure, racer mid-commit, corrupt checksum) only retries and, if
+    * persistent, fails loudly — deleting on a read error would destroy a
+    * valid bound over a hiccup and rewrite it with TODAY, widening the
+    * bare-claim window.
     *
     * Racer convergence: on HDFS/object stores rename does not replace an
     * existing destination, so the FIRST commit sticks and losers read it
@@ -196,22 +200,30 @@ object Markers {
     while (attempts < 20) {
       attempts += 1
       if (fs.exists(p)) {
-        val parsed =
+        // a read that FAILED (racer's commit mid-flight, transient store
+        // error) must only RETRY — deleting on it would destroy a valid
+        // sentinel over a hiccup and rewrite it with TODAY, silently
+        // widening the bare-claim window (the exact shadowing class the
+        // sentinel kills). Only content that was READ COMPLETELY but
+        // doesn't parse (the legacy torn-create state) is recomputed.
+        val read: Option[String] =
           try {
             val in = fs.open(p)
-            val text = try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-            text.trim.toLongOption
-          } catch { case _: java.io.IOException => None } // a racer's
-          // commit mid-flight (or a stale checksum sidecar): retry
-        parsed match {
-          case Some(b) => return b
-          case None =>
-            // legacy torn sentinel: recompute (safe, see class doc). A
-            // racer may delete concurrently — either way the loop
-            // re-commits or reads the other's commit.
-            try fs.delete(p, false)
-            catch { case _: java.io.IOException => () }
+            try Some(new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally in.close()
+          } catch { case _: java.io.IOException => None }
+        read match {
+          case Some(text) => text.trim.toLongOption match {
+            case Some(b) => return b
+            case None =>
+              // legacy torn sentinel: recompute (safe, see class doc). A
+              // racer may delete concurrently — either way the loop
+              // re-commits or reads the other's commit.
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => () }
+          }
+          case None => () // read failure: loop retries, never deletes
         }
       } else {
         fs.mkdirs(batchesDir)

@@ -50,18 +50,31 @@ object ProbeBuildCost {
 
     for (nlist <- nlists) {
       val sample = math.max(4096, 4 * nlist)
+      // the driver Lloyd is O(iters·sample·nlist·d) single-threaded —
+      // past nlist=1024 it is the thing being replaced, don't wait on it
+      val tDriver =
+        if (nlist <= 1024)
+          time(IvfKnn.trainCentroids(corpus, "vec_id", "embedding", nlist,
+            sampleSize = sample))._1
+        else -1.0
       val (tCoarse, centroids) = time(
-        IvfKnn.trainCentroids(corpus, "vec_id", "embedding", nlist,
-          sampleSize = sample))
+        IvfKnn.trainCentroidsAtScale(corpus, "vec_id", "embedding", nlist))
+      println(f"BUILDCOST dir=$tag nlist=$nlist " +
+        f"coarse_driver=$tDriver%.2f coarse_scale=$tCoarse%.2f")
       // encode+route WITHOUT the write: noop sink
       val rows = Pq.indexRows(corpus, "vec_id", "embedding", model, centroids)
       val (tEncode, _) = time(
         rows.write.format("noop").mode("overwrite").save())
-      // the write, current shape (task-parallel dynamic partitioning)
+      // the write, pre-fix shape (task-parallel dynamic partitioning) —
+      // capped at 1024 cells: at 4096 it shatters into ~130k files and
+      // takes tens of minutes to measure a disease already quantified
       val p1 = s"$scratch/idx_plain_$nlist"
-      val (tWrite, _) = time(
-        rows.write.partitionBy("cell").mode("overwrite").parquet(p1))
-      val f1 = countFiles(p1)
+      val (tWrite, f1) =
+        if (nlist <= 1024) {
+          val (t, _) = time(
+            rows.write.partitionBy("cell").mode("overwrite").parquet(p1))
+          (t, countFiles(p1))
+        } else (-1.0, -1)
       // the write, pre-shuffled by cell (one file per cell target shape)
       val p2 = s"$scratch/idx_shuf_$nlist"
       val (tWriteShuf, _) = time(
@@ -69,14 +82,16 @@ object ProbeBuildCost {
           .write.partitionBy("cell").mode("overwrite").parquet(p2))
       val f2 = countFiles(p2)
       // occupancy read-back over each layout
-      val (tOcc1, _) = time(
-        spark.read.parquet(p1).groupBy(col("cell"))
-          .agg(count(lit(1)).as("n")).collect())
+      val (tOcc1, _) =
+        if (nlist <= 1024) time(
+          spark.read.parquet(p1).groupBy(col("cell"))
+            .agg(count(lit(1)).as("n")).collect())
+        else (-1.0, ())
       val (tOcc2, _) = time(
         spark.read.parquet(p2).groupBy(col("cell"))
           .agg(count(lit(1)).as("n")).collect())
       println(f"BUILDCOST dir=$tag nlist=$nlist sample=$sample " +
-        f"coarse=$tCoarse%.2f encode=$tEncode%.2f " +
+        f"encode=$tEncode%.2f " +
         f"write_plain=$tWrite%.2f files_plain=$f1 " +
         f"write_shuf=$tWriteShuf%.2f files_shuf=$f2 " +
         f"occ_plain=$tOcc1%.2f occ_shuf=$tOcc2%.2f")
