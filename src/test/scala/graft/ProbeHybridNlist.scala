@@ -21,6 +21,10 @@ object ProbeHybridNlist {
     val nlist = if (args.length > 1) args(1).toInt else 256
     val nprobe = if (args.length > 2) args(2).toInt else 8
     val reps = if (args.length > 3) args(3).toInt else 2
+    // PQ codes per subspace — the resolution knob (SCALING_r15 §4: at
+    // production nlist the fused-overlap margin is code-resolution-bound,
+    // not probe-bound; k=256 is the measurement behind that sentence)
+    val pqK = if (args.length > 4) args(4).toInt else 32
     val nQueries = 10
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,7 +56,7 @@ object ProbeHybridNlist {
       Seq("vec_id"), "left_semi")
     val pqPath = s"$scratch/hyb_dense_idx"
     val (bSec, _) = time(Pq.writeIndex(corpus, "vec_id", "embedding",
-      Pq.train(corpus, "vec_id", "embedding", m = 8, k = 32), pqPath,
+      Pq.train(corpus, "vec_id", "embedding", m = 8, k = pqK), pqPath,
       nlist = nlist))
     val pqIdx = Pq.readIndex(spark, pqPath)
     val cellsOnDisk = new java.io.File(pqPath).listFiles
