@@ -43,13 +43,18 @@ object Bench {
     // through `sbt runMain` vs 160.5 s via the direct-java runner — that
     // 20% is launcher overhead + the sbt JVM's contention, not code. The
     // record carries WHICH launcher produced it so no prose adjudication
-    // is needed. Heuristic: sbt's forked JVM carries the coursier test
-    // jars on its classpath; the canonical timed path
-    // (tools/runjava.sh) carries only classes + /opt/spark/jars.
+    // is needed. tools/runjava.sh pins SPARK_GRAFT_LAUNCHER explicitly;
+    // the heuristic is the fallback for bare `java` invocations: sbt's
+    // forked JVM carries coursier-cache test jars and sbt-launch on its
+    // classpath — matched as PATH SEGMENTS, not substrings, so a
+    // checkout living under a directory named "sbt" can't fool it.
     val launcher = sys.env.getOrElse("SPARK_GRAFT_LAUNCHER", {
-      val cp = sys.props.getOrElse("java.class.path", "")
-      if (cp.contains("coursier") || cp.contains("sbt")) "sbt-runMain"
-      else "direct-java"
+      val entries = sys.props.getOrElse("java.class.path", "")
+        .split(java.io.File.pathSeparatorChar)
+      val sbtish = entries.exists(e =>
+        e.split('/').exists(seg => seg == "coursier" || seg.startsWith("sbt-launch")) ||
+          e.endsWith("-sources.jar") && e.contains("/.sbt/"))
+      if (sbtish) "sbt-runMain" else "direct-java"
     })
 
     // JVM/codegen warmup outside the timed region: small end-to-end runs

@@ -308,17 +308,22 @@ object Bm25 {
     val fs = marker.getFileSystem(conf)
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
-        val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
-        val safe = fs.exists(mPre) && {
-          val in = fs.open(mPre)
-          val recorded = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          recorded == Pq.dataFileManifest(fs, indexDir)
-        }
-        if (!safe) return -1L
-        fs.delete(m, false) // provably nothing landed: retry, namespaced
-        fs.delete(mPre, false)
+        // a concurrent replayer healing the same dead claim can delete
+        // the marker between our exists and our read — a vanished file
+        // means someone else owns the retry: no-op, don't crash the day
+        try {
+          if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+          val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+          val safe = fs.exists(mPre) && {
+            val in = fs.open(mPre)
+            val recorded = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            recorded == Pq.dataFileManifest(fs, indexDir)
+          }
+          if (!safe) return -1L
+          fs.delete(m, false) // provably nothing landed: retry, namespaced
+          fs.delete(mPre, false)
+        } catch { case _: java.io.FileNotFoundException => return -1L }
       }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)

@@ -91,8 +91,12 @@ object IvfKnn {
     *     (`xxhash64(id) mod 10⁶ < rate` — the q35 idHash discipline:
     *     partitioning- and engine-independent, no driver RNG) down to
     *     ~`nlist · samplePerCell` vectors, L2-normalized on executors,
-    *     materialized once (`localCheckpoint` locally, a persisted table
-    *     on a cluster) so `iters` passes don't re-read the corpus.
+    *     materialized once via `localCheckpoint` (released after
+    *     training) so `iters` passes don't re-read the corpus. On a
+    *     cluster where executor loss mid-build matters, persist the
+    *     thinned sample as a table first and train on that — the
+    *     deterministic hash thinning makes the materialization itself
+    *     reproducible, so either path trains identical centroids.
     *   - ASSIGN (per iteration): the codegen'd [[VectorFunctions
     *     .nearestCells]] kernel over the sample — embarrassingly
     *     parallel, the same expression the corpus routing uses.
@@ -125,8 +129,13 @@ object IvfKnn {
       nlist: Int, iters: Int = 10, samplePerCell: Int = 32): Array[Array[Float]] = {
     require(nlist > 0 && iters >= 0 && samplePerCell > 0,
       "nlist/samplePerCell must be positive, iters non-negative")
+    // the id stays UNCAST (any orderable type — UUID strings included):
+    // the driver trainer this transparently replaces at nlist ≥ 128
+    // never required numeric ids, and a cast("long") here would null
+    // every non-numeric id, collapsing the hash thinning and the pinned
+    // init (self-review r15). xxhash64 and orderBy take any atomic type.
     val base = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
     val n = base.count()
     val target = nlist.toLong * samplePerCell
@@ -152,6 +161,7 @@ object IvfKnn {
           x => round(x.cast("double") / col("nrm") * lit(1e6), 0).cast("long"))
           .as("v6"))
       .localCheckpoint()
+    try {
     val got = sample.count()
     require(got >= nlist, s"sample $got < nlist $nlist")
 
@@ -192,6 +202,9 @@ object IvfKnn {
       }
     }
     centroids
+    // release the checkpointed sample: repeated builds in one session
+    // (bench loops, multi-index DAGs) must not accumulate pinned blocks
+    } finally sample.unpersist()
   }
 
   private def normalize(v: Array[Float]): Array[Float] = {

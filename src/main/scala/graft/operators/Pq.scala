@@ -446,26 +446,33 @@ object Pq {
     val fs = marker.getFileSystem(conf)
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
-        // claimed-but-dead: re-run ONLY if provably nothing landed —
-        // manifest unchanged since the claim. The `.pre` sidecar lives
-        // next to whichever spelling (bare or namespaced) claimed it. No
-        // `.pre` (a legacy or hand-made claim) means no proof: stay red
-        // for the operator.
-        val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
-        val safe = fs.exists(mPre) && {
-          val in = fs.open(mPre)
-          val recorded = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          recorded == dataFileManifest(fs, indexDir)
-        }
-        if (!safe) return -1L
-        // retry under the NAMESPACED spelling: drop the dead claim and
-        // its proof sidecar (a healed bare claim must not linger — its
-        // id would stay admissible and shadow nothing, but debris is
-        // debris)
-        fs.delete(m, false)
-        fs.delete(mPre, false)
+        // the whole claimed-state inspection can race a CONCURRENT
+        // replayer healing the same dead claim (it deletes the marker
+        // between our exists and our read): a vanished file here means
+        // someone else owns the retry — report the replay no-op rather
+        // than crash the DAG day on a race the protocol absorbs
+        try {
+          if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+          // claimed-but-dead: re-run ONLY if provably nothing landed —
+          // manifest unchanged since the claim. The `.pre` sidecar lives
+          // next to whichever spelling (bare or namespaced) claimed it. No
+          // `.pre` (a legacy or hand-made claim) means no proof: stay red
+          // for the operator.
+          val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+          val safe = fs.exists(mPre) && {
+            val in = fs.open(mPre)
+            val recorded = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+            recorded == dataFileManifest(fs, indexDir)
+          }
+          if (!safe) return -1L
+          // retry under the NAMESPACED spelling: drop the dead claim and
+          // its proof sidecar (a healed bare claim must not linger — its
+          // id would stay admissible and shadow nothing, but debris is
+          // debris)
+          fs.delete(m, false)
+          fs.delete(mPre, false)
+        } catch { case _: java.io.FileNotFoundException => return -1L }
       }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)

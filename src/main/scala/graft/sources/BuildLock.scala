@@ -44,6 +44,17 @@ import org.apache.spark.sql.SparkSession
   * racers can transiently both believe they hold, and the artifact's own
   * overwrite idempotence bounds the damage to a wasted duplicate build
   * (the pre-lock status quo), never a torn read.
+  *
+  * A second residual window is the EXPIRY HEAL itself: no plain
+  * filesystem offers compare-and-delete, so a holder paused past its
+  * whole lease (three consecutive missed renewals — a multi-minute
+  * driver stall) can be healed out by a waiter even though it later
+  * resumes. The heal re-reads immediately before deleting (a late
+  * renewal landing before that re-read is respected), the healed-out
+  * holder's renewer detects the foreign token and logs instead of
+  * clobbering, and the damage degrades to the pre-lock status quo:
+  * two concurrent builds of the same (deterministic) artifact — wasted
+  * work, converging content.
   */
 object BuildLock {
 
@@ -60,12 +71,26 @@ object BuildLock {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val token = java.util.UUID.randomUUID().toString
     acquire(fs, p, token, what, leaseMs, pollMs, maxWaitMs)
-    val renewer = startRenewer(fs, p, token, leaseMs)
+    // the released flag + monitor serialize release against an IN-FLIGHT
+    // renewal: cancel(false) does not stop a renewer task already
+    // running, and an unserialized one could re-create the lock AFTER
+    // release deleted it — an orphaned lease every later cold build
+    // would wait out (self-review r15)
+    val state = new LeaseState
+    val renewer = startRenewer(fs, p, token, leaseMs, state)
     try body
     finally {
       renewer.cancel(false)
-      release(fs, p, token)
+      state.monitor.synchronized {
+        state.released = true
+        release(fs, p, token)
+      }
     }
+  }
+
+  private final class LeaseState {
+    val monitor = new Object
+    @volatile var released = false
   }
 
   private def acquire(fs: FileSystem, p: Path, token: String, what: String,
@@ -75,13 +100,22 @@ object BuildLock {
       if (!fs.exists(p)) {
         if (tryClaim(fs, p, token, leaseMs) &&
             readLock(fs, p).exists(_.token == token)) return
+        Thread.sleep(pollMs) // lost (or torn) claim: never hot-loop
       } else readLock(fs, p) match {
         case Some(l) if l.token == token => return // our claim survived
         case Some(l) if l.expires < System.currentTimeMillis() =>
-          // crashed holder (a live one renews every lease/3): heal. A
-          // racing healer's delete is a benign no-op; the next create
-          // decides the new holder.
-          fs.delete(p, false)
+          // crashed holder (a live one renews every lease/3 — expiry
+          // means 3 consecutive missed renewals): heal. Re-read
+          // IMMEDIATELY before the delete so a late renewal landing
+          // between the first read and here is respected — the residual
+          // read-to-delete window is microseconds against a lease of
+          // minutes (no plain filesystem offers compare-and-delete; see
+          // the class doc's residual-window paragraph). A racing
+          // healer's delete is a benign no-op; the next create decides
+          // the new holder.
+          if (readLock(fs, p).exists(x =>
+              x.token == l.token && x.expires < System.currentTimeMillis()))
+            fs.delete(p, false)
         case Some(_) => Thread.sleep(pollMs) // live holder: wait
         case None =>
           // unreadable: a claim mid-write, or a torn crash. Only the
@@ -118,7 +152,13 @@ object BuildLock {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case e: java.io.IOException =>
+          // mirror the non-local branch: a failure that left NO file is
+          // a real write error (disk full, permissions) and must surface
+          // as itself — swallowing it as "lost race" spins the acquire
+          // loop for the full maxWait and then blames a phantom holder
+          if (!fs.exists(p)) throw e
+          false
       }
     } else {
       try {
@@ -155,11 +195,15 @@ object BuildLock {
       } yield Lock(t, e)
     } catch { case _: java.io.IOException => None }
 
-  /** Shared daemon scheduler for lease renewal — one thread serves every
-    * concurrently-held lease (holds are build-scoped and few).
+  /** Shared daemon scheduler for lease renewal. FOUR threads, not one:
+    * renewal does blocking filesystem IO, and a single thread hung in
+    * one lease's `fs.create` against a sick store would stall EVERY
+    * other lease's renewals past expiry — waiters would then heal out
+    * live holders wholesale (self-review r15). Holds are build-scoped
+    * and few; four threads is headroom, not throughput.
     */
   private lazy val scheduler = {
-    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+    val s = new java.util.concurrent.ScheduledThreadPoolExecutor(4, (r: Runnable) => {
       val t = new Thread(r, "graft-build-lock-renewer")
       t.setDaemon(true)
       t
@@ -169,20 +213,24 @@ object BuildLock {
   }
 
   private def startRenewer(fs: FileSystem, p: Path, token: String,
-      leaseMs: Long): java.util.concurrent.ScheduledFuture[_] =
+      leaseMs: Long, state: LeaseState): java.util.concurrent.ScheduledFuture[_] =
     scheduler.scheduleAtFixedRate(() => {
-      try {
-        // renew only what is still ours — a healed-out holder must not
-        // clobber the new one's lock (it can only log; aborting a Spark
-        // job mid-build from a watchdog thread is worse than the
-        // duplicate build the new holder is about to run)
-        if (readLock(fs, p).exists(_.token == token)) {
-          val out = fs.create(p, true)
-          try out.write(render(token, leaseMs)) finally out.close()
-        } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"BuildLock: lease $p no longer held by this builder " +
-            "(healed as stale by a waiter?) — finishing anyway; the " +
-            "artifact's overwrite discipline bounds the damage")
+      try state.monitor.synchronized {
+        // serialized against release (see withLease): a renewal must
+        // never re-create a lock release just deleted
+        if (!state.released) {
+          // renew only what is still ours — a healed-out holder must not
+          // clobber the new one's lock (it can only log; aborting a Spark
+          // job mid-build from a watchdog thread is worse than the
+          // duplicate build the new holder is about to run)
+          if (readLock(fs, p).exists(_.token == token)) {
+            val out = fs.create(p, true)
+            try out.write(render(token, leaseMs)) finally out.close()
+          } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"BuildLock: lease $p no longer held by this builder " +
+              "(healed as stale by a waiter?) — finishing anyway; the " +
+              "artifact's overwrite discipline bounds the damage")
+        }
       } catch { case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"BuildLock: lease renewal failed for $p: $e")

@@ -118,8 +118,52 @@ object Markers {
     if (fs.exists(ns)) return Some(ns)
     val bare = new Path(s"$indexDir/_batches/$batchId")
     if (fs.exists(bare) && (namespace != "day" ||
-        batchId <= legacyBound(fs, bare.getParent))) Some(bare)
+        batchId <= readBound(fs, bare.getParent))) Some(bare)
     else None
+  }
+
+  /** The bound for READ paths — never writes. Gates (`applied`,
+    * `appliedNonEmpty`, DAG monitors) may run with read-only credentials
+    * against a pre-upgrade index before any producer has pinned the
+    * sentinel; the old route through [[legacyBound]] made a pure
+    * existence check mkdir + create (self-review r15). An absent
+    * sentinel reads as TODAY — exactly the bound the first producer
+    * touch would pin, so the admission decision matches; if the producer
+    * pins tomorrow instead, the divergence is the same ≤ one-day slack
+    * as racing first-touch writers (class doc). The un-pinned value is
+    * NOT cached (the producer's later commit must win); a persistent
+    * read ERROR on an existing sentinel fails loudly rather than
+    * guessing wide.
+    */
+  private def readBound(fs: FileSystem, batchesDir: Path): Long = {
+    val key = fs.makeQualified(batchesDir).toString
+    val cached = bounds.get(key)
+    if (cached != null) return cached.longValue()
+    val p = new Path(batchesDir, MigrationSentinel)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      if (!fs.exists(p))
+        return java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+      val read: Option[String] =
+        try {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.IOException => None } // racer/transient
+      read.flatMap(_.trim.toLongOption) match {
+        case Some(b) => bounds.put(key, b); return b
+        case None if read.isDefined =>
+          // torn legacy content: the WRITE path heals it; a reader just
+          // uses the same today-fallback the heal would recompute
+          return java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+        case None => Thread.sleep(50) // read error: brief retry
+      }
+    }
+    throw new IllegalStateException(
+      s"Markers: migration sentinel at $batchesDir/$MigrationSentinel " +
+        "exists but cannot be read after 5 attempts")
   }
 
   /** The path a NEW claim for (`batchId`, `namespace`) is written at —

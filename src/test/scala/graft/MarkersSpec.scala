@@ -37,8 +37,13 @@ class MarkersSpec extends SparkTestBase {
     assert(!Markers.applied(spark, dir, today + 51, "day"))
     assert(!Markers.applied(spark, dir, today + 51, "mb"))
 
-    // the sentinel persisted on first consult and is stable
+    // gates are READ-ONLY (r15 self-review): the consults above wrote
+    // NOTHING — a monitoring gate with read-only credentials must work —
+    // they just answered under the same today-bound the first producer
+    // pin would commit. The PRODUCER pin persists it.
     val sentinel = new java.io.File(s"$dir/_batches/_migration")
+    assert(!sentinel.exists())
+    Markers.ensureMigrationBound(spark, dir)
     assert(sentinel.exists())
     val recorded = new String(
       java.nio.file.Files.readAllBytes(sentinel.toPath), "UTF-8").trim.toLong
@@ -52,7 +57,8 @@ class MarkersSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("markers_cache").toString
     val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
     touch(dir, "7")
-    assert(Markers.applied(spark, dir, 7, "day")) // first consult: loads + caches
+    Markers.ensureMigrationBound(spark, dir) // producer pin: writes + caches
+    assert(Markers.applied(spark, dir, 7, "day"))
     val sentinel = new java.io.File(s"$dir/_batches/_migration")
     assert(sentinel.exists())
     // delete the sentinel from under the JVM — a cached bound must keep
@@ -71,8 +77,11 @@ class MarkersSpec extends SparkTestBase {
     touch(dir, Markers.MigrationSentinel) // 0-length file: the torn state
     // pre-fix this threw NumberFormatException on ''.trim.toLong with no
     // self-heal path, blocking every day-namespace gate until manual
-    // cleanup; now it recomputes (safe: the bare set is immutable)
+    // cleanup. A GATE now rides over the torn state read-only (same
+    // today-fallback the heal recomputes, no write)...
     assert(Markers.applied(spark, dir, 3, "day"))
+    // ...and the PRODUCER pin is what heals the file itself
+    Markers.ensureMigrationBound(spark, dir)
     val recorded = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/_batches/${Markers.MigrationSentinel}")),
       "UTF-8").trim.toLong
@@ -88,6 +97,11 @@ class MarkersSpec extends SparkTestBase {
     out.write("not-a-number".getBytes("UTF-8")); out.close()
     Markers.dropCachedBoundForTest(fs, bdir)
     assert(Markers.applied(spark, dir, 3, "day"))
+    Markers.ensureMigrationBound(spark, dir)
+    val rehealed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_batches/${Markers.MigrationSentinel}")),
+      "UTF-8").trim.toLong
+    assert(rehealed == today)
   }
 
   test("racing first-touch producers (separate JVMs) converge on ONE bound; losers read the winner's") {

@@ -10,7 +10,10 @@
 #   tools/runjava.sh graft.Verify /root/testdata/sf0.01 /tmp/out [query ...]
 #
 # Run from the repo root (classpath is relative). Bench stamps the
-# record with "launcher":"direct-java" when started this way.
+# record with "launcher":"direct-java" when started this way — pinned
+# here explicitly so the record never depends on the classpath
+# heuristic (a checkout path containing "sbt" would fool it).
+export SPARK_GRAFT_LAUNCHER="${SPARK_GRAFT_LAUNCHER:-direct-java}"
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
