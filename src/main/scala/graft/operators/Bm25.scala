@@ -169,9 +169,11 @@ object Bm25 {
     // Pq.writeIndex discipline, SCALING_r15 §1): straight off the
     // groupBy, every write task sees ~every pb value and opens
     // numTasks × buckets small files; one shuffle of the posting rows
-    // lands one file per bucket — the layout the pb-pruned probe wants.
-    postingRows(docs, buckets)
-      .repartition(col("pb"))
+    // lands ~one file per bucket — the layout the pb-pruned probe
+    // wants. AQE-rebalanced placement (Pq.placeByPartitionCol): a
+    // stop-word-heavy bucket splits past the advisory size instead of
+    // strangling one write task.
+    Pq.placeByPartitionCol(postingRows(docs, buckets), "pb")
       .write.partitionBy("pb").mode("overwrite").parquet(path)
     val st = docs.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("n"),
@@ -261,8 +263,10 @@ object Bm25 {
     */
   def appendToIndex(index: Bm25Index, delta: DataFrame): Bm25Index = {
     val sp = delta.sparkSession
-    postingRows(delta, index.buckets)
-      .repartition(col("pb")) // one file per touched bucket per append
+    // ~one file per touched bucket per append; AQE-rebalanced so a
+    // skew-heavy delta bucket splits instead of straggling (Pq's
+    // placeByPartitionCol doc)
+    Pq.placeByPartitionCol(postingRows(delta, index.buckets), "pb")
       .write.partitionBy("pb").mode("append").parquet(index.path)
     val st = delta.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("n"),

@@ -249,6 +249,25 @@ object Pq {
         element_at(VectorFunctions.nearestCells(col(vecCol), centroids, 1), 1).as("cell"),
         VectorFunctions.pqEncode(col(vecCol), model.books).as("codes"))
 
+  /** Row placement for the index families' dynamic-partition writes —
+    * the r15 pre-shuffle (one file per partition value, SCALING_r15 §1)
+    * upgraded to an AQE REBALANCE (r15 ADVICE, low): a plain
+    * `repartition(col)` makes each cell/bucket exactly ONE task and ONE
+    * file, so a distribution the coarse quantizer can degenerate into
+    * (all-zero vectors tie-routing to cell 0; a drifted append
+    * concentrating into few cells — the condition [[occupancyDrift]]
+    * exists to detect) turns the write into a straggler task emitting
+    * one oversized file. The rebalance keeps the balanced-case layout —
+    * a value's rows still hash to one shuffle partition, so ~one file
+    * per value — but AQE splits any partition past the advisory size
+    * across tasks: a hot cell lands as a few advisory-sized files
+    * instead of one straggler, and total file count stays
+    * O(values + hot-value splits), never O(tasks × values). Shared with
+    * [[Bm25]]'s `pb` writes (same shape, same skew corner).
+    */
+  private[graft] def placeByPartitionCol(df: DataFrame, c: String): DataFrame =
+    df.hint("rebalance", col(c))
+
   /** Session-scoped build-once cache for [[writeIndexOnce]] — a
     * [[BuildOnce]] (bench loops and repeated probe refreshes pay the
     * train + partitioned write ONCE per session; the key contract,
@@ -344,11 +363,11 @@ object Pq {
     // nlist=1024 on 200k rows vs 4.4 s / 1024 files pre-shuffled; the
     // occupancy read-back over the shattered layout pays another 5×).
     // One shuffle of the ~12 B (id, cell, codes) rows buys the layout a
-    // reader wants anyway: one file per cell, the partition-pruned probe's
-    // open count == its cell count. Cells are ~|corpus|/nlist code rows
-    // (~12 B each), so a cell is task-sized at any production nlist.
-    indexRows(corpus, idCol, vecCol, model, centroids)
-      .repartition(col("cell"))
+    // reader wants anyway: ~one file per cell, the partition-pruned
+    // probe's open count ≈ its cell count. Placement is
+    // [[placeByPartitionCol]] (AQE rebalance), so a skew-degenerate cell
+    // splits instead of strangling one task.
+    placeByPartitionCol(indexRows(corpus, idCol, vecCol, model, centroids), "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -384,10 +403,13 @@ object Pq {
       index: IvfPqIndex, delta: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val rows = indexRows(delta, idCol, vecCol, index.model, index.centroids)
       .localCheckpoint() // one encode pass feeds both the write and the counts
-    // one file per touched cell per append (the writeIndex pre-shuffle
+    // ~one file per touched cell per append (the writeIndex pre-shuffle
     // discipline) — otherwise a delta appends numTasks files into EVERY
-    // touched cell and the per-cell file count compounds daily
-    rows.repartition(col("cell"))
+    // touched cell and the per-cell file count compounds daily. AQE
+    // rebalance placement: a drifted delta concentrating into few cells
+    // (exactly what occupancyDrift watches for) splits past the advisory
+    // size instead of becoming one straggler task.
+    placeByPartitionCol(rows, "cell")
       .write.partitionBy("cell").mode("append").parquet(index.path)
     rows.groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
   }

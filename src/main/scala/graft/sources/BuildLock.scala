@@ -32,9 +32,14 @@ import org.apache.spark.sql.SparkSession
   *    treated as stale once its modification time is older than the
   *    lease — before that it may be a claim in progress whose expiry is
   *    simply not readable yet.
-  *  - Renew: the holder re-writes the lock with an extended expiry every
-  *    lease/3 from a daemon thread, so a slow build is never healed out
-  *    from under a LIVE holder; expiry only fires for crashed ones.
+  *  - Renew: the holder commits an extended expiry every lease/3 from a
+  *    daemon thread, so a slow build is never healed out from under a
+  *    LIVE holder; expiry only fires for crashed ones. The commit is
+  *    write-temp-then-RENAME after a re-read confirming the lock is
+  *    still ours (the Markers sentinel discipline): no reader ever sees
+  *    a torn lock, and a healed-out holder's late renewal can clobber a
+  *    new claim only inside the read-to-rename instant, not across a
+  *    whole create+write.
   *  - Release: delete the lock iff the token is still ours.
   *
   * The residual window is inherited from the store's create semantics:
@@ -81,15 +86,25 @@ object BuildLock {
     try body
     finally {
       renewer.cancel(false)
-      state.monitor.synchronized {
-        state.released = true
-        release(fs, p, token)
-      }
+      // the flag is set BEFORE the delete, and all renewer filesystem IO
+      // runs OUTSIDE any lock shared with this path (r15 ADVICE, medium:
+      // the previous protocol held one monitor across the renewer's
+      // readLock+create — a renewal hung against a sick store turned
+      // into a build-COMPLETION hang right here). Ordering argument for
+      // the in-flight-renewal race this used to serialize: a renewal
+      // that commits after this delete re-checks `released` AFTER its
+      // commit and deletes its own orphan (startRenewer); a renewal that
+      // commits before this delete is removed by this delete. Either
+      // way no lock file survives release. If the renewal is hung
+      // forever in store IO, its orphan (should the IO ever land)
+      // carries OUR token and an expiry ≤ one lease away — a waiter
+      // heals it; release itself never waits on the renewer.
+      state.released = true
+      release(fs, p, token)
     }
   }
 
   private final class LeaseState {
-    val monitor = new Object
     @volatile var released = false
   }
 
@@ -215,17 +230,23 @@ object BuildLock {
   private def startRenewer(fs: FileSystem, p: Path, token: String,
       leaseMs: Long, state: LeaseState): java.util.concurrent.ScheduledFuture[_] =
     scheduler.scheduleAtFixedRate(() => {
-      try state.monitor.synchronized {
-        // serialized against release (see withLease): a renewal must
-        // never re-create a lock release just deleted
+      try {
+        // ALL filesystem IO here runs without any lock shared with
+        // release (r15 ADVICE): a renewal hung against a sick store must
+        // stall only itself, never withLease's return.
         if (!state.released) {
           // renew only what is still ours — a healed-out holder must not
           // clobber the new one's lock (it can only log; aborting a Spark
           // job mid-build from a watchdog thread is worse than the
           // duplicate build the new holder is about to run)
           if (readLock(fs, p).exists(_.token == token)) {
-            val out = fs.create(p, true)
-            try out.write(render(token, leaseMs)) finally out.close()
+            renewByRename(fs, p, token, leaseMs)
+            // release may have raced while the rename was in flight —
+            // the lock just committed would then be an orphan every
+            // later cold build waits out. Re-check AFTER the commit and
+            // clean up our own debris (token-checked, so a new holder's
+            // claim is never touched).
+            if (state.released) release(fs, p, token)
           } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"BuildLock: lease $p no longer held by this builder " +
               "(healed as stale by a waiter?) — finishing anyway; the " +
@@ -236,6 +257,40 @@ object BuildLock {
           .warn(s"BuildLock: lease renewal failed for $p: $e")
       }
     }, leaseMs / 3, leaseMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Commit a renewed lock by RENAME of a pre-validated temp (r15
+    * verdict "what's wrong" #1): the pre-fix `fs.create(p, true)` both
+    * left a torn-intermediate window (truncate-then-write, during which
+    * readers see an unparseable lock) and, raced against a waiter's
+    * expiry heal, could clobber the NEW holder's claim with a stale
+    * token over the whole create+write span. The rename commit is
+    * atomic where the store's rename is (local FS, HDFS); the residual
+    * clobber window shrinks to read-then-rename. On a store whose
+    * rename refuses to replace an existing destination, the lock —
+    * just verified OURS by the caller and re-verified here — is deleted
+    * and the rename retried once; a claimant racing into that gap wins
+    * (its create-exclusive makes the retry fail, and this holder
+    * abandons the renewal as healed-out).
+    */
+  private def renewByRename(
+      fs: FileSystem, p: Path, token: String, leaseMs: Long): Unit = {
+    val tmp = new Path(p.getParent,
+      p.getName + ".renew." + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(render(token, leaseMs)) finally out.close()
+    // re-verify ownership immediately before the commit (narrowest
+    // possible read-to-commit window; no plain store offers
+    // compare-and-rename)
+    if (!readLock(fs, p).exists(_.token == token)) { fs.delete(tmp, false); return }
+    if (fs.rename(tmp, p)) return
+    fs.delete(p, false) // rename-won't-replace store: drop our own lock
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false) // a claimant took the gap: it owns the lease
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BuildLock: renewal of $p lost a claim race mid-commit — " +
+          "finishing as a healed-out holder")
+    }
+  }
 
   private def release(fs: FileSystem, p: Path, token: String): Unit =
     try {

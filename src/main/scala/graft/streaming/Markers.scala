@@ -101,8 +101,14 @@ object Markers {
       spark: SparkSession, indexDir: String, batchId: Long,
       namespace: String): Boolean = {
     val fs = fsOf(spark, indexDir)
-    existingMarker(fs, indexDir, batchId, namespace)
-      .exists(p => fs.getFileStatus(p).getLen > 0)
+    existingMarker(fs, indexDir, batchId, namespace).exists { p =>
+      // a concurrent replayer healing a claimed-but-dead marker deletes
+      // it between our existence check and this stat (r15 ADVICE — the
+      // same TOCTOU the Pq/Bm25 replayBatch inspection absorbs): a
+      // vanished marker reads as NOT-applied; the healer owns the retry
+      try fs.getFileStatus(p).getLen > 0
+      catch { case _: java.io.FileNotFoundException => false }
+    }
   }
 
   /** The marker file that currently REPRESENTS (`batchId`, `namespace`),
@@ -130,7 +136,16 @@ object Markers {
     * sentinel reads as TODAY — exactly the bound the first producer
     * touch would pin, so the admission decision matches; if the producer
     * pins tomorrow instead, the divergence is the same ≤ one-day slack
-    * as racing first-touch writers (class doc). The un-pinned value is
+    * as racing first-touch writers (class doc). THE SLACK CLAIM ASSUMES
+    * A PRODUCER PINS WITHIN A DAY OF THE FIRST GATE CONSULT (r15
+    * ADVICE): a monitor-only deployment — read-only gates running for K
+    * days before any producer's first run — answers from the drifting
+    * consult-day fallback each day, admitting legacy bare ids up to
+    * each CONSULT day rather than the deploy day the producer will
+    * eventually pin, i.e. up to K days wider. Each fallback answer logs
+    * a warning so a long-unpinned index is visible before the producer
+    * lands; deploy at least one producer alongside any monitor to pin
+    * the bound at deploy time. The un-pinned value is
     * NOT cached (the producer's later commit must win); a persistent
     * read ERROR on an existing sentinel fails loudly rather than
     * guessing wide.
@@ -143,8 +158,15 @@ object Markers {
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
-      if (!fs.exists(p))
+      if (!fs.exists(p)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Markers: no migration sentinel at $p — answering a read-only " +
+            "gate from TODAY's epoch day. The bound drifts until a " +
+            "producer pins it (ensureMigrationBound); an index monitored " +
+            "long before its first producer deploy widens bare-id " +
+            "admission by a day per un-pinned day")
         return java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
+      }
       val read: Option[String] =
         try {
           val in = fs.open(p)

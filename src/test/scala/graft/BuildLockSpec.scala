@@ -171,4 +171,42 @@ class BuildLockSpec extends SparkTestBase {
         s"lease not held exclusively: ${events.toArray.toSeq}")
     } finally pool.shutdownNow()
   }
+
+  test("a healed-out holder's late renewals never clobber the new holder's claim, and its release leaves the claim intact (r15 verdict #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_clobber").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    // a NEW holder's claim, simulating a waiter that healed this holder
+    // out after a full-lease driver stall and claimed the lease itself
+    val foreign = s"token=new-holder-token\nholder=other:99\n" +
+      s"expires=${System.currentTimeMillis() + 600000}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val holder = pool.submit(new Runnable {
+        def run(): Unit =
+          BuildLock.withLease(spark, artifact, "stalled-holder",
+            leaseMs = 300, pollMs = 50) {
+            // while this "stalled" build runs, overwrite the lock with
+            // the new holder's claim; the old renewer fires every 100 ms
+            val out = new java.io.FileOutputStream(lock)
+            out.write(foreign.getBytes("UTF-8"))
+            out.close()
+            Thread.sleep(1000) // ≥ 9 renewal periods fire against it
+          }
+      })
+      holder.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    // every renewal saw the foreign token and logged instead of renewing
+    // (readLock-before-rename), and release saw it and left it alone:
+    // the NEW holder's token must still be on disk, byte-identical
+    val content = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+    assert(content == foreign,
+      s"old holder's renewer or release clobbered the new claim: $content")
+    // no renewal temp debris left beside the lock
+    val debris = lock.getParentFile.listFiles()
+      .filter(_.getName.contains(".renew."))
+    assert(debris.isEmpty, s"renewal temps leaked: ${debris.mkString(",")}")
+    assert(lock.delete())
+  }
 }
