@@ -298,12 +298,15 @@ object Bm25 {
     */
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
-      indexDir: String, batchId: Long, buckets: Int = 64): Long = {
+      indexDir: String, batchId: Long, buckets: Int = 64,
+      namespace: String = "day"): Long = {
     // markers route through graft.streaming.Markers (r15, with the ANN
-    // index): new claims are `day-<id>`, legacy bare ids honored under
-    // the migration rule — so a future live BM25-grow leg can share this
-    // index without reopening the bare-namespace shadowing bug class
-    val ns = "day"
+    // index): the DAG claims `day-<id>`, the live grow leg
+    // ([[graft.streaming.StreamBm25Grow]], r16) claims `mb-<id>`, and
+    // legacy bare ids stay honored under the migration rule — two
+    // producers share this index without the bare-namespace shadowing
+    // bug class
+    val ns = namespace
     graft.streaming.Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val marker = graft.streaming.Markers.markerPath(indexDir, batchId, ns)
@@ -337,15 +340,16 @@ object Bm25 {
     }
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_stats")
     val batchesDir = marker.getParent
-    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
+    def anyApplied(): Boolean = fs.exists(batchesDir) && fs.listStatus(batchesDir)
       .exists(st => graft.streaming.Markers.isBatchMarker(st.getPath.getName))
-    if (!fs.exists(built) || !anyApplied) {
+    def buildBranch(): Long = {
       val n = docs.filter(col("text").isNotNull).count()
       if (n == 0L) { commitMarker(0L); return 0L }
       writeIndex(docs, indexDir, buckets)
       commitMarker(n)
       n
-    } else {
+    }
+    def appendBranch(): Long = {
       val idx = readIndex(spark, indexDir)
       require(idx.buckets == buckets,
         s"appendBatch: index at $indexDir was built with ${idx.buckets} " +
@@ -363,6 +367,21 @@ object Bm25 {
       fs.delete(pre, false)
       n
     }
+    if (!fs.exists(built) || !anyApplied()) {
+      // day-one build, serialized under the artifact's build lease (the
+      // Pq.appendBatch r16 discipline): with the live grow leg
+      // (StreamBm25Grow) beside the DAG, two producers can reach this
+      // decision together; the winner builds, the loser re-checks under
+      // the lease and appends its batch onto the winner's index.
+      graft.sources.BuildLock.withLease(
+        spark, indexDir, "BM25 index day-one build") {
+        if (fs.exists(built) && anyApplied()) -2L // lost the day-one race
+        else buildBranch()
+      } match {
+        case -2L => appendBranch()
+        case n => n
+      }
+    } else appendBranch()
   }
 
   /** Non-empty-marker gate, the ANN index's [[Pq.appendBatchApplied]]
@@ -370,8 +389,8 @@ object Bm25 {
     */
   def appendBatchApplied(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batchId: Long): Boolean =
-    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, "day")
+      batchId: Long, namespace: String = "day"): Boolean =
+    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, namespace)
 
   /** [[retrieve]] against the PERSISTED index: the probe resolves the
     * query terms' buckets with the SAME hash expression the build used

@@ -450,16 +450,20 @@ object Pq {
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
-      nlist: Int = 32, m: Int = 8, k: Int = 16): Long = {
+      nlist: Int = 32, m: Int = 8, k: Int = 16,
+      namespace: String = "day"): Long = {
     healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
     // never be read as "no markers" (the silent single-day rebuild)
     // markers are producer-namespaced through graft.streaming.Markers
     // (r14 verdict: single-producer today, but the moment a live ANN-grow
     // leg lands beside the DAG, a shared bare numeric namespace reopens
     // the StreamNearDup shadowing bug class — migrate while every
-    // existing bare marker has exactly one producer). New claims write
-    // `day-<id>`; legacy bare ids stay honored under the migration rule.
-    val ns = "day"
+    // existing bare marker has exactly one producer). The DAG claims
+    // `day-<id>`; the live grow leg ([[graft.streaming.StreamAnnGrow]],
+    // r16) claims `mb-<id>` — ids only need to be unique within their
+    // producer, and legacy bare ids stay honored under the migration
+    // rule (`mb` claims every bare id; `day` only up to the bound).
+    val ns = namespace
     graft.streaming.Markers.ensureMigrationBound(spark, indexDir)
     val conf = spark.sessionState.newHadoopConf()
     val marker = graft.streaming.Markers.markerPath(indexDir, batchId, ns)
@@ -504,9 +508,9 @@ object Pq {
     }
     val built = new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")
     val batchesDir = marker.getParent
-    val anyApplied = fs.exists(batchesDir) && fs.listStatus(batchesDir)
+    def anyApplied(): Boolean = fs.exists(batchesDir) && fs.listStatus(batchesDir)
       .exists(st => graft.streaming.Markers.isBatchMarker(st.getPath.getName))
-    if (!fs.exists(built) || !anyApplied) {
+    def buildBranch(): Long = {
       // build branch — also taken on a day-one replay whose first attempt
       // wrote the index but died before the marker: writeIndex overwrites,
       // so rebuilding is exactly-once where appending would duplicate
@@ -532,7 +536,43 @@ object Pq {
         Map("nlist" -> nlist.toString, "m" -> m.toString, "k" -> k.toString))
       commitMarker(n)
       n
-    } else {
+    }
+    def appendBranch(): Long = appendBranchImpl(
+      spark, emb, idCol, vecCol, indexDir, nlist, m, k,
+      fs, marker, pre, commitMarker)
+    if (!fs.exists(built) || !anyApplied()) {
+      // With a LIVE grow leg beside the DAG (r16, StreamAnnGrow), two
+      // producers can reach the day-one decision together — unguarded,
+      // both would run writeIndex's root overwrite concurrently. The
+      // build serializes under the artifact's build lease (the
+      // writeIndexOnce lock path, so ad-hoc writeIndexOnce sessions
+      // serialize against DAY-ONE ingest too); the loser re-checks under
+      // the lease and APPENDS its batch onto the winner's index instead.
+      graft.sources.BuildLock.withLease(
+        spark, indexDir, "ANN index day-one build") {
+        if (fs.exists(built) && anyApplied()) -2L // lost the day-one race
+        else buildBranch()
+      } match {
+        case -2L => appendBranch()
+        case n => n
+      }
+    } else appendBranch()
+  }
+
+  /** The append half of [[appendBatch]] (factored so the day-one build
+    * race can fall through to it): quantizes the delta under the
+    * PERSISTED frozen model and commits the batch marker after the
+    * partitioned append lands.
+    */
+  private def appendBranchImpl(
+      spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, indexDir: String,
+      nlist: Int, m: Int, k: Int,
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path,
+      pre: org.apache.hadoop.fs.Path,
+      commitMarker: Long => Unit): Long = {
+    {
       // append branch: quantizes under the PERSISTED frozen model — the
       // caller's (nlist, m, k) are build-only, so before this check a
       // caller passing different values was SILENTLY served the frozen
@@ -592,8 +632,8 @@ object Pq {
     */
   def appendBatchApplied(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      batchId: Long): Boolean =
-    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, "day")
+      batchId: Long, namespace: String = "day"): Boolean =
+    graft.streaming.Markers.appliedNonEmpty(spark, indexDir, batchId, namespace)
 
   /** Occupancy-DRIFT gate for a persisted index: when appends under the
     * frozen coarse quantizer pile into few cells (the data distribution

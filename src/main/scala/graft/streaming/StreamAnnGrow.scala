@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.Pq
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous ANN-index growth — the IVF-PQ family's live producer leg
+  * (r15 verdict #1): new embeddings on the feed grow the SAME persisted
+  * q107b/q107c index the nightly DAG grows, instead of waiting for the
+  * day batch. Every other persisted index already had its live twin
+  * ([[StreamNearDup]] for text near-dup, [[StreamFingerprint]] for
+  * media); the ANN and BM25 indexes were the asymmetry — and the r15
+  * marker namespacing ([[Markers]]: `mb-<id>` for stream micro-batches,
+  * `day-<id>` for DAG epoch days, legacy bare ids under the migration
+  * rule) existed precisely so this second producer is safe to land.
+  *
+  * The batch protocol is [[Pq.appendBatch]] VERBATIM, namespace `"mb"` —
+  * one implementation, not a streaming re-derivation, so the stream and
+  * the DAG can never drift on what "applied" means:
+  *   - an applied marker (non-empty `_batches/mb-<id>`) → replay no-op;
+  *   - the claim commits EMPTY before the (non-idempotent) partitioned
+  *     append, with a `.pre` data-file manifest recorded first, and
+  *     rewrites with the applied count after — a crashed micro-batch
+  *     retried by the checkpoint self-heals exactly when the manifest
+  *     proves nothing landed, and reads red otherwise;
+  *   - a first-ever micro-batch BUILDS the index (train + writeIndex,
+  *     capped at the batch's size) under the artifact's cross-JVM build
+  *     lease, so a stream deployed the same hour as the DAG's first day
+  *     cannot double-build the root — the race loser appends instead;
+  *   - layout rides [[graft.sources.IndexConf]] (stamp-or-validate on
+  *     (nlist, m, k)), heals ride `healStagedRebuild`, and
+  *     [[Markers.ensureMigrationBound]] pins the legacy-marker bound at
+  *     every producer entry (the continuously-running stream pins it at
+  *     deploy even when the day leg is paused — the r15 hardening).
+  *
+  * Freezing semantics: appends quantize under the index's FROZEN coarse
+  * centroids + codebooks (the [[Pq.appendToIndex]] contract), so a
+  * long-running stream drifts occupancy exactly like a long-running DAG
+  * — [[Pq.occupancyDrift]] watches both producers' appends through one
+  * artifact, and `rebuild_ann_if_drifted` (LlmIngestDag) retrains on the
+  * same cadence regardless of which leg grew the cells.
+  *
+  * Scale shape: each micro-batch pays one encode pass over the batch
+  * (codegen'd PqEncode/nearestCells kernels), one AQE-rebalanced
+  * shuffle of ~12 B rows into its touched cells, and sidecar-bounded
+  * driver work — never a scan of the index. Cost is O(|batch|),
+  * independent of index size.
+  */
+object StreamAnnGrow {
+
+  /** Start the live grow leg: each micro-batch of `emb` (an id column +
+    * a float-array vector column) appends into the IVF-PQ index at
+    * `indexDir` under the `mb` marker namespace. `onBatch(batchId, n)`
+    * observes the applied row count (-1 for a replay) — the monitoring
+    * hook, mirroring [[StreamFingerprint.start]].
+    */
+  def start(
+      emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, checkpointDir: String,
+      nlist: Int = 32, m: Int = 8, k: Int = 16,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = growBatch(batch.sparkSession, batch, idCol, vecCol,
+          indexDir, batchId, nlist, m, k)
+        onBatch(batchId, n)
+      }
+      .start()
+
+  /** One micro-batch of the protocol (factored out so the semantics are
+    * unit-testable without a streaming runtime, like every other stream
+    * leg's applyBatch/growBatch). Returns rows applied, or -1 for a
+    * replay / unrepairable claim.
+    */
+  def growBatch(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, batchId: Long,
+      nlist: Int = 32, m: Int = 8, k: Int = 16): Long =
+    Pq.appendBatch(spark, batch, idCol, vecCol, indexDir, batchId,
+      nlist, m, k, namespace = "mb")
+
+  /** Non-empty-marker gate for the stream's micro-batches — TRUE only
+    * for a batch that provably committed ([[Pq.appendBatchApplied]]
+    * under the `mb` namespace).
+    */
+  def batchApplied(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchId: Long): Boolean =
+    Pq.appendBatchApplied(spark, indexDir, batchId, namespace = "mb")
+}
