@@ -327,6 +327,30 @@ object HybridRetrieval {
         col("rank").as("rank_d"))
   }
 
+  /** The production probe-width rule (r15 verdict #2, SCALING_r15 §4):
+    * on near-uniform data — the IVF adversarial regime — the fused
+    * overlap tracks the probe FRACTION nprobe/nlist, and NOTHING else
+    * that is cheap to turn: doubling nprobe at a fixed small fraction
+    * moved the nlist=1024 margin 0.63 → 0.63, and 8× the PQ code bits
+    * moved it 0.63 → 0.63, while fraction 0.25 (the nlist=32
+    * registration) sat at 0.79–0.83. So a deployment raising nlist must
+    * spend on the fraction itself: [[rrfFuseAnn]] DERIVES nprobe as
+    * `fraction × nlist` by default instead of inheriting a fixed 8 that
+    * silently thins as the index grows. The cell-pruned scan keeps that
+    * affordable — a query's cost is nprobe × |cell| ≈ fraction × corpus
+    * rows, FLAT in nlist at fixed fraction. 0.25 is the registered
+    * calibration point (nlist=32, nprobe=8 — derived == registered, so
+    * registered behavior is unchanged); clustered corpora probe far
+    * below it (PqSpec's clustered corpus hits recall 1.0 at nprobe=1).
+    */
+  val DefaultProbeFraction: Double = 0.25
+
+  /** nprobe for a probe fraction: `round(fraction × nlist)`, clamped to
+    * [1, nlist].
+    */
+  def nprobeFor(nlist: Int, probeFraction: Double = DefaultProbeFraction): Int =
+    math.max(1, math.min(nlist.toLong, math.round(nlist * probeFraction))).toInt
+
   /** The PRODUCTION ANN-only hybrid probe (r13 verdict #4): both legs on
     * persisted indexes — lexical from the q82b posting artifact
     * ([[lexLegIndexed]], statically pb-pruned), dense from the q107b
@@ -338,17 +362,25 @@ object HybridRetrieval {
     * (spec-asserted, including a plan assertion that no full-corpus
     * dense scan appears). Returns the full fused ranking
     * (query_id, rank, doc_id, rrf), the [[rrfFuse]] output shape.
+    *
+    * `nprobe = 0` (the default) derives the probe width from
+    * `probeFraction` and the INDEX's cell count ([[nprobeFor]]) — the
+    * SCALING_r15 §4 rule that probe width must scale WITH nlist; a
+    * positive `nprobe` pins it explicitly (the gate's posture).
     */
   def rrfFuseAnn(
       docs: DataFrame, emb: DataFrame,
       lexIndex: Bm25.Bm25Index, denseIndex: Pq.IvfPqIndex,
       nQueries: Int = 10, legK: Int = 20, termCap: Int = 16, fuseK: Int = 10,
-      nprobe: Int = 8, refine: Int = 200,
-      k1: Double = 1.2, b: Double = 0.75, rrfK: Double = 60.0): DataFrame = {
+      nprobe: Int = 0, refine: Int = 200,
+      k1: Double = 1.2, b: Double = 0.75, rrfK: Double = 60.0,
+      probeFraction: Double = DefaultProbeFraction): DataFrame = {
+    val effNprobe = if (nprobe > 0) nprobe
+      else nprobeFor(denseIndex.centroids.length, probeFraction)
     val textIds = docs.filter(col("text").isNotNull)
       .select(col("doc_id").cast("long").as("vec_id"))
     fuse(
-      annDenseLeg(textIds, emb, denseIndex, nQueries, legK, nprobe, refine),
+      annDenseLeg(textIds, emb, denseIndex, nQueries, legK, effNprobe, refine),
       lexLegIndexed(docs, lexIndex, nQueries, legK, termCap, k1, b),
       fuseK, rrfK)
   }

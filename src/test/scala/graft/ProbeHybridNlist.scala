@@ -19,7 +19,12 @@ object ProbeHybridNlist {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/repo/gen/rich10"
     val nlist = if (args.length > 1) args(1).toInt else 256
-    val nprobe = if (args.length > 2) args(2).toInt else 8
+    // nprobe=0 (r16): derive from the production probe FRACTION
+    // (HybridRetrieval.DefaultProbeFraction) — the fraction-held run
+    // SCALING_r15 §4 called for
+    val nprobeArg = if (args.length > 2) args(2).toInt else 8
+    val nprobe = if (nprobeArg > 0) nprobeArg
+      else HybridRetrieval.nprobeFor(nlist)
     val reps = if (args.length > 3) args(3).toInt else 2
     // PQ codes per subspace — the resolution knob (SCALING_r15 §4: at
     // production nlist the fused-overlap margin is code-resolution-bound,
@@ -81,8 +86,26 @@ object ProbeHybridNlist {
     assert(opened.nonEmpty, "probe must scan the dense index")
     assert(opened.forall(_ <= nQueries * nprobe),
       s"dense scan must open <= queries*nprobe cells: $opened")
-    assert(opened.forall(_ < cellsOnDisk),
-      s"the bound must BIND: opened $opened of $cellsOnDisk cells")
+    // at fraction-scaled nprobe a 10-query near-uniform batch can
+    // legitimately cover every cell (10 × 0.25 × nlist > nlist) — the
+    // batch-level bound only BINDS when it is under the cell count
+    if (nQueries * nprobe < cellsOnDisk)
+      assert(opened.forall(_ < cellsOnDisk),
+        s"the bound must BIND: opened $opened of $cellsOnDisk cells")
+
+    // PER-QUERY prune — the quantity that scales (production queries are
+    // independent; the batch union above is a toy-probe artifact): one
+    // query opens ≤ nprobe of nlist cells however wide the fraction
+    val one = HybridRetrieval.rrfFuseAnn(docs, emb, bmIdx, pqIdx,
+      nQueries = 1, nprobe = nprobe)
+    one.write.format("noop").mode("overwrite").save()
+    val oneOpened = cellScans(one).map(_.selectedPartitions.partitionCount)
+    println(s"HYBNLIST perquery dir=$tag nlist=$nlist nprobe=$nprobe " +
+      s"cellsOpened=${oneOpened.mkString(",")} of $cellsOnDisk")
+    assert(oneOpened.nonEmpty && oneOpened.forall(_ <= nprobe),
+      s"a single query must open <= nprobe cells: $oneOpened")
+    assert(oneOpened.forall(_ < cellsOnDisk),
+      s"the per-query prune must bind: $oneOpened of $cellsOnDisk")
 
     // same-JVM A/B: the GATE probe (pays BOTH fused variants — its job)
     // against the production ANN-only probe timed above, interleaved so
