@@ -120,9 +120,15 @@ object IvfKnn {
     *
     * Scale shape (100 TB): one thinning scan + `iters` scans of a
     * bounded sample; every stage's driver state and shuffle volume is
-    * O(nlist · d). At nlist = 65 536 and 64 dims the per-iteration
-    * collect is ~4 M (cell, dim, sum, count) tuples — the model itself,
-    * the documented bounded-model-collect contract.
+    * O(nlist · d). The per-iteration collect is nlist ROWS of
+    * (cell, cnt, d sums) — measured 8.8 MB of driver heap at
+    * nlist = 16 384 / d = 64, ~35 MB projected at 65 536
+    * (ProbeTrainerDecade, SCALING_r16 §3) — the documented
+    * bounded-model-collect contract. Per-iteration WALL is quadratic in
+    * nlist (sample ∝ nlist × the O(nlist·d) kernel): ~39 s at 16 384 on
+    * one 32-core box, so a 65k-cell train wants a cluster (the kernel
+    * is embarrassingly parallel; shuffle and driver state stay the
+    * model size) or a hierarchical coarse quantizer.
     */
   def trainCentroidsAtScale(
       corpus: DataFrame, idCol: String, vecCol: String,
