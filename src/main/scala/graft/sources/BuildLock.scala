@@ -247,10 +247,13 @@ object BuildLock {
             // clean up our own debris (token-checked, so a new holder's
             // claim is never touched).
             if (state.released) release(fs, p, token)
-          } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"BuildLock: lease $p no longer held by this builder " +
-              "(healed as stale by a waiter?) — finishing anyway; the " +
-              "artifact's overwrite discipline bounds the damage")
+          } else if (!state.released)
+            // released-while-reading is a CLEAN exit racing this tick,
+            // not a heal — only warn when the build is still running
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"BuildLock: lease $p no longer held by this builder " +
+                "(healed as stale by a waiter?) — finishing anyway; the " +
+                "artifact's overwrite discipline bounds the damage")
         }
       } catch { case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass)
@@ -276,19 +279,25 @@ object BuildLock {
       fs: FileSystem, p: Path, token: String, leaseMs: Long): Unit = {
     val tmp = new Path(p.getParent,
       p.getName + ".renew." + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, true)
-    try out.write(render(token, leaseMs)) finally out.close()
-    // re-verify ownership immediately before the commit (narrowest
-    // possible read-to-commit window; no plain store offers
-    // compare-and-rename)
-    if (!readLock(fs, p).exists(_.token == token)) { fs.delete(tmp, false); return }
-    if (fs.rename(tmp, p)) return
-    fs.delete(p, false) // rename-won't-replace store: drop our own lock
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false) // a claimant took the gap: it owns the lease
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"BuildLock: renewal of $p lost a claim race mid-commit — " +
-          "finishing as a healed-out holder")
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(render(token, leaseMs)) finally out.close()
+      // re-verify ownership immediately before the commit (narrowest
+      // possible read-to-commit window; no plain store offers
+      // compare-and-rename)
+      if (!readLock(fs, p).exists(_.token == token)) { fs.delete(tmp, false); return }
+      if (fs.rename(tmp, p)) return
+      fs.delete(p, false) // rename-won't-replace store: drop our own lock
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false) // a claimant took the gap: it owns the lease
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"BuildLock: renewal of $p lost a claim race mid-commit — " +
+            "finishing as a healed-out holder")
+      }
+    } catch { case e: Throwable =>
+      // never leak a renew temp beside the lock on a failed write/rename
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
     }
   }
 
