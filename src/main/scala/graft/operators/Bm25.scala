@@ -313,24 +313,13 @@ object Bm25 {
     val pre = new org.apache.hadoop.fs.Path(
       marker.getParent, marker.getName + ".pre")
     val fs = marker.getFileSystem(conf)
+    // fast replay no-op BEFORE the mutation lease (an applied marker is
+    // immutable — no serialization needed; a replay never queues behind
+    // a live append)
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        // a concurrent replayer healing the same dead claim can delete
-        // the marker between our exists and our read — a vanished file
-        // means someone else owns the retry: no-op, don't crash the day
-        try {
-          if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
-          val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
-          val safe = fs.exists(mPre) && {
-            val in = fs.open(mPre)
-            val recorded = try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-            recorded == Pq.dataFileManifest(fs, indexDir)
-          }
-          if (!safe) return -1L
-          fs.delete(m, false) // provably nothing landed: retry, namespaced
-          fs.delete(mPre, false)
-        } catch { case _: java.io.FileNotFoundException => return -1L }
+        try { if (fs.getFileStatus(m).getLen > 0) return -1L }
+        catch { case _: java.io.FileNotFoundException => () } // inspect below
       }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)
@@ -367,21 +356,39 @@ object Bm25 {
       fs.delete(pre, false)
       n
     }
-    if (!fs.exists(built) || !anyApplied()) {
-      // day-one build, serialized under the artifact's build lease (the
-      // Pq.appendBatch r16 discipline): with the live grow leg
-      // (StreamBm25Grow) beside the DAG, two producers can reach this
-      // decision together; the winner builds, the loser re-checks under
-      // the lease and appends its batch onto the winner's index.
-      graft.sources.BuildLock.withLease(
-        spark, indexDir, "BM25 index day-one build") {
-        if (fs.exists(built) && anyApplied()) -2L // lost the day-one race
-        else buildBranch()
-      } match {
-        case -2L => appendBranch()
-        case n => n
-      }
-    } else appendBranch()
+    // EVERY mutation runs under the artifact's build lease (the
+    // Pq.appendBatch r16 discipline): with the live grow leg
+    // (StreamBm25Grow) beside the DAG, two producers can race the
+    // day-one build (both would overwrite the root) AND two appends can
+    // interleave — the `_stats` update is a read-modify-write, so an
+    // unleased concurrent append LOSES one side's (n, tt) delta and the
+    // idf/length normalization drifts from the corpus forever after.
+    // The race loser of the day-one decision re-evaluates under the
+    // lease and appends onto the winner's index. Probes stay lock-free.
+    graft.sources.BuildLock.withLease(
+      spark, indexDir, "BM25 index mutation") {
+      graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
+        .foreach { m =>
+          // claimed-state inspection under the lease (it may delete a
+          // dead claim; the .pre proof must not race a landing append).
+          // A marker vanishing since the fast check means a concurrent
+          // replayer healed it — it owns the retry: no-op.
+          try {
+            if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+            val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+            val safe = fs.exists(mPre) && {
+              val in = fs.open(mPre)
+              val recorded = try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+              recorded == Pq.dataFileManifest(fs, indexDir)
+            }
+            if (!safe) return -1L
+            fs.delete(m, false) // provably nothing landed: retry, namespaced
+            fs.delete(mPre, false)
+          } catch { case _: java.io.FileNotFoundException => return -1L }
+        }
+      if (!fs.exists(built) || !anyApplied()) buildBranch() else appendBranch()
+    }
   }
 
   /** Non-empty-marker gate, the ANN index's [[Pq.appendBatchApplied]]

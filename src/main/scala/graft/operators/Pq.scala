@@ -452,8 +452,6 @@ object Pq {
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
       namespace: String = "day"): Long = {
-    healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
-    // never be read as "no markers" (the silent single-day rebuild)
     // markers are producer-namespaced through graft.streaming.Markers
     // (r14 verdict: single-producer today, but the moment a live ANN-grow
     // leg lands beside the DAG, a shared bare numeric namespace reopens
@@ -470,35 +468,13 @@ object Pq {
     val pre = new org.apache.hadoop.fs.Path(
       marker.getParent, marker.getName + ".pre")
     val fs = marker.getFileSystem(conf)
+    // fast replay no-op BEFORE the mutation lease: an applied (non-empty)
+    // marker is immutable, so this read needs no serialization and a
+    // checkpoint replay never queues behind a live rebuild/append
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        // the whole claimed-state inspection can race a CONCURRENT
-        // replayer healing the same dead claim (it deletes the marker
-        // between our exists and our read): a vanished file here means
-        // someone else owns the retry — report the replay no-op rather
-        // than crash the DAG day on a race the protocol absorbs
-        try {
-          if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
-          // claimed-but-dead: re-run ONLY if provably nothing landed —
-          // manifest unchanged since the claim. The `.pre` sidecar lives
-          // next to whichever spelling (bare or namespaced) claimed it. No
-          // `.pre` (a legacy or hand-made claim) means no proof: stay red
-          // for the operator.
-          val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
-          val safe = fs.exists(mPre) && {
-            val in = fs.open(mPre)
-            val recorded = try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-            recorded == dataFileManifest(fs, indexDir)
-          }
-          if (!safe) return -1L
-          // retry under the NAMESPACED spelling: drop the dead claim and
-          // its proof sidecar (a healed bare claim must not linger — its
-          // id would stay admissible and shadow nothing, but debris is
-          // debris)
-          fs.delete(m, false)
-          fs.delete(mPre, false)
-        } catch { case _: java.io.FileNotFoundException => return -1L }
+        try { if (fs.getFileStatus(m).getLen > 0) return -1L }
+        catch { case _: java.io.FileNotFoundException => () } // inspect below
       }
     def commitMarker(n: Long): Unit = {
       fs.mkdirs(marker.getParent)
@@ -540,23 +516,54 @@ object Pq {
     def appendBranch(): Long = appendBranchImpl(
       spark, emb, idCol, vecCol, indexDir, nlist, m, k,
       fs, marker, pre, commitMarker)
-    if (!fs.exists(built) || !anyApplied()) {
-      // With a LIVE grow leg beside the DAG (r16, StreamAnnGrow), two
-      // producers can reach the day-one decision together — unguarded,
-      // both would run writeIndex's root overwrite concurrently. The
-      // build serializes under the artifact's build lease (the
-      // writeIndexOnce lock path, so ad-hoc writeIndexOnce sessions
-      // serialize against DAY-ONE ingest too); the loser re-checks under
-      // the lease and APPENDS its batch onto the winner's index instead.
-      graft.sources.BuildLock.withLease(
-        spark, indexDir, "ANN index day-one build") {
-        if (fs.exists(built) && anyApplied()) -2L // lost the day-one race
-        else buildBranch()
-      } match {
-        case -2L => appendBranch()
-        case n => n
-      }
-    } else appendBranch()
+    // With a LIVE grow leg beside the DAG (r16, StreamAnnGrow), index
+    // MUTATORS can genuinely overlap — and none of the per-file crash
+    // protocols cover cross-mutator interleavings: two day-one builders
+    // would race writeIndex's root overwrite; an append racing
+    // rebuildIfDrifted's retrain would write OLD-model codes into the
+    // swapped-in NEW-model index (silent corruption) and its marker,
+    // committed mid-rebuild, would vanish in the swap's marker snapshot.
+    // So every mutation — build-vs-append decision included — runs under
+    // the artifact's cross-JVM build lease (the writeIndexOnce lock
+    // path: ad-hoc one-shot builders serialize against ingest too).
+    // Readers stay lock-free (they ride the swap via the sealed-stage
+    // heal, unchanged). A producer that loses the day-one race
+    // re-evaluates under the lease and APPENDS onto the winner's index.
+    graft.sources.BuildLock.withLease(
+      spark, indexDir, "IVF-PQ index mutation") {
+      healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
+      // never be read as "no markers" (the silent single-day rebuild)
+      graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
+        .foreach { m =>
+          // claimed-state inspection under the lease (it may DELETE a
+          // dead claim, and the .pre manifest proof must not race a
+          // concurrent mutator's landing files). A marker vanishing
+          // between the lock-free fast check and here means a concurrent
+          // replayer healed it — it owns the retry: no-op, don't crash
+          // the day.
+          try {
+            if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+            // claimed-but-dead: re-run ONLY if provably nothing landed —
+            // manifest unchanged since the claim. The `.pre` sidecar
+            // lives next to whichever spelling (bare or namespaced)
+            // claimed it. No `.pre` (a legacy or hand-made claim) means
+            // no proof: stay red for the operator.
+            val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
+            val safe = fs.exists(mPre) && {
+              val in = fs.open(mPre)
+              val recorded = try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+              recorded == dataFileManifest(fs, indexDir)
+            }
+            if (!safe) return -1L
+            // retry under the NAMESPACED spelling: drop the dead claim
+            // and its proof sidecar (a healed bare claim must not linger)
+            fs.delete(m, false)
+            fs.delete(mPre, false)
+          } catch { case _: java.io.FileNotFoundException => return -1L }
+        }
+      if (!fs.exists(built) || !anyApplied()) buildBranch() else appendBranch()
+    }
   }
 
   /** The append half of [[appendBatch]] (factored so the day-one build
@@ -697,7 +704,18 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       unionCorpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
-      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean = {
+      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean =
+    // the whole gate + retrain + swap runs under the artifact's build
+    // lease (r16): with the live grow leg beside the DAG, an unleased
+    // rebuild could retrain WHILE a stream append lands — the append's
+    // old-model codes would ride into the new-model index and its
+    // marker, committed after this method's marker snapshot, would
+    // vanish in the swap. The lease also makes "the ONE writer" a
+    // property the system enforces rather than a deployment convention
+    // (the writer-mode heal below discards stages, which is only safe
+    // when no other writer is live). Readers stay lock-free.
+    graft.sources.BuildLock.withLease(
+      spark, indexDir, "IVF-PQ index rebuild") {
     healStagedRebuild(spark, indexDir, writer = true) // the ONE writer:
     // may also discard a stale/unsealed stage before staging its own
     val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)
@@ -754,7 +772,7 @@ object Pq {
           "sealed stage remains; the next entry point's heal completes it")
     fs.delete(new org.apache.hadoop.fs.Path(indexDir, SwapReady), false)
     true
-  }
+    }
 
   /** The staged-rebuild sibling of an index root (outside it: the swap
     * deletes the root wholesale) and the completeness sentinel inside a

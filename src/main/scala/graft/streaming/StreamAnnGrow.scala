@@ -23,10 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     rewrites with the applied count after — a crashed micro-batch
   *     retried by the checkpoint self-heals exactly when the manifest
   *     proves nothing landed, and reads red otherwise;
-  *   - a first-ever micro-batch BUILDS the index (train + writeIndex,
-  *     capped at the batch's size) under the artifact's cross-JVM build
-  *     lease, so a stream deployed the same hour as the DAG's first day
-  *     cannot double-build the root — the race loser appends instead;
+  *   - EVERY mutation (build-vs-append decision included) runs under
+  *     the artifact's cross-JVM build lease: a stream deployed the same
+  *     hour as the DAG's first day cannot double-build the root (the
+  *     race loser appends instead), and a micro-batch landing while the
+  *     DAG's `rebuild_ann_if_drifted` retrains WAITS the rebuild out
+  *     instead of writing old-model codes into the new-model index and
+  *     losing its marker in the swap's snapshot;
   *   - layout rides [[graft.sources.IndexConf]] (stamp-or-validate on
   *     (nlist, m, k)), heals ride `healStagedRebuild`, and
   *     [[Markers.ensureMigrationBound]] pins the legacy-marker bound at

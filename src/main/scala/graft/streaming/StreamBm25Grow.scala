@@ -12,9 +12,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the legacy bare-id migration rule):
   *   - applied marker → replay no-op; claim-empty → append → commit
   *     with count, `.pre`-manifest self-heal for crashed retries;
-  *   - a first-ever micro-batch builds via `writeIndex` under the
-  *     cross-JVM build lease (the race loser appends onto the winner's
-  *     index);
+  *   - EVERY mutation runs under the cross-JVM build lease: the day-one
+  *     race loser appends onto the winner's index, and two producers'
+  *     appends serialize — the `_stats` (n, tt) update is a
+  *     read-modify-write that an unleased concurrent append would
+  *     half-lose (spec-asserted: concurrent stream+DAG appends, n exact);
   *   - the bucket count rides [[graft.sources.IndexConf]] and a
   *     mismatch fails loudly — two producers routing postings to
   *     different pb layouts would corrupt every probe's pruning.

@@ -133,6 +133,40 @@ class StreamBm25GrowSpec extends SparkTestBase {
     assert(!StreamBm25Grow.batchApplied(spark, indexDir, 2L))
   }
 
+  test("concurrent stream and DAG APPENDS on an existing index: the mutation lease serializes the _stats read-modify-write — no lost update") {
+    val indexDir = Files.createTempDirectory("sbg_app").toString + "/idx"
+    // day-one build, serial
+    assert(Bm25.appendBatch(
+      spark, docsDf(corpus.take(2)), indexDir, 0L, buckets = 8) == 2L)
+    val s2 = spark.newSession()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val stream = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = StreamBm25Grow.growBatch(
+          spark, docsDf(Seq(corpus(2), corpus(3))), indexDir, 1L, buckets = 8)
+      })
+      val day = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val sq = s2
+          import sq.implicits._
+          Bm25.appendBatch(s2,
+            Seq(corpus(4), corpus(5)).toDF("doc_id", "text", "lang"),
+            indexDir, 50L, buckets = 8)
+        }
+      })
+      assert(stream.get(120, java.util.concurrent.TimeUnit.SECONDS) == 2L)
+      assert(day.get(120, java.util.concurrent.TimeUnit.SECONDS) == 2L)
+    } finally pool.shutdownNow()
+    // the lost-update failure mode: an unleased concurrent append reads
+    // stale (n, tt) and overwrites the other's delta — n would be 4
+    val grown = Bm25.readIndex(spark, indexDir)
+    assert(grown.n == 6L, s"_stats lost an append's delta: n=${grown.n}")
+    val oneShot = Bm25.writeIndex(
+      docsDf(corpus), Files.createTempDirectory("sbg_app_ref").toString + "/idx",
+      buckets = 8)
+    assert(grown.tt == oneShot.tt && probe(grown) == probe(oneShot))
+  }
+
   test("stream and DAG racing the EMPTY index: the day-one build lease serializes — one builds, the loser appends, union content") {
     val indexDir = Files.createTempDirectory("sbg_race").toString + "/idx"
     val s2 = spark.newSession()
