@@ -46,6 +46,19 @@ object Compaction {
 
   /** Compact partitions with more than `maxFiles` files AND mean file size
     * under `smallFileBytes`. Returns the rewritten partition values.
+    *
+    * The rewrite (victim-slice read through the dynamic overwrite) runs
+    * under the table's [[BuildLock]] lease (r16): the overwrite replaces
+    * each victim partition with the compacted output of a SNAPSHOT read,
+    * so a concurrent append landing in a victim partition inside that
+    * window would be silently deleted — exactly the overlap the live
+    * index grow legs (StreamAnnGrow micro-batches vs the nightly
+    * `compact_ann_index`) now make real. Leased appenders
+    * (`Pq.appendBatch`/`Bm25.appendBatch`) serialize against it; the
+    * victim-selection stats walk stays lock-free (a stale victim list
+    * only defers a partition to the next run — the slice re-reads the
+    * live listing under the lease). Unleased same-path writers remain
+    * the caller's exclusion to provide, as before.
     */
   def compact(
       spark: SparkSession, tablePath: String, partitionCol: String,
@@ -55,6 +68,7 @@ object Compaction {
     val victims = stats(spark, tablePath, partitionCol).filter(p =>
       p.nFiles > maxFiles && p.totalBytes / math.max(p.nFiles, 1) < smallFileBytes)
     if (victims.isEmpty) return Seq.empty
+    BuildLock.withLease(spark, tablePath, "partitioned compaction") {
     val parts = victims.map(_.partition)
     // target file count PER partition (a 10 GB partition must not collapse
     // to one file): salt each row by hash mod that count, shuffle on
@@ -79,6 +93,7 @@ object Compaction {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     parts
+    }
   }
 
   /** Compact a FLAT (unpartitioned) append-only parquet dir — the minhash

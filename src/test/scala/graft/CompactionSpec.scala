@@ -35,6 +35,46 @@ class CompactionSpec extends SparkTestBase {
     assert(Compaction.compact(spark, dir, "day", maxFiles = 8).isEmpty)
   }
 
+  test("compact serializes against a LEASED concurrent appender: the append survives the dynamic overwrite (r16)") {
+    val dir = Files.createTempDirectory("compact_lease").toString
+    (1 to 200).map(i => (i.toLong, s"v$i", "d1")).toDF("k", "v", "day")
+      .repartition(20)
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    // a leased appender (the Pq/Bm25.appendBatch posture) lands one row
+    // in the victim partition while compact is trying to rewrite it: the
+    // unleased pre-fix window (snapshot read -> dynamic overwrite) would
+    // delete that file; the leased compact must instead WAIT and include
+    // it in the slice it rewrites
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val appender = pool.submit(new Runnable {
+        def run(): Unit =
+          graft.sources.BuildLock.withLease(spark, dir, "test-appender") {
+            events.add("append-start")
+            Seq((9999L, "late", "d1")).toDF("k", "v", "day")
+              .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+            Thread.sleep(1500) // hold the lease so compact must queue
+            events.add("append-end")
+          }
+      })
+      Thread.sleep(300) // let the appender acquire first
+      events.add("compact-start")
+      val rewritten = Compaction.compact(spark, dir, "day", maxFiles = 8)
+      events.add("compact-end")
+      appender.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(rewritten == Seq("d1"))
+    } finally pool.shutdownNow()
+    assert(events.toArray.toSeq ==
+      Seq("append-start", "compact-start", "append-end", "compact-end"),
+      s"compact must queue behind the leased appender: ${events.toArray.toSeq}")
+    val after = spark.read.parquet(dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(after.size == 201 && after.contains((9999L, "late", "d1")),
+      "the leased append must survive the compaction overwrite")
+  }
+
   test("stats reports per-partition file counts and bytes") {
     val dir = Files.createTempDirectory("compact2").toString
     (1 to 60).map(i => (i.toLong, "d1")).toDF("k", "day")
