@@ -1271,6 +1271,13 @@ object OracleSql {
       """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // mixed-producer grow (r16 verdict #1): same gate convention — the
+    // two-producer protocol's output is an ANN index, so correctness is
+    // the recall gate (n_queries genuinely recounted, bound pinned TRUE)
+    "q107d_knn_ivfpq_mixed_grow" ->
+      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events
         |  WHERE event_type = 'purchase'),
@@ -2426,6 +2433,34 @@ object OracleSql {
     // the postings artifact + pruned probe and the straight formula
     // shows up as a hash mismatch here.
     "q82b_bm25_indexed" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, lang, len(toks)::BIGINT dl,
+        |        len(list_filter(toks, x -> x = 'spark'))::BIGINT tf0,
+        |        len(list_filter(toks, x -> x = 'vector'))::BIGINT tf1,
+        |        len(list_filter(toks, x -> x = 'customer'))::BIGINT tf2 FROM t),
+        |s AS (SELECT count(*)::BIGINT n, sum(dl)::BIGINT tt,
+        |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT df0,
+        |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT df1,
+        |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT df2 FROM b),
+        |sc AS (SELECT lang, doc_id, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (0.25 + 0.75 * dl * n / tt))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (0.25 + 0.75 * dl * n / tt)), 4) bm25
+        |  FROM b, s WHERE tf0 + tf1 + tf2 > 0)
+        |SELECT lang, doc_id, bm25,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY bm25 DESC, doc_id) AS INT) rk
+        |FROM sc QUALIFY rk <= 10""".stripMargin,
+
+    // Mixed-producer grow (r16 verdict #1): BM25 append maintenance is
+    // EXACT, so an index grown by interleaved mb-/day- appendBatch calls
+    // probes bit-identical to the full-scan formula — the twin is q82's
+    // VERBATIM (the q82b discipline). A hash mismatch here means the
+    // two-producer protocol lost or doubled a batch.
+    "q82c_bm25_mixed_grow" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks
         |           FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT doc_id, lang, len(toks)::BIGINT dl,

@@ -241,6 +241,40 @@ object SparkEntry {
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
     }),
 
+    // MIXED-PRODUCER growth of the persisted index (r16 verdict #1): the
+    // r16 two-producer surface — stream (`mb-`) and DAG (`day-`)
+    // namespace appendBatch calls interleaved on ONE artifact, exactly
+    // what a live StreamAnnGrow leg beside the nightly LlmIngestDag
+    // produces — driver-verified instead of ScalaTest-only. day-0 builds
+    // (training the frozen model on the 70% base); the two producers
+    // then alternate deltas through the SAME leased, marker-namespaced
+    // protocol (every mutation under the cross-JVM build lease); the
+    // probe runs against the grown artifact. Same gate shape and floor
+    // as q107/q107b/q107c. The artifact is rebuilt from scratch each
+    // invocation — markers persist, and the query IS the grow protocol;
+    // a reused dir would replay-no-op every batch.
+    "q107d_knn_ivfpq_mixed_grow" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/mixed_idx"
+      operators.BuildOnce.deleteDir(path)
+      def tranche(lo: Int, hi: Int) =
+        emb.filter(pmod(col("vec_id"), lit(10)).between(lo, hi))
+      operators.Pq.appendBatch(s, tranche(3, 9), "vec_id", "embedding",
+        path, 0L, nlist = 32, m = 8, k = 32, namespace = "day")
+      operators.Pq.appendBatch(s, tranche(0, 0), "vec_id", "embedding",
+        path, 1L, nlist = 32, m = 8, k = 32, namespace = "mb")
+      operators.Pq.appendBatch(s, tranche(1, 1), "vec_id", "embedding",
+        path, 1L, nlist = 32, m = 8, k = 32, namespace = "day")
+      operators.Pq.appendBatch(s, tranche(2, 2), "vec_id", "embedding",
+        path, 2L, nlist = 32, m = 8, k = 32, namespace = "mb")
+      val idx = operators.Pq.readIndex(s, path)
+      Knn.recallGate(
+        operators.Pq.ivfTopKIndexed(idx, emb, q, "vec_id", "embedding", 5,
+          nprobe = 8, refine = 200),
+        Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
+    }),
+
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel
     // cosine over symmetric codes — no dequantize): recall@5 vs float
     "q60_knn_int8" -> ((s, dir) => {
@@ -602,6 +636,28 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/bm25_idx"
       operators.Bm25.writeIndexOnce(docs, path)
+      operators.Bm25.retrieveIndexed(operators.Bm25.readIndex(s, path), s)
+    }),
+
+    // MIXED-PRODUCER growth of the posting index (r16 verdict #1,
+    // q107d's lexical twin): stream (`mb-`) and DAG (`day-`) namespace
+    // appendBatch calls interleaved on ONE artifact — the StreamBm25Grow-
+    // beside-the-DAG deployment — then probed. BM25 append maintenance
+    // is EXACT (postings are a stateless per-doc transform; df is
+    // probe-time-derived), so the grown index probes bit-identical to a
+    // one-shot build of the union corpus and the oracle is q82's formula
+    // twin VERBATIM — a hash-exact correctness row for the two-producer
+    // protocol, not just a gate. Fresh artifact per invocation (markers
+    // persist; the query IS the grow protocol).
+    "q82c_bm25_mixed_grow" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"$ivfPqScratch/${math.abs(dir.hashCode)}/bm25_mixed_idx"
+      operators.BuildOnce.deleteDir(path)
+      def tranche(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+      operators.Bm25.appendBatch(s, tranche(0), path, 0L, namespace = "day")
+      operators.Bm25.appendBatch(s, tranche(1), path, 1L, namespace = "mb")
+      operators.Bm25.appendBatch(s, tranche(2), path, 1L, namespace = "day")
+      operators.Bm25.appendBatch(s, tranche(3), path, 2L, namespace = "mb")
       operators.Bm25.retrieveIndexed(operators.Bm25.readIndex(s, path), s)
     }),
 

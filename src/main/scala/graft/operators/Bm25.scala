@@ -318,7 +318,14 @@ object Bm25 {
     // a live append)
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        try { if (fs.getFileStatus(m).getLen > 0) return -1L }
+        try {
+          if (fs.getFileStatus(m).getLen > 0) {
+            // a bare-marker claim of a NON-day batch is a data drop, not
+            // a replay — make it loud (Markers.warnIfBareClaim doc)
+            graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+            return -1L
+          }
+        }
         catch { case _: java.io.FileNotFoundException => () } // inspect below
       }
     def commitMarker(n: Long): Unit = {
@@ -366,7 +373,7 @@ object Bm25 {
     // The race loser of the day-one decision re-evaluates under the
     // lease and appends onto the winner's index. Probes stay lock-free.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "BM25 index mutation") {
+      spark, indexDir, "BM25 index mutation", mutation = true) {
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
         .foreach { m =>
           // claimed-state inspection under the lease (it may delete a
@@ -374,7 +381,10 @@ object Bm25 {
           // A marker vanishing since the fast check means a concurrent
           // replayer healed it — it owns the retry: no-op.
           try {
-            if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+            if (fs.getFileStatus(m).getLen > 0) { // applied replay
+              graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+              return -1L
+            }
             val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")
             val safe = fs.exists(mPre) && {
               val in = fs.open(mPre)

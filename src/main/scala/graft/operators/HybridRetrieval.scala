@@ -367,6 +367,17 @@ object HybridRetrieval {
     * `probeFraction` and the INDEX's cell count ([[nprobeFor]]) — the
     * SCALING_r15 §4 rule that probe width must scale WITH nlist; a
     * positive `nprobe` pins it explicitly (the gate's posture).
+    *
+    * '''BEHAVIOR CHANGE (r16)''': the default used to be a FIXED
+    * `nprobe = 8`; it is now fraction-derived, and `0` is the derive
+    * sentinel. At the registered calibration point (nlist=32) derived
+    * == 8, so registered behavior is bit-unchanged — but a caller on a
+    * LARGER index who relied on the old fixed default now probes
+    * `0.25 × nlist` cells per query (e.g. 256 at nlist=1024, 32× the
+    * old cost) in exchange for flat recall as nlist grows (the silent
+    * recall cliff the fixed default had — SCALING_r16 §1). Pin
+    * `nprobe` explicitly to keep the old cost profile. Negative values
+    * fail loudly rather than silently deriving (r16 ADVICE, low).
     */
   def rrfFuseAnn(
       docs: DataFrame, emb: DataFrame,
@@ -375,6 +386,8 @@ object HybridRetrieval {
       nprobe: Int = 0, refine: Int = 200,
       k1: Double = 1.2, b: Double = 0.75, rrfK: Double = 60.0,
       probeFraction: Double = DefaultProbeFraction): DataFrame = {
+    require(nprobe >= 0,
+      s"nprobe must be >= 0 (0 derives from probeFraction); got $nprobe")
     val effNprobe = if (nprobe > 0) nprobe
       else nprobeFor(denseIndex.centroids.length, probeFraction)
     val textIds = docs.filter(col("text").isNotNull)

@@ -473,7 +473,14 @@ object Pq {
     // checkpoint replay never queues behind a live rebuild/append
     graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
       .foreach { m =>
-        try { if (fs.getFileStatus(m).getLen > 0) return -1L }
+        try {
+          if (fs.getFileStatus(m).getLen > 0) {
+            // a bare-marker claim of a NON-day batch is a data drop, not
+            // a replay — make it loud (Markers.warnIfBareClaim doc)
+            graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+            return -1L
+          }
+        }
         catch { case _: java.io.FileNotFoundException => () } // inspect below
       }
     def commitMarker(n: Long): Unit = {
@@ -530,7 +537,7 @@ object Pq {
     // heal, unchanged). A producer that loses the day-one race
     // re-evaluates under the lease and APPENDS onto the winner's index.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "IVF-PQ index mutation") {
+      spark, indexDir, "IVF-PQ index mutation", mutation = true) {
       healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
       // never be read as "no markers" (the silent single-day rebuild)
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
@@ -542,7 +549,10 @@ object Pq {
           // replayer healed it — it owns the retry: no-op, don't crash
           // the day.
           try {
-            if (fs.getFileStatus(m).getLen > 0) return -1L // applied replay
+            if (fs.getFileStatus(m).getLen > 0) { // applied replay
+              graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+              return -1L
+            }
             // claimed-but-dead: re-run ONLY if provably nothing landed —
             // manifest unchanged since the claim. The `.pre` sidecar
             // lives next to whichever spelling (bare or namespaced)
@@ -715,7 +725,7 @@ object Pq {
     // (the writer-mode heal below discards stages, which is only safe
     // when no other writer is live). Readers stay lock-free.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "IVF-PQ index rebuild") {
+      spark, indexDir, "IVF-PQ index rebuild", mutation = true) {
     healStagedRebuild(spark, indexDir, writer = true) // the ONE writer:
     // may also discard a stale/unsealed stage before staging its own
     val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)

@@ -56,22 +56,54 @@ import org.apache.spark.sql.SparkSession
   * driver stall) can be healed out by a waiter even though it later
   * resumes. The heal re-reads immediately before deleting (a late
   * renewal landing before that re-read is respected), the healed-out
-  * holder's renewer detects the foreign token and logs instead of
-  * clobbering, and the damage degrades to the pre-lock status quo:
-  * two concurrent builds of the same (deterministic) artifact — wasted
-  * work, converging content.
+  * holder's renewer detects the foreign token and never clobbers the
+  * new claim. What happens NEXT depends on what the lease guards
+  * (r16 ADVICE, medium — the two kinds diverged when the same lease
+  * started serializing appends and rebuilds, not just builds):
+  *
+  *  - A BUILD lease (`mutation = false`: the writeIndexOnce paths)
+  *    warns and finishes. The build is a deterministic whole-artifact
+  *    overwrite, so a healed-out holder running beside the healer's
+  *    replacement build degrades to the pre-lock status quo — wasted
+  *    duplicate work, converging content.
+  *  - A MUTATION lease (`mutation = true`: appendBatch, a drift
+  *    rebuild, compaction) records the loss at the renewal tick that
+  *    detects it and THROWS [[BuildLock.LeaseLostException]] at
+  *    completion, before the caller trusts the result. These bodies
+  *    are non-idempotent read-modify-writes (the Bm25 `_stats` update,
+  *    compaction's snapshot-then-overwrite, the rebuild swap): a
+  *    stalled holder finishing UNLEASED beside the waiter that healed
+  *    it out recreates exactly the lost-update corruption the lease
+  *    exists to prevent. Failing the batch is safe BY the protocol the
+  *    lease guards: the batch marker only commits at the end of a
+  *    successful body, so the checkpoint/DAG retry re-runs under a
+  *    fresh lease (replay no-op if the mutation did land; `.pre`
+  *    manifest self-heal if it half-landed). The residual is the
+  *    instant between the last check and the commit's final write —
+  *    microseconds against a multi-minute lease, vs. the whole
+  *    remaining mutation before.
   */
 object BuildLock {
+
+  /** The lease this mutation ran under was healed out from under it (a
+    * waiter judged the holder crashed after three missed renewals) — the
+    * result must not be trusted; retry under a fresh lease. See the class
+    * doc's mutation-vs-build posture.
+    */
+  final class LeaseLostException(msg: String) extends IllegalStateException(msg)
 
   private[graft] def lockPath(artifactPath: String): Path =
     new Path(artifactPath.stripSuffix("/") + ".build.lock")
 
   /** Run `body` under the artifact path's build lease. `what` names the
-    * artifact family in failure messages.
+    * artifact family in failure messages. `mutation = true` declares a
+    * NON-IDEMPOTENT body (append, rebuild, compaction): detected lease
+    * loss then throws [[LeaseLostException]] instead of the build lease's
+    * warn-and-finish (class doc, r16 ADVICE medium).
     */
   def withLease[T](spark: SparkSession, artifactPath: String, what: String,
       leaseMs: Long = 10 * 60 * 1000L, pollMs: Long = 200L,
-      maxWaitMs: Long = 60 * 60 * 1000L)(body: => T): T = {
+      maxWaitMs: Long = 60 * 60 * 1000L, mutation: Boolean = false)(body: => T): T = {
     val p = lockPath(artifactPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val token = java.util.UUID.randomUUID().toString
@@ -81,10 +113,29 @@ object BuildLock {
     // running, and an unserialized one could re-create the lock AFTER
     // release deleted it — an orphaned lease every later cold build
     // would wait out (self-review r15)
-    val state = new LeaseState
+    val state = new LeaseState(mutation, what, p)
     val renewer = startRenewer(fs, p, token, leaseMs, state)
-    try body
-    finally {
+    def lost(): Nothing = throw new LeaseLostException(
+      s"$what: build lease $p was healed out from under this holder " +
+        "mid-mutation (three missed renewals — a stalled driver or sick " +
+        "store) — the result must not be trusted; the batch retries " +
+        "under a fresh lease (replay-safe by the marker protocol)")
+    try {
+      val r = body
+      // completion gate for mutation leases: a body that ran past its
+      // lease must not hand back a result the caller will commit/trust —
+      // the waiter that healed us out may already be mutating (class
+      // doc). Checked AFTER body so the residual loss window is the
+      // final renewal period, not the whole mutation.
+      if (mutation && state.healedOut) lost()
+      r
+    } catch {
+      // non-local `return` out of the body (the appendBatch replay
+      // no-ops) is a SUCCESS path and gets the same completion gate
+      case nlr: scala.runtime.NonLocalReturnControl[_] =>
+        if (mutation && state.healedOut) lost()
+        throw nlr
+    } finally {
       renewer.cancel(false)
       // the flag is set BEFORE the delete, and all renewer filesystem IO
       // runs OUTSIDE any lock shared with this path (r15 ADVICE, medium:
@@ -104,8 +155,10 @@ object BuildLock {
     }
   }
 
-  private final class LeaseState {
+  private final class LeaseState(
+      val mutation: Boolean, val what: String, val lock: Path) {
     @volatile var released = false
+    @volatile var healedOut = false
   }
 
   private def acquire(fs: FileSystem, p: Path, token: String, what: String,
@@ -236,24 +289,33 @@ object BuildLock {
         // stall only itself, never withLease's return.
         if (!state.released) {
           // renew only what is still ours — a healed-out holder must not
-          // clobber the new one's lock (it can only log; aborting a Spark
-          // job mid-build from a watchdog thread is worse than the
-          // duplicate build the new holder is about to run)
+          // clobber the new one's lock (the watchdog thread cannot abort
+          // a Spark job mid-body; it records the loss, and withLease's
+          // completion gate turns it into LeaseLostException for
+          // mutation leases — class doc)
           if (readLock(fs, p).exists(_.token == token)) {
-            renewByRename(fs, p, token, leaseMs)
+            renewByRename(fs, p, token, leaseMs, state)
             // release may have raced while the rename was in flight —
             // the lock just committed would then be an orphan every
             // later cold build waits out. Re-check AFTER the commit and
             // clean up our own debris (token-checked, so a new holder's
             // claim is never touched).
             if (state.released) release(fs, p, token)
-          } else if (!state.released)
+          } else if (!state.released) {
             // released-while-reading is a CLEAN exit racing this tick,
-            // not a heal — only warn when the build is still running
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            // not a heal — only flag when the body is still running
+            state.healedOut = true
+            val log = org.slf4j.LoggerFactory.getLogger(getClass)
+            if (state.mutation) log.error(
+              s"BuildLock: MUTATION lease $p (${state.what}) no longer " +
+                "held by this holder (healed as stale by a waiter) — the " +
+                "result will be rejected at completion with " +
+                "LeaseLostException; the batch retries under a fresh lease")
+            else log.warn(
               s"BuildLock: lease $p no longer held by this builder " +
                 "(healed as stale by a waiter?) — finishing anyway; the " +
                 "artifact's overwrite discipline bounds the damage")
+          }
         }
       } catch { case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass)
@@ -273,10 +335,20 @@ object BuildLock {
     * just verified OURS by the caller and re-verified here — is deleted
     * and the rename retried once; a claimant racing into that gap wins
     * (its create-exclusive makes the retry fail, and this holder
-    * abandons the renewal as healed-out).
+    * abandons the renewal as healed-out — the flag the completion gate
+    * turns into LeaseLostException for mutation leases).
+    *
+    * The delete+retry path is taken ONLY when the destination provably
+    * still exists after the failed rename (r16 ADVICE, low): a rename
+    * that failed for any other reason — transient store IO, or the lock
+    * vanished concurrently — must NOT delete what may by then be a new
+    * claimant's live lock. Those failures skip the renewal (the next
+    * tick re-reads ownership and decides), never widening the no-lock
+    * window.
     */
   private def renewByRename(
-      fs: FileSystem, p: Path, token: String, leaseMs: Long): Unit = {
+      fs: FileSystem, p: Path, token: String, leaseMs: Long,
+      state: LeaseState): Unit = {
     val tmp = new Path(p.getParent,
       p.getName + ".renew." + java.util.UUID.randomUUID().toString)
     try {
@@ -287,12 +359,23 @@ object BuildLock {
       // compare-and-rename)
       if (!readLock(fs, p).exists(_.token == token)) { fs.delete(tmp, false); return }
       if (fs.rename(tmp, p)) return
+      // rename failed: distinguish "rename-won't-replace store" (the
+      // destination — just re-verified ours — still exists) from a
+      // transient failure or a concurrent vanish. Only the former may
+      // delete; and only if the re-read STILL shows our token (the
+      // narrowest destination-exists proof a plain store offers).
+      if (!readLock(fs, p).exists(_.token == token)) {
+        fs.delete(tmp, false) // lock vanished or changed hands mid-commit:
+        return                // never delete; next tick adjudicates
+      }
       fs.delete(p, false) // rename-won't-replace store: drop our own lock
       if (!fs.rename(tmp, p)) {
         fs.delete(tmp, false) // a claimant took the gap: it owns the lease
+        state.healedOut = true
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"BuildLock: renewal of $p lost a claim race mid-commit — " +
-            "finishing as a healed-out holder")
+            "this holder is healed-out (mutation leases reject their " +
+            "result at completion)")
       }
     } catch { case e: Throwable =>
       // never leak a renew temp beside the lock on a failed write/rename

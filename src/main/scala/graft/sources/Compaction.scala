@@ -68,7 +68,8 @@ object Compaction {
     val victims = stats(spark, tablePath, partitionCol).filter(p =>
       p.nFiles > maxFiles && p.totalBytes / math.max(p.nFiles, 1) < smallFileBytes)
     if (victims.isEmpty) return Seq.empty
-    BuildLock.withLease(spark, tablePath, "partitioned compaction") {
+    BuildLock.withLease(spark, tablePath, "partitioned compaction",
+        mutation = true) {
     val parts = victims.map(_.partition)
     // target file count PER partition (a 10 GB partition must not collapse
     // to one file): salt each row by hash mod that count, shuffle on

@@ -188,6 +188,32 @@ object Markers {
         "exists but cannot be read after 5 attempts")
   }
 
+  /** Loud visibility for the migration rule's one residual collision
+    * (r16 ADVICE, low): the `mb` namespace claims EVERY legacy bare id,
+    * so a long-running stream whose checkpoint counter grows into a
+    * pre-upgrade bare day id silently no-ops that micro-batch — the
+    * apply path returns -1, indistinguishable from the stream's own
+    * replay, and the batch's rows are never indexed. The collision is
+    * bounded (~one bare marker per pre-upgrade ingest day) and
+    * non-systematic (class doc), but it is a DATA DROP, not a replay —
+    * so when a non-`day` producer's applied-replay no-op resolves to a
+    * BARE marker rather than its own `<ns>-<id>` spelling, the apply
+    * paths call this to log it loudly instead of reading as a normal
+    * replay. The operator's remedies: bump the stream counter past the
+    * legacy range (a fresh checkpoint dir), or re-feed the dropped
+    * batch's rows under a fresh id.
+    */
+  private[graft] def warnIfBareClaim(
+      m: Path, namespace: String, batchId: Long): Unit =
+    if (namespace != "day" && m.getName == batchId.toString)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Markers: batch $namespace-$batchId resolved to LEGACY BARE " +
+          s"marker $m — this batch no-ops as already-applied under the " +
+          "migration rule, but for a live stream this is a pre-upgrade " +
+          "day id colliding with the stream counter: the batch's rows " +
+          "were NOT indexed (a one-batch data drop, not a replay). " +
+          "Re-feed them under a fresh id if this index never saw them.")
+
   /** The path a NEW claim for (`batchId`, `namespace`) is written at —
     * always namespaced; legacy bare spellings are read-only history.
     */

@@ -209,4 +209,50 @@ class BuildLockSpec extends SparkTestBase {
     assert(debris.isEmpty, s"renewal temps leaked: ${debris.mkString(",")}")
     assert(lock.delete())
   }
+
+  test("a MUTATION lease healed out mid-body rejects its result with LeaseLostException instead of finishing unleased (r16 ADVICE, medium)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_mut").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    val foreign = s"token=new-holder-token\nholder=other:99\n" +
+      s"expires=${System.currentTimeMillis() + 600000}"
+    val bodyFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val holder = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          BuildLock.withLease(spark, artifact, "stalled-mutator",
+            leaseMs = 300, pollMs = 50, mutation = true) {
+            // simulate the waiter's heal+claim while this holder stalls
+            val out = new java.io.FileOutputStream(lock)
+            out.write(foreign.getBytes("UTF-8"))
+            out.close()
+            Thread.sleep(1000) // ≥ 9 renewal ticks detect the foreign token
+            bodyFinished.set(true)
+            42L // the result that must NOT be handed back
+          }
+      })
+      val ex = intercept[java.util.concurrent.ExecutionException] {
+        holder.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      assert(ex.getCause.isInstanceOf[BuildLock.LeaseLostException],
+        s"expected LeaseLostException, got ${ex.getCause}")
+      // the body itself ran to completion — the REJECTION is the contract
+      // (a watchdog thread cannot abort a Spark job mid-body); what the
+      // caller must never see is a trusted result
+      assert(bodyFinished.get())
+    } finally pool.shutdownNow()
+    // and the healed-out mutator never clobbered the new holder's claim
+    val content = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+    assert(content == foreign,
+      s"healed-out mutator clobbered the new claim: $content")
+    assert(lock.delete())
+
+    // control: the same mutation lease, UN-contended, returns its result
+    val r = BuildLock.withLease(spark, artifact, "healthy-mutator",
+      leaseMs = 300, pollMs = 50, mutation = true) { Thread.sleep(450); 7L }
+    assert(r == 7L)
+    assert(!lock.exists())
+  }
 }
