@@ -704,6 +704,17 @@ object Pq {
     * codes are lossy, an index cannot retrain from itself. Returns true
     * iff a rebuild happened.
     *
+    * `unionCorpus` is BY-NAME and evaluated UNDER the lease, after the
+    * drift gate fires (r17): a parquet-backed frame snapshots its file
+    * listing at construction, so a by-value argument built before the
+    * lease could miss a concurrent append that lands between construction
+    * and acquisition — the rebuild would re-encode WITHOUT those rows
+    * while carrying their replay marker through the swap (silent,
+    * permanent loss: the batch can never re-apply). Callers must pass
+    * the EXPRESSION that constructs the frame (LlmIngestDag passes a
+    * `def`), not a pre-built `val`, or they re-open that window. A
+    * no-drift day now also never constructs the union frame at all.
+    *
     * Scale shape: the gate itself reads only the partition column + the
     * nlist-row sidecar; a fired rebuild costs one train (iters+1 scans,
     * bounded model collect) + one encode scan + the partitioned write —
@@ -712,7 +723,7 @@ object Pq {
     */
   def rebuildIfDrifted(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      unionCorpus: DataFrame, idCol: String, vecCol: String,
+      unionCorpus: => DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
       maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean =
     // the whole gate + retrain + swap runs under the artifact's build
@@ -740,7 +751,11 @@ object Pq {
         val in = fs.open(st.getPath)
         try (st.getPath.getName, in.readAllBytes()) finally in.close()
       }
-    val n = unionCorpus.filter(col(vecCol).isNotNull).count()
+    // evaluate the by-name union HERE — under the lease, after the
+    // gate — so its parquet file listing cannot predate a concurrent
+    // append (scaladoc)
+    val union = unionCorpus
+    val n = union.filter(col(vecCol).isNotNull).count()
     require(n > 0, "rebuildIfDrifted: empty union corpus")
     val effNlist = math.min(nlist.toLong, n).toInt
     val effK = math.min(k.toLong, n).toInt
@@ -752,8 +767,8 @@ object Pq {
     // silently rebuilt from a single day's vectors)
     val staged = new org.apache.hadoop.fs.Path(stagedRebuildDir(indexDir))
     fs.delete(staged, true)
-    writeIndex(unionCorpus, idCol, vecCol,
-      train(unionCorpus, idCol, vecCol, m, effK), staged.toString, effNlist)
+    writeIndex(union, idCol, vecCol,
+      train(union, idCol, vecCol, m, effK), staged.toString, effNlist)
     val sbdir = new org.apache.hadoop.fs.Path(staged, "_batches")
     fs.mkdirs(sbdir)
     markers.foreach { case (name, bytes) =>

@@ -210,8 +210,11 @@ object LlmIngestDag {
     } ++ (for (_ <- embeddingsFor.toSeq; unionEmb <- annUnionEmbeddings.toSeq)
       yield Dag.Task("rebuild_ann_if_drifted", () => {
         // rebuild corpus = every SURVIVOR's vector (exactly what the
-        // index holds: appends only ever indexed survivors)
-        val union = unionEmb().join(
+        // index holds: appends only ever indexed survivors). A `def`, so
+        // the by-name parameter constructs it UNDER the rebuild lease —
+        // its file listings cannot miss a stream append racing this task
+        // (Pq.rebuildIfDrifted scaladoc, r17)
+        def union = unionEmb().join(
           spark.read.parquet(survivorsDir).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
         graft.operators.Pq.rebuildIfDrifted(
