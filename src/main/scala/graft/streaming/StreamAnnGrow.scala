@@ -47,7 +47,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (codegen'd PqEncode/nearestCells kernels), one AQE-rebalanced
   * shuffle of ~12 B rows into its touched cells, and sidecar-bounded
   * driver work — never a scan of the index. Cost is O(|batch|),
-  * independent of index size.
+  * independent of index size — MEASURED over a 50-batch decade
+  * (ProbeGrowCurve, SCALING_r17 §3: batch wall flat while the index
+  * grew 3.5×; the nightly compaction leg bounds the file count in a
+  * 13→130→13 sawtooth).
+  *
+  * == Deployment guidance (measured, ProbeLeaseCost / SCALING_r17 §2) ==
+  * The cross-JVM lease costs ~1.6 ms per micro-batch on a local
+  * filesystem (claim + read-back + renewer + release) against a
+  * ~0.8–1 s growBatch floor at 200–1000-row batches — noise; on an
+  * object store budget tens of ms (three round trips), still noise at
+  * any sane trigger. Pick the TRIGGER INTERVAL from two walls, not the
+  * lease: (1) it must clear the growBatch wall (size
+  * `maxOffsetsPerTrigger` so encode work dominates — bigger, rarer
+  * batches amortize the fixed per-batch cost); (2) a micro-batch
+  * arriving while `rebuild_ann_if_drifted` holds the lease waits the
+  * WHOLE rebuild out and foreachBatch is serial, so the stream stalls
+  * one full rebuild wall (measured: a 22k-vector rebuild of 4.2 s
+  * stalled the concurrent append to 4.8 s vs 0.8 s unblocked; at
+  * production sizes read minutes) — provision source retention /
+  * queue depth for a rebuild-length stall, or schedule rebuilds in the
+  * stream's quiet window. With BOTH producers live on one artifact the
+  * lease serializes them: per-batch p50 doubles and p95 grows with
+  * queueing (0.76 s solo → 1.86 s p50 / 6.1 s p95 convoyed at
+  * back-to-back cadence) — keep the producers' combined duty cycle
+  * (batch wall × cadence, summed) under ~50% of wall-clock or batches
+  * queue without bound.
   */
 object StreamAnnGrow {
 

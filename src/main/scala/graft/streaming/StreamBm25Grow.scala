@@ -33,7 +33,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape per micro-batch: one tokenize+aggregate pass over the
   * batch, one AQE-rebalanced shuffle into the touched pb buckets, one
-  * one-row stats update — O(|batch| tokens), never a scan of the index.
+  * one-row stats update — O(|batch| tokens), never a scan of the index
+  * (measured flat over a 50-batch decade, ProbeGrowCurve /
+  * SCALING_r17 §3). Trigger-interval and two-producer guidance is
+  * [[StreamAnnGrow]]'s measured paragraph verbatim — same lease, same
+  * serialization shape (minus the rebuild stall: this index has no
+  * drift rebuild, so the only long lease hold to plan around is
+  * compaction).
   */
 object StreamBm25Grow {
 
