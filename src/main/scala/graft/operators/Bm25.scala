@@ -299,7 +299,8 @@ object Bm25 {
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       indexDir: String, batchId: Long, buckets: Int = 64,
-      namespace: String = "day"): Long = {
+      namespace: String = "day",
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long = {
     // markers route through graft.streaming.Markers (r15, with the ANN
     // index): the DAG claims `day-<id>`, the live grow leg
     // ([[graft.streaming.StreamBm25Grow]], r16) claims `mb-<id>`, and
@@ -373,7 +374,8 @@ object Bm25 {
     // The race loser of the day-one decision re-evaluates under the
     // lease and appends onto the winner's index. Probes stay lock-free.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "BM25 index mutation", mutation = true) {
+      spark, indexDir, "BM25 index mutation",
+      maxWaitMs = leaseMaxWaitMs, mutation = true) {
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
         .foreach { m =>
           // claimed-state inspection under the lease (it may delete a

@@ -451,7 +451,8 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
-      namespace: String = "day"): Long = {
+      namespace: String = "day",
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long = {
     // markers are producer-namespaced through graft.streaming.Markers
     // (r14 verdict: single-producer today, but the moment a live ANN-grow
     // leg lands beside the DAG, a shared bare numeric namespace reopens
@@ -537,7 +538,8 @@ object Pq {
     // heal, unchanged). A producer that loses the day-one race
     // re-evaluates under the lease and APPENDS onto the winner's index.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "IVF-PQ index mutation", mutation = true) {
+      spark, indexDir, "IVF-PQ index mutation",
+      maxWaitMs = leaseMaxWaitMs, mutation = true) {
       healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
       // never be read as "no markers" (the silent single-day rebuild)
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)

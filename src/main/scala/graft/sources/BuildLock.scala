@@ -92,6 +92,15 @@ object BuildLock {
     */
   final class LeaseLostException(msg: String) extends IllegalStateException(msg)
 
+  /** Default bound on how long a waiter queues for the lease (1 h) —
+    * appendBatch callers thread `leaseMaxWaitMs` through to raise it
+    * when a drift rebuild can legitimately hold the lease longer (the
+    * r16 self-flag: a >1 h rebuild would fail a queued stream
+    * micro-batch loudly; failure is checkpoint-retryable, but waiting
+    * avoids the spurious stream restart).
+    */
+  val DefaultMaxWaitMs: Long = 60 * 60 * 1000L
+
   private[graft] def lockPath(artifactPath: String): Path =
     new Path(artifactPath.stripSuffix("/") + ".build.lock")
 
@@ -103,7 +112,7 @@ object BuildLock {
     */
   def withLease[T](spark: SparkSession, artifactPath: String, what: String,
       leaseMs: Long = 10 * 60 * 1000L, pollMs: Long = 200L,
-      maxWaitMs: Long = 60 * 60 * 1000L, mutation: Boolean = false)(body: => T): T = {
+      maxWaitMs: Long = DefaultMaxWaitMs, mutation: Boolean = false)(body: => T): T = {
     val p = lockPath(artifactPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val token = java.util.UUID.randomUUID().toString

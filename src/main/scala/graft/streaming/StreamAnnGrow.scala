@@ -86,13 +86,14 @@ object StreamAnnGrow {
       emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String, checkpointDir: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
-      onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): StreamingQuery =
     emb.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = growBatch(batch.sparkSession, batch, idCol, vecCol,
-          indexDir, batchId, nlist, m, k)
+          indexDir, batchId, nlist, m, k, leaseMaxWaitMs)
         onBatch(batchId, n)
       }
       .start()
@@ -105,9 +106,10 @@ object StreamAnnGrow {
   def growBatch(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
-      nlist: Int = 32, m: Int = 8, k: Int = 16): Long =
+      nlist: Int = 32, m: Int = 8, k: Int = 16,
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long =
     Pq.appendBatch(spark, batch, idCol, vecCol, indexDir, batchId,
-      nlist, m, k, namespace = "mb")
+      nlist, m, k, namespace = "mb", leaseMaxWaitMs = leaseMaxWaitMs)
 
   /** Non-empty-marker gate for the stream's micro-batches — TRUE only
     * for a batch that provably committed ([[Pq.appendBatchApplied]]

@@ -52,12 +52,14 @@ object StreamBm25Grow {
   def start(
       docs: DataFrame, indexDir: String, checkpointDir: String,
       buckets: Int = 64,
-      onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = growBatch(batch.sparkSession, batch, indexDir, batchId, buckets)
+        val n = growBatch(batch.sparkSession, batch, indexDir, batchId,
+          buckets, leaseMaxWaitMs)
         onBatch(batchId, n)
       }
       .start()
@@ -68,9 +70,10 @@ object StreamBm25Grow {
     */
   def growBatch(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
-      indexDir: String, batchId: Long, buckets: Int = 64): Long =
+      indexDir: String, batchId: Long, buckets: Int = 64,
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long =
     Bm25.appendBatch(spark, batch, indexDir, batchId, buckets,
-      namespace = "mb")
+      namespace = "mb", leaseMaxWaitMs = leaseMaxWaitMs)
 
   /** Non-empty-marker gate for the stream's micro-batches. */
   def batchApplied(
