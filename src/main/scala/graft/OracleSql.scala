@@ -1272,11 +1272,16 @@ object OracleSql {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // mixed-producer grow (r16 verdict #1): same gate convention — the
-    // two-producer protocol's output is an ANN index, so correctness is
-    // the recall gate (n_queries genuinely recounted, bound pinned TRUE)
+    // two-producer protocol's output is an ANN index, so the recall gate
+    // (n_queries genuinely recounted, bound pinned TRUE) — PLUS a
+    // count-exact column (r17 verdict #1): the tranches partition
+    // pmod(vec_id,10) over 0..9, so the grown index's row count must
+    // equal the table's non-null-embedding count exactly; a lost or
+    // doubled batch flips the hash, not just the recall floor
     "q107d_knn_ivfpq_mixed_grow" ->
-      """SELECT count(DISTINCT vec_id) n_queries, TRUE recall_ok
-        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+      """SELECT (SELECT count(DISTINCT vec_id) FROM embeddings WHERE vec_id < 10) n_queries,
+        |       TRUE recall_ok,
+        |       (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) n_indexed""".stripMargin,
 
     "q28_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) us FROM events

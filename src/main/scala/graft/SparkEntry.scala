@@ -269,10 +269,19 @@ object SparkEntry {
       operators.Pq.appendBatch(s, tranche(2, 2), "vec_id", "embedding",
         path, 2L, nlist = 32, m = 8, k = 32, namespace = "mb")
       val idx = operators.Pq.readIndex(s, path)
-      Knn.recallGate(
+      val gate = Knn.recallGate(
         operators.Pq.ivfTopKIndexed(idx, emb, q, "vec_id", "embedding", 5,
           nprobe = 8, refine = 200),
         Knn.bruteForceTopK(emb, q, "vec_id", "embedding", 5), 5, floor = 0.4)
+      // count-exact protocol witness (r17 verdict #1): the four tranches
+      // partition pmod(vec_id,10) over 0..9, so the grown index must hold
+      // exactly one (id, cell, codes) row per non-null embedding — the
+      // oracle recomputes that count from the base table, and a LOST
+      // batch (−10%) or a DOUBLED one (+10%) flips this driver row
+      // hash-exactly, not just plausibly-under-the-recall-floor
+      // (q82c's detection power, now on the ANN twin too)
+      gate.crossJoin(
+        s.read.parquet(path).agg(count(lit(1)).as("n_indexed")))
     }),
 
     // kNN scored ENTIRELY in the int8 domain (native integer-kernel

@@ -294,7 +294,11 @@ object Bm25 {
     *    claiming; a claimed-but-dead batch self-heals (retries) only when
     *    the manifest proves nothing landed, otherwise reads RED for the
     *    operator (manual repair, as with the ANN index)
-    * Returns rows (docs) applied, or -1 for a replay / unrepairable claim.
+    * Returns rows (docs) applied; -1 for a replay / unrepairable claim;
+    * or [[graft.streaming.Markers.BareClaimDrop]] (-2) when the no-op
+    * resolved to a LEGACY BARE marker this producer did not write — a
+    * one-batch data drop a monitoring hook must distinguish from a
+    * replay (r17 verdict #2).
     */
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
@@ -323,7 +327,8 @@ object Bm25 {
           if (fs.getFileStatus(m).getLen > 0) {
             // a bare-marker claim of a NON-day batch is a data drop, not
             // a replay — make it loud (Markers.warnIfBareClaim doc)
-            graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+            if (graft.streaming.Markers.warnIfBareClaim(m, ns, batchId))
+              return graft.streaming.Markers.BareClaimDrop // -2: data drop, not replay
             return -1L
           }
         }
@@ -384,7 +389,8 @@ object Bm25 {
           // replayer healed it — it owns the retry: no-op.
           try {
             if (fs.getFileStatus(m).getLen > 0) { // applied replay
-              graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+              if (graft.streaming.Markers.warnIfBareClaim(m, ns, batchId))
+                return graft.streaming.Markers.BareClaimDrop // -2: data drop
               return -1L
             }
             val mPre = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".pre")

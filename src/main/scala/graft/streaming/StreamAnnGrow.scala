@@ -79,8 +79,11 @@ object StreamAnnGrow {
   /** Start the live grow leg: each micro-batch of `emb` (an id column +
     * a float-array vector column) appends into the IVF-PQ index at
     * `indexDir` under the `mb` marker namespace. `onBatch(batchId, n)`
-    * observes the applied row count (-1 for a replay) — the monitoring
-    * hook, mirroring [[StreamFingerprint.start]].
+    * observes the applied row count — the monitoring hook, mirroring
+    * [[StreamFingerprint.start]]: -1 for a replay, and
+    * [[graft.streaming.Markers.BareClaimDrop]] (-2) for the legacy
+    * bare-marker collision, which is a one-batch DATA DROP the hook
+    * should alert on, never read as a replay (r17 verdict #2).
     */
   def start(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -100,8 +103,9 @@ object StreamAnnGrow {
 
   /** One micro-batch of the protocol (factored out so the semantics are
     * unit-testable without a streaming runtime, like every other stream
-    * leg's applyBatch/growBatch). Returns rows applied, or -1 for a
-    * replay / unrepairable claim.
+    * leg's applyBatch/growBatch). Returns rows applied; -1 for a
+    * replay / unrepairable claim; [[graft.streaming.Markers.BareClaimDrop]]
+    * (-2) for the legacy bare-marker data drop.
     */
   def growBatch(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,

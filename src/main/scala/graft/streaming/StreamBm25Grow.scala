@@ -46,8 +46,10 @@ object StreamBm25Grow {
   /** Start the live grow leg: each micro-batch of `docs`
     * (doc_id, text, lang rows — the [[Bm25.postingRows]] input shape)
     * appends into the posting index at `indexDir` under the `mb`
-    * namespace. `onBatch(batchId, n)` observes docs applied (-1 for a
-    * replay).
+    * namespace. `onBatch(batchId, n)` observes docs applied: -1 for a
+    * replay, [[graft.streaming.Markers.BareClaimDrop]] (-2) for the
+    * legacy bare-marker collision — a one-batch DATA DROP the hook
+    * should alert on, never read as a replay (r17 verdict #2).
     */
   def start(
       docs: DataFrame, indexDir: String, checkpointDir: String,
@@ -65,8 +67,9 @@ object StreamBm25Grow {
       .start()
 
   /** One micro-batch of the protocol (unit-testable without a streaming
-    * runtime). Returns docs applied, or -1 for a replay / unrepairable
-    * claim.
+    * runtime). Returns docs applied; -1 for a replay / unrepairable
+    * claim; [[graft.streaming.Markers.BareClaimDrop]] (-2) for the
+    * legacy bare-marker data drop.
     */
   def growBatch(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,

@@ -255,4 +255,139 @@ class BuildLockSpec extends SparkTestBase {
     assert(r == 7L)
     assert(!lock.exists())
   }
+
+  test("gate-time ownership re-read: a heal-out the renewer never observed (tick interval > body wall) is still rejected at completion (r17 verdict #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_gate").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    val foreign = s"token=new-holder-token\nholder=other:99\n" +
+      s"expires=${System.currentTimeMillis() + 600000}"
+    val bodyFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // leaseMs=60s → first renewer tick at 20s, far past the body's end:
+    // the ONLY thing that can catch this heal-out is the completion
+    // gate's own authoritative re-read (the resumed-holder-beats-the-
+    // renewer-tick window the flag alone leaves open)
+    val ex = intercept[BuildLock.LeaseLostException] {
+      BuildLock.withLease(spark, artifact, "resumed-mutator",
+        leaseMs = 60000, pollMs = 50, mutation = true) {
+        val out = new java.io.FileOutputStream(lock)
+        out.write(foreign.getBytes("UTF-8"))
+        out.close()
+        bodyFinished.set(true)
+        42L
+      }
+    }
+    assert(ex.getMessage.contains("healed out"))
+    assert(bodyFinished.get())
+    // release must have left the new holder's claim untouched
+    val content = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+    assert(content == foreign, s"gate path clobbered the new claim: $content")
+    assert(lock.delete())
+  }
+
+  // ---- injected object-store semantics (FaultFs; r17 ADVICE medium +
+  // verdict Next #6). The artifact lives under the faultfs:// scheme so
+  // BuildLock's lock IO routes through the fault-injecting filesystem.
+  private def faultArtifact(tag: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    FaultFs.reset()
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    s"faultfs://$dir/art"
+  }
+  private def lockFile(artifact: String): java.io.File =
+    new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+
+  test("a transient lock-read failure during renewal is NOT a heal-out: the mutation finishes and its result is trusted (r17 ADVICE, medium)") {
+    val artifact = faultArtifact("lock_flaky")
+    try {
+      val r = BuildLock.withLease(spark, artifact, "flaky-store-mutator",
+        leaseMs = 1200, pollMs = 50, mutation = true) {
+        // the tick at ~400ms reads the lock through two injected IO
+        // failures (ownership's read + its retry) — the pre-fix code
+        // set healedOut on the first None and failed the whole batch
+        FaultFs.failOpens.set(2)
+        Thread.sleep(900)
+        11L
+      }
+      assert(r == 11L, "a flaky read spuriously failed a healthy mutation")
+      assert(!lockFile(artifact).exists(), "lease not released")
+    } finally FaultFs.reset()
+  }
+
+  test("rename-won't-replace store (S3A-style): renewal takes the destination-exists delete+retry path and keeps the lease fresh (r17 verdict #6)") {
+    val artifact = faultArtifact("lock_noreplace")
+    try {
+      FaultFs.renameNoReplace = true
+      val claimedAt = System.currentTimeMillis()
+      val expiresSeen = BuildLock.withLease(spark, artifact, "noreplace-mutator",
+        leaseMs = 600, pollMs = 50, mutation = true) {
+        Thread.sleep(1200) // ≥ 5 renewal ticks, every one through the fallback
+        // read the renewed expiry (retry over the delete→retry gap)
+        var e = 0L; var tries = 0
+        while (e == 0L && tries < 50) {
+          val txt = try new String(java.nio.file.Files.readAllBytes(
+            lockFile(artifact).toPath), "UTF-8") catch { case _: Exception => "" }
+          txt.split('\n').find(_.startsWith("expires=")) match {
+            case Some(l) => e = l.stripPrefix("expires=").trim.toLong
+            case None => tries += 1; Thread.sleep(20)
+          }
+        }
+        e
+      }
+      // renewed well past the original claim's expiry — the fallback is
+      // a real renewal, not a silent skip
+      assert(expiresSeen > claimedAt + 900,
+        s"lease not renewed through the no-replace fallback: expires=$expiresSeen claimed=$claimedAt")
+      assert(FaultFs.refusedRenames.get() >= 1, "the no-replace branch never ran")
+      assert(!lockFile(artifact).exists(), "lease not released")
+    } finally FaultFs.reset()
+  }
+
+  test("claim-race abort: the delete+retry gap lost to a claimant → healed-out, and the mutation result is rejected (r17 verdict #6)") {
+    val artifact = faultArtifact("lock_race")
+    try {
+      intercept[BuildLock.LeaseLostException] {
+        BuildLock.withLease(spark, artifact, "raced-mutator",
+          leaseMs = 1200, pollMs = 50, mutation = true) {
+          // first rename fails (as on a no-replace store), ownership
+          // re-read still ours → delete own lock → retry rename ALSO
+          // fails = a claimant took the gap and owns the lease now
+          FaultFs.failRenames.set(2)
+          Thread.sleep(900)
+          13L
+        }
+      }
+      assert(FaultFs.failRenames.get() == 0, "the abort branch never ran")
+    } finally FaultFs.reset()
+  }
+
+  test("a failed rename followed by an unreadable re-read SKIPS the renewal (never deletes a possibly-foreign lock, never flags); the next tick renews (r17 verdict #6)") {
+    val artifact = faultArtifact("lock_skiprenew")
+    try {
+      val r = BuildLock.withLease(spark, artifact, "skip-renew-mutator",
+        leaseMs = 1200, pollMs = 50, mutation = true) {
+        // tick at ~400ms: pre-commit ownership read passes (skipOpens),
+        // the rename fails, and the post-failure re-read hits two
+        // injected IO failures → Unknown → abandon this renewal with
+        // the lock file UNTOUCHED; the tick at ~800ms renews normally
+        FaultFs.skipOpens.set(1)
+        FaultFs.failRenames.set(1)
+        FaultFs.failOpens.set(2)
+        Thread.sleep(1500)
+        assert(lockFile(artifact).exists(),
+          "the skip path deleted the lock it could not read")
+        17L
+      }
+      assert(r == 17L, "the skip path was escalated to a heal-out")
+      assert(FaultFs.failRenames.get() == 0 && FaultFs.failOpens.get() == 0,
+        "the injected fault sequence never ran")
+      assert(!lockFile(artifact).exists(), "lease not released")
+      // no renewal temp debris beside the lock
+      val debris = lockFile(artifact).getParentFile.listFiles()
+        .filter(_.getName.contains(".renew."))
+      assert(debris.isEmpty, s"renewal temps leaked: ${debris.mkString(",")}")
+    } finally FaultFs.reset()
+  }
 }

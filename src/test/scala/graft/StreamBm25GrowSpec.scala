@@ -94,13 +94,16 @@ class StreamBm25GrowSpec extends SparkTestBase {
     assert(Bm25.appendBatch(
       spark, docsDf(Seq(corpus(2))), indexDir, 7L, buckets = 8) == -1L)
     // a LEGACY bare marker claims the mb namespace (the migration rule):
-    // a pre-upgrade stream's counter range stays honored
+    // a pre-upgrade stream's counter range stays honored — and the no-op
+    // returns the DISTINCT data-drop sentinel, not the replay's -1
+    // (r17 verdict #2: an onBatch hook must tell the two apart)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val bare = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/42")
     val out = fs.create(bare, true); out.write("9".getBytes("UTF-8")); out.close()
     assert(StreamBm25Grow.growBatch(
-      spark, docsDf(Seq(corpus(0))), indexDir, 42L, buckets = 8) == -1L)
+      spark, docsDf(Seq(corpus(0))), indexDir, 42L, buckets = 8) ==
+      graft.streaming.Markers.BareClaimDrop)
   }
 
   test("a crashed micro-batch retried by the checkpoint self-heals only with manifest proof; a claim with data landed reads red") {
