@@ -304,7 +304,8 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       indexDir: String, batchId: Long, buckets: Int = 64,
       namespace: String = "day",
-      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long = {
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs,
+      leaseMs: Long = graft.sources.BuildLock.DefaultLeaseMs): Long = {
     // markers route through graft.streaming.Markers (r15, with the ANN
     // index): the DAG claims `day-<id>`, the live grow leg
     // ([[graft.streaming.StreamBm25Grow]], r16) claims `mb-<id>`, and
@@ -380,7 +381,10 @@ object Bm25 {
     // lease and appends onto the winner's index. Probes stay lock-free.
     graft.sources.BuildLock.withLease(
       spark, indexDir, "BM25 index mutation",
-      maxWaitMs = leaseMaxWaitMs, mutation = true) {
+      leaseMs = leaseMs, maxWaitMs = leaseMaxWaitMs, mutation = true) {
+      // adjudicate dead claims while their manifest proofs are still
+      // valid — this append's files would destroy them (crash-fuzz r18)
+      graft.streaming.Markers.healDeadClaims(fs, indexDir)
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
         .foreach { m =>
           // claimed-state inspection under the lease (it may delete a

@@ -456,7 +456,8 @@ object Pq {
       idCol: String, vecCol: String, indexDir: String, batchId: Long,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
       namespace: String = "day",
-      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs): Long = {
+      leaseMaxWaitMs: Long = graft.sources.BuildLock.DefaultMaxWaitMs,
+      leaseMs: Long = graft.sources.BuildLock.DefaultLeaseMs): Long = {
     // markers are producer-namespaced through graft.streaming.Markers
     // (r14 verdict: single-producer today, but the moment a live ANN-grow
     // leg lands beside the DAG, a shared bare numeric namespace reopens
@@ -544,9 +545,13 @@ object Pq {
     // re-evaluates under the lease and APPENDS onto the winner's index.
     graft.sources.BuildLock.withLease(
       spark, indexDir, "IVF-PQ index mutation",
-      maxWaitMs = leaseMaxWaitMs, mutation = true) {
+      leaseMs = leaseMs, maxWaitMs = leaseMaxWaitMs, mutation = true) {
       healStagedRebuild(spark, indexDir) // a crashed rebuild swap must
       // never be read as "no markers" (the silent single-day rebuild)
+      // adjudicate dead claims NOW, while their manifest proofs are
+      // still valid — this append's new files would destroy them
+      // (Markers.healDeadClaims doc; crash-fuzz r18)
+      graft.streaming.Markers.healDeadClaims(fs, indexDir)
       graft.streaming.Markers.existingMarker(fs, indexDir, batchId, ns)
         .foreach { m =>
           // claimed-state inspection under the lease (it may DELETE a
@@ -628,26 +633,15 @@ object Pq {
     }
   }
 
-  /** Sorted `relativePath:length` lines of every DATA file under an index
-    * root ("_"/"."-prefixed names — sidecars, markers, _SUCCESS — skipped
-    * at every level). Spark part-file names are unique per write attempt,
-    * so manifest equality means no write since the snapshot committed
-    * anything. Bounded by the index's file count (the same budget the
-    * compaction item manages).
+  /** The crash-proof manifest snapshot — moved to
+    * [[graft.streaming.Markers.dataFileManifest]] beside the claim
+    * semantics it proves things about (so every mutator family can
+    * adjudicate dead claims); this alias keeps the established call
+    * sites and specs.
     */
   private[graft] def dataFileManifest(
-      fs: org.apache.hadoop.fs.FileSystem, root: String): String = {
-    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
-    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
-      fs.listStatus(p).toSeq
-        .filterNot(st => st.getPath.getName.startsWith("_")
-          || st.getPath.getName.startsWith("."))
-        .flatMap { st =>
-          if (st.isDirectory) walk(st.getPath)
-          else Seq(s"${st.getPath.toString.stripPrefix(base.toString)}:${st.getLen}")
-        }
-    if (!fs.exists(base)) "" else walk(base).sorted.mkString("\n")
-  }
+      fs: org.apache.hadoop.fs.FileSystem, root: String): String =
+    graft.streaming.Markers.dataFileManifest(fs, root)
 
   /** True iff `batchId` was APPLIED to the index at `indexDir` — the gate
     * a DAG task must use instead of bare marker existence: the marker is
@@ -733,7 +727,8 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       unionCorpus: => DataFrame, idCol: String, vecCol: String,
       nlist: Int = 32, m: Int = 8, k: Int = 16,
-      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0): Boolean =
+      maxSkewGrowth: Double = 2.0, maxGrowth: Double = 4.0,
+      leaseMs: Long = graft.sources.BuildLock.DefaultLeaseMs): Boolean =
     // the whole gate + retrain + swap runs under the artifact's build
     // lease (r16): with the live grow leg beside the DAG, an unleased
     // rebuild could retrain WHILE a stream append lands — the append's
@@ -744,9 +739,18 @@ object Pq {
     // (the writer-mode heal below discards stages, which is only safe
     // when no other writer is live). Readers stay lock-free.
     graft.sources.BuildLock.withLease(
-      spark, indexDir, "IVF-PQ index rebuild", mutation = true) {
+      spark, indexDir, "IVF-PQ index rebuild",
+      leaseMs = leaseMs, mutation = true) {
     healStagedRebuild(spark, indexDir, writer = true) // the ONE writer:
     // may also discard a stale/unsealed stage before staging its own
+    // adjudicate dead claims BEFORE the drift gate: the rebuild's
+    // wholesale rewrite destroys their manifest proofs, turning a clean
+    // crashed append permanently red — and its empty claim would ride
+    // the marker snapshot through the swap, no-op'ing the batch's retry
+    // forever (the crash-fuzz seed-7 one-batch loss, r18)
+    graft.streaming.Markers.healDeadClaims(
+      new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sessionState.newHadoopConf()), indexDir)
     val due = occupancyDrift(spark, indexDir, maxSkewGrowth, maxGrowth)
       .select(col("retrain_due")).head().getBoolean(0)
     if (!due) return false

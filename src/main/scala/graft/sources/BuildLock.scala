@@ -101,6 +101,16 @@ object BuildLock {
     */
   val DefaultMaxWaitMs: Long = 60 * 60 * 1000L
 
+  /** Default lease duration (10 min). The mutators expose this as a
+    * `leaseMs` knob because it is the crash-failover latency: a killed
+    * holder's lock heals only once its last committed expiry passes, so
+    * a deployment trading renewal IO (every leaseMs/3) for faster
+    * takeover after a producer crash tunes it down. Must comfortably
+    * exceed the renewal tick's store round-trip (~ms) — three missed
+    * renewals is the heal threshold.
+    */
+  val DefaultLeaseMs: Long = 10 * 60 * 1000L
+
   private[graft] def lockPath(artifactPath: String): Path =
     new Path(artifactPath.stripSuffix("/") + ".build.lock")
 
@@ -111,7 +121,7 @@ object BuildLock {
     * warn-and-finish (class doc, r16 ADVICE medium).
     */
   def withLease[T](spark: SparkSession, artifactPath: String, what: String,
-      leaseMs: Long = 10 * 60 * 1000L, pollMs: Long = 200L,
+      leaseMs: Long = DefaultLeaseMs, pollMs: Long = 200L,
       maxWaitMs: Long = DefaultMaxWaitMs, mutation: Boolean = false)(body: => T): T = {
     val p = lockPath(artifactPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -63,13 +63,21 @@ object Compaction {
   def compact(
       spark: SparkSession, tablePath: String, partitionCol: String,
       maxFiles: Int = 8, smallFileBytes: Long = 32L << 20,
-      targetFileBytes: Long = 128L << 20): Seq[String] = {
+      targetFileBytes: Long = 128L << 20,
+      leaseMs: Long = BuildLock.DefaultLeaseMs): Seq[String] = {
     import spark.implicits._
     val victims = stats(spark, tablePath, partitionCol).filter(p =>
       p.nFiles > maxFiles && p.totalBytes / math.max(p.nFiles, 1) < smallFileBytes)
     if (victims.isEmpty) return Seq.empty
     BuildLock.withLease(spark, tablePath, "partitioned compaction",
-        mutation = true) {
+        leaseMs = leaseMs, mutation = true) {
+    // adjudicate dead append claims while their manifest proofs are
+    // still valid — the fold below rewrites the file listing, which
+    // would turn a clean crashed append permanently red (no-op when the
+    // table has no _batches dir; Markers.healDeadClaims doc, r18)
+    graft.streaming.Markers.healDeadClaims(
+      new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf()),
+      tablePath)
     val parts = victims.map(_.partition)
     // target file count PER partition (a 10 GB partition must not collapse
     // to one file): salt each row by hash mod that count, shuffle on

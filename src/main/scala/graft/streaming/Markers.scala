@@ -216,6 +216,81 @@ object Markers {
       true
     } else false
 
+  /** Sorted `relativePath:length` lines of every DATA file under an index
+    * root ("_"/"."-prefixed names — sidecars, markers, _SUCCESS — skipped
+    * at every level). Spark part-file names are unique per write attempt,
+    * so manifest equality means no write since the snapshot committed
+    * anything. Bounded by the index's file count (the same budget the
+    * compaction item manages). Lives here (with the marker semantics it
+    * proves things about) so [[healDeadClaims]] is callable from every
+    * mutator family without layering inversions.
+    */
+  private[graft] def dataFileManifest(fs: FileSystem, root: String): String = {
+    val base = fs.makeQualified(new Path(root))
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_")
+          || st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(s"${st.getPath.toString.stripPrefix(base.toString)}:${st.getLen}")
+        }
+    if (!fs.exists(base)) "" else walk(base).sorted.mkString("\n")
+  }
+
+  /** Adjudicate crashed append claims — MUST run under the artifact's
+    * MUTATION lease, at lease entry, in EVERY mutator family (append,
+    * drift rebuild, compaction).
+    *
+    * An EMPTY batch marker under the lease is provably a dead claim:
+    * claims are created, filled, and deleted only inside the same lease,
+    * so no live producer can own one while we hold it. Its `.pre`
+    * manifest snapshot proves whether the dead append committed data —
+    * but that proof only stays valid until the NEXT mutation rewrites
+    * the file listing. The crash-injection fuzz (r18) caught the decay:
+    * a producer SIGKILLed mid-append left a clean claim (nothing
+    * landed), the restarted producer's schedule ran its REBUILD first,
+    * the rebuild's wholesale rewrite invalidated the manifest, and the
+    * batch's own retry then read permanently red — a silent one-batch
+    * loss wearing a claimed marker. Adjudicating at every lease entry
+    * closes it: the first mutator through the lease after a crash still
+    * sees the manifest the dead claim recorded.
+    *
+    * Per empty claim: manifest unchanged since the claim → delete claim
+    * + proof (nothing landed; the batch re-applies as fresh on its
+    * producer's retry). Manifest changed, or no readable proof → leave
+    * red for the claim's own gate (data may have landed — partially,
+    * under a task-commit protocol — and only the operator can adjudicate
+    * a partial batch; [[appendBatchApplied]]-style gates stay red).
+    */
+  private[graft] def healDeadClaims(fs: FileSystem, indexDir: String): Unit = {
+    val bdir = new Path(s"$indexDir/_batches")
+    val dead = try {
+      if (!fs.exists(bdir)) return
+      fs.listStatus(bdir).toSeq.filter(st => st.isFile
+        && isBatchMarker(st.getPath.getName) && st.getLen == 0)
+    } catch { case _: java.io.IOException => return }
+    if (dead.isEmpty) return
+    lazy val manifest = dataFileManifest(fs, indexDir) // one walk, shared
+    dead.foreach { st =>
+      val pre = new Path(bdir, st.getPath.getName + ".pre")
+      try {
+        val in = fs.open(pre)
+        val recorded = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        if (recorded == manifest) {
+          fs.delete(st.getPath, false)
+          fs.delete(pre, false)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Markers: healed dead claim ${st.getPath.getName} at $indexDir " +
+              "(crashed append, manifest proves nothing landed) — the " +
+              "batch re-applies as fresh when its producer retries")
+        }
+      } catch { case _: java.io.IOException => () } // no/unreadable proof:
+      // leave red — the claim's own gate reports it for manual repair
+    }
+  }
+
   /** Sentinel the appendBatch paths return when the replay no-op
     * resolved to a LEGACY BARE marker the producer did not write (the
     * [[warnIfBareClaim]] condition): the batch's rows were NOT indexed —

@@ -313,6 +313,78 @@ class PqSpec extends SparkTestBase {
       batchId = 3L, nlist = 4, k = 8) == day2.count())
   }
 
+  test("a dead claim survives an INTERVENING rebuild or compaction: adjudicated at lease entry while the manifest proof holds, so the batch's retry re-applies (crash-fuzz r18)") {
+    // the crash-fuzz seed-7 loss: producer SIGKILLed right after its
+    // claim (nothing landed), but the NEXT mutation through the lease is
+    // a REBUILD whose wholesale rewrite invalidates the .pre manifest —
+    // pre-fix, the batch's own retry then read permanently red (-1) and
+    // its empty claim rode the marker snapshot through the swap: a
+    // silent one-batch loss wearing a claimed marker
+    val day1 = clustered.filter($"vec_id" % 10 < 6)
+    val day2 = clustered.filter($"vec_id" % 10 >= 6 && $"vec_id" % 10 < 8)
+    val day3 = clustered.filter($"vec_id" % 10 >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_deadclaim").toString + "/idx"
+    assert(Pq.appendBatch(spark, day1, "vec_id", "embedding", dir,
+      batchId = 1L, nlist = 4, k = 8) == day1.count())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_batches/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    }
+    // the crashed claim: .pre manifest of the CURRENT files + empty marker
+    put("day-2.pre", Pq.dataFileManifest(fs, dir))
+    put("day-2", "")
+
+    // an intervening drift REBUILD (gate consulted, fires or not — the
+    // adjudication runs at lease entry either way) must heal the dead
+    // claim instead of baking its empty marker into the swap
+    Pq.rebuildIfDrifted(spark, dir,
+      spark.read.parquet(dir).select(col("id").as("vec_id"))
+        .join(clustered, Seq("vec_id")).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", nlist = 4, k = 8,
+      maxSkewGrowth = 1.0, maxGrowth = 1.0) // aggressive: genuinely fires
+    assert(!new java.io.File(s"$dir/_batches/day-2").exists(),
+      "the rebuild carried a dead claim through its marker snapshot")
+    assert(!new java.io.File(s"$dir/_batches/day-2.pre").exists())
+    // the retry now applies as fresh — pre-fix it returned -1 forever
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 2L, nlist = 4, k = 8) == day2.count())
+    assert(Pq.appendBatchApplied(spark, dir, 2L))
+
+    // same class through COMPACTION's rewrite
+    put("day-3.pre", Pq.dataFileManifest(fs, dir))
+    put("day-3", "")
+    graft.sources.Compaction.compact(spark, dir, "cell",
+      maxFiles = 1, smallFileBytes = Long.MaxValue / 4)
+    assert(!new java.io.File(s"$dir/_batches/day-3").exists(),
+      "compaction destroyed the dead claim's proof without adjudicating it")
+    assert(Pq.appendBatch(spark, day3, "vec_id", "embedding", dir,
+      batchId = 3L, nlist = 4, k = 8) == day3.count())
+
+    // and the red case stays red through a rebuild: a claim whose proof
+    // FAILS (data may have landed) is never silently deleted
+    put("day-4.pre", "stale-manifest-from-before-the-commit")
+    put("day-4", "")
+    Pq.rebuildIfDrifted(spark, dir,
+      spark.read.parquet(dir).select(col("id").as("vec_id"))
+        .join(clustered, Seq("vec_id")).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", nlist = 4, k = 8,
+      maxSkewGrowth = 1.0, maxGrowth = 1.0)
+    assert(new java.io.File(s"$dir/_batches/day-4").exists(),
+      "a proof-failing claim must stay red for the operator, not vanish")
+    assert(Pq.appendBatch(spark, day2, "vec_id", "embedding", dir,
+      batchId = 4L, nlist = 4, k = 8) == -1L)
+
+    // the healthy content is intact throughout
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == clustered.select($"vec_id".cast("long")).as[Long].collect().toSet)
+  }
+
   test("legacy bare markers: a pre-migration applied day replays as a no-op; new claims are day-namespaced") {
     val day1 = clustered.filter($"vec_id" % 10 < 6)
     val day2 = clustered.filter($"vec_id" % 10 >= 6)
