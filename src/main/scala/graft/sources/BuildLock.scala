@@ -54,10 +54,13 @@ import org.apache.spark.sql.SparkSession
   * filesystem offers compare-and-delete, so a holder paused past its
   * whole lease (three consecutive missed renewals — a multi-minute
   * driver stall) can be healed out by a waiter even though it later
-  * resumes. The heal re-reads immediately before deleting (a late
-  * renewal landing before that re-read is respected), the healed-out
-  * holder's renewer detects the foreign token and never clobbers the
-  * new claim. What happens NEXT depends on what the lease guards
+  * resumes. Staleness is adjudicated by OBSERVER-SIDE aging
+  * ([[staleByObserver]], r18 verdict #1) — never by comparing the
+  * holder's absolute `expires` stamp against the waiter's clock, so
+  * cross-node clock skew cannot heal out a live, renewing holder. The
+  * heal re-reads immediately before deleting (a late renewal landing
+  * before that re-read is respected), the healed-out holder's renewer
+  * detects the foreign token and never clobbers the new claim. What happens NEXT depends on what the lease guards
   * (r16 ADVICE, medium — the two kinds diverged when the same lease
   * started serializing appends and rebuilds, not just builds):
   *
@@ -154,7 +157,7 @@ object BuildLock {
     // and the flag itself is now only ever set on CONFIRMED loss.
     def completionGate(): Unit = if (mutation) {
       if (state.healedOut) lost()
-      if (ownership(fs, p, token) == Lost) lost()
+      if (gateOwnership(fs, p, token, state) == Lost) lost()
     }
     try {
       val r = body
@@ -202,18 +205,22 @@ object BuildLock {
         Thread.sleep(pollMs) // lost (or torn) claim: never hot-loop
       } else readLock(fs, p) match {
         case Some(l) if l.token == token => return // our claim survived
-        case Some(l) if l.expires < System.currentTimeMillis() =>
-          // crashed holder (a live one renews every lease/3 — expiry
-          // means 3 consecutive missed renewals): heal. Re-read
-          // IMMEDIATELY before the delete so a late renewal landing
-          // between the first read and here is respected — the residual
-          // read-to-delete window is microseconds against a lease of
-          // minutes (no plain filesystem offers compare-and-delete; see
-          // the class doc's residual-window paragraph). A racing
-          // healer's delete is a benign no-op; the next create decides
-          // the new holder.
+        case Some(l) if staleByObserver(fs, p, l, leaseMs) =>
+          // crashed holder (a live one re-commits the lock every
+          // lease/3 — a full lease without a renewal landing means 3
+          // consecutive missed ones, measured by the OBSERVER's own
+          // clock against the lock's mtime, never by trusting the
+          // holder's absolute stamp: staleByObserver doc, r18 verdict
+          // #1): heal. Re-read IMMEDIATELY before the delete so a late
+          // renewal landing between the first read and here is
+          // respected — it advances the mtime, so the re-adjudication
+          // reads fresh — the residual read-to-delete window is
+          // microseconds against a lease of minutes (no plain
+          // filesystem offers compare-and-delete; see the class doc's
+          // residual-window paragraph). A racing healer's delete is a
+          // benign no-op; the next create decides the new holder.
           if (readLock(fs, p).exists(x =>
-              x.token == l.token && x.expires < System.currentTimeMillis()))
+              x.token == l.token && staleByObserver(fs, p, x, leaseMs)))
             fs.delete(p, false)
         case Some(_) => Thread.sleep(pollMs) // live holder: wait
         case None =>
@@ -281,6 +288,46 @@ object BuildLock {
 
   private final case class Lock(token: String, expires: Long)
 
+  /** Crashed-holder adjudication WITHOUT trusting the holder's clock
+    * (r18 verdict "what's wrong" #1). The holder's `expires` stamp is
+    * its own epoch clock; comparing it against the WAITER's clock means
+    * cross-node skew larger than the remaining lease heals out a LIVE
+    * holder (safety held — the gate re-read rejected the holder's
+    * result — but a healthy mutation was sacrificed). Instead the stamp
+    * is read as a DURATION, `expires − mtime` — two stamps dated at the
+    * same commit — and the lock is aged by the OBSERVER's own clock
+    * against its modification time, the same skew-free aging the
+    * unparseable-lock branch has always used: a live holder re-commits
+    * the lock every lease/3 (fresh temp + rename, so the mtime
+    * advances), so a lock untouched for a full lease duration is three
+    * consecutive missed renewals by the observer's own measurement,
+    * whatever either absolute clock reads. Crash-failover latency is
+    * unchanged (both rules date staleness one lease after the last
+    * renewal). Deployment bound, stated precisely: a CONSTANT
+    * holder-clock offset shifts `expires` and the write instant
+    * together, so wherever the mtime is dated by the writer's commit
+    * (local and NFS-style stores) the inferred duration equals the
+    * holder's lease at ANY offset — the absolute-stamp rule's failure
+    * mode (a holder whose clock runs far behind is healed out
+    * CONTINUOUSLY despite perfect renewals) cannot occur. On stores
+    * that stamp mtime server-side, the holder-vs-store offset shifts
+    * the inferred duration; a live lock's observed age is at most
+    * lease/3 + poll lag, so a live holder survives any residual
+    * offset smaller than ~2/3 of its lease. A nonsensical stamp
+    * (expires ≤ mtime — a hand-made or torn lock, or a holder behind
+    * by more than its whole lease) falls back to the waiter's own
+    * `leaseMs` as the aging bound; a failed mtime read is never stale
+    * (the lock may have just been healed or released — the acquire
+    * loop re-races).
+    */
+  private def staleByObserver(
+      fs: FileSystem, p: Path, l: Lock, waiterLeaseMs: Long): Boolean =
+    try {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      val duration = if (l.expires > mtime) l.expires - mtime else waiterLeaseMs
+      System.currentTimeMillis() - mtime > duration
+    } catch { case _: java.io.IOException => false }
+
   /** Read+parse the lock, PROPAGATING IO failures (the ownership
     * adjudication needs to tell "the read failed" from "the lock is
     * unparseable" — readLock's None conflated them, which is exactly
@@ -317,6 +364,7 @@ object BuildLock {
   private[sources] case object Held extends Ownership
   private[sources] case object Lost extends Ownership
   private[sources] case object Unknown extends Ownership
+  private[sources] case object Absent extends Ownership // provable clean not-found
 
   private def ownershipOnce(fs: FileSystem, p: Path, token: String): Ownership =
     try readLockOrThrow(fs, p) match {
@@ -324,19 +372,65 @@ object BuildLock {
       case Some(_)                     => Lost    // parseable foreign token
       case None                        => Unknown // mid-write claim / torn file
     } catch {
-      case _: java.io.FileNotFoundException => Lost // provable absence
+      case _: java.io.FileNotFoundException => Absent // provable absence
       case _: java.io.IOException =>
         // the read itself failed — absence is only provable by a clean
         // not-found or a clean exists=false, never by a sick store
-        try { if (!fs.exists(p)) Lost else Unknown }
+        try { if (!fs.exists(p)) Absent else Unknown }
         catch { case _: java.io.IOException => Unknown }
     }
 
   private[sources] def ownership(fs: FileSystem, p: Path, token: String): Ownership =
-    ownershipOnce(fs, p, token) match {
+    (ownershipOnce(fs, p, token) match {
       case Unknown => ownershipOnce(fs, p, token) // one retry rides out a hiccup
       case o       => o
+    }) match {
+      // for the renewer's ticks a provable absence IS a loss: a tick is
+      // serialized with its own renewal commit, so nothing of OURS can be
+      // mid-flight when it reads — only a healer's delete explains it
+      case Absent => Lost
+      case o      => o
     }
+
+  /** How long the completion gate waits before CONFIRMING a clean
+    * absence as loss — must outlive a renewal's delete→rename fallback
+    * gap (two metadata ops; ~ms locally, ~100 ms against an
+    * object store).
+    */
+  private val AbsenceConfirmMs = 200L
+
+  /** Completion-gate ownership adjudication (r18 ADVICE, low): unlike a
+    * renewer tick, the gate runs on the CALLER's thread and can race
+    * this lease's OWN renewer mid no-replace fallback — renewByRename
+    * deletes the lock and re-renames on stores whose rename refuses to
+    * replace, and a gate read landing inside that gap sees a clean
+    * not-found that is our own lock mid-commit, not a heal. Absence is
+    * therefore only confirmed as loss when the renewer itself already
+    * observed one (`state.healedOut`, checked by the caller first), or
+    * when it REPEATS across a delay longer than the delete-to-rename
+    * gap; a parseable foreign token stays immediately Lost, and Unknown
+    * keeps deferring to the renewer's flag. The stake is
+    * availability-only (a spurious rejection retries and
+    * replay-no-ops), but a healthy mutation must not be failed over a
+    * microseconds-wide commit gap.
+    */
+  private def gateOwnership(
+      fs: FileSystem, p: Path, token: String, state: LeaseState): Ownership = {
+    def adjudicate(): Ownership = ownershipOnce(fs, p, token) match {
+      case Unknown => ownershipOnce(fs, p, token)
+      case o       => o
+    }
+    adjudicate() match {
+      case Absent if !state.healedOut =>
+        Thread.sleep(AbsenceConfirmMs)
+        adjudicate() match {
+          case Absent => Lost // repeated absence: a healer really took it
+          case o      => o   // Held / Lost decide; Unknown defers to the flag
+        }
+      case Absent => Lost
+      case o      => o
+    }
+  }
 
   /** Shared daemon scheduler for lease renewal. FOUR threads, not one:
     * renewal does blocking filesystem IO, and a single thread hung in

@@ -119,12 +119,138 @@ class BuildLockSpec extends SparkTestBase {
     val lock = new java.io.File(BuildLock.lockPath(path).toUri.getPath)
     lock.getParentFile.mkdirs()
     val out = new java.io.FileOutputStream(lock)
+    // a crashed holder's lock as it really looks: the LAST renewal wrote
+    // expires = renewal + lease, and the mtime is that renewal's commit —
+    // both a full lease in the past by the time a waiter probes (the
+    // observer-side aging rule heals by mtime, never by trusting the
+    // holder's absolute stamp — r18 verdict #1)
     out.write((s"token=dead-holder\nholder=ghost:1\n" +
       s"expires=${System.currentTimeMillis() - 60000}").getBytes("UTF-8"))
     out.close()
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - BuildLock.DefaultLeaseMs - 60000))
     val idx = Bm25.writeIndexOnce(docs(spark), path)
     assert(idx.n == 4L)
     assert(!lock.exists(), "the healed-and-reacquired lease must release")
+  }
+
+  test("a skewed holder (expires stamps read as already past) is NOT healed while its renewals land; it heals one lease after they stop (r18 verdict #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_skew").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    lock.getParentFile.mkdirs()
+    // a holder whose clock runs ~3 s behind the waiter's, renewing every
+    // 100 ms: every stamp it commits reads as ALREADY EXPIRED under the
+    // pre-fix absolute comparison — the old rule healed it out on the
+    // waiter's first poll, every time, despite perfect renewals
+    val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def skewedStamp(): Unit = {
+      val out = new java.io.FileOutputStream(lock)
+      out.write((s"token=skewed-holder\nholder=slowclock:7\n" +
+        s"expires=${System.currentTimeMillis() - 2000}").getBytes("UTF-8"))
+      out.close()
+    }
+    skewedStamp()
+    val renewer = new Thread(() => {
+      while (renewing.get()) { skewedStamp(); Thread.sleep(100) }
+    })
+    renewer.setDaemon(true)
+    renewer.start()
+    val acquiredAt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val waiter = pool.submit(new Runnable {
+        def run(): Unit =
+          BuildLock.withLease(spark, artifact, "skew-waiter",
+            leaseMs = 1000, pollMs = 50) {
+            acquiredAt.set(System.currentTimeMillis())
+          }
+      })
+      // while renewals land the lock's mtime never ages past the bound:
+      // the waiter must still be queued after ~1.5 s (≈ 30 polls — the
+      // pre-fix code healed on the FIRST poll)
+      Thread.sleep(1500)
+      assert(acquiredAt.get() == 0L,
+        "waiter healed out a LIVE renewing holder over its skewed stamp")
+      // holder dies: renewals stop, the mtime ages, and the waiter heals
+      // after ~one lease (the fallback aging bound for a stamp that
+      // reads expires ≤ mtime) — failover still works
+      val diedAt = System.currentTimeMillis()
+      renewing.set(false)
+      renewer.join()
+      waiter.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      // ≥ lease − one renewal period: the last renewal can predate
+      // diedAt by up to its 100 ms cadence
+      assert(acquiredAt.get() >= diedAt + 850,
+        s"healed ${acquiredAt.get() - diedAt} ms after death — before the " +
+          "lease-aging bound: the heal is still trusting a clock stamp")
+      assert(!lock.exists(), "the healed-and-reacquired lease must release")
+    } finally { renewing.set(false); pool.shutdownNow() }
+  }
+
+  test("completion gate vs our own renewer's delete-to-rename gap: a transient clean absence with our token restored is NOT a heal-out (r18 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_gateabs").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    // leaseMs=60s: no real renewer tick fires during the test — the body
+    // itself simulates the renewal's no-replace fallback window (lock
+    // deleted, re-renamed ~50 ms later with OUR token) landing exactly
+    // when the completion gate reads
+    val r = BuildLock.withLease(spark, artifact, "gap-mutator",
+      leaseMs = 60000, pollMs = 50, mutation = true) {
+      val ours = java.nio.file.Files.readAllBytes(lock.toPath)
+      assert(lock.delete())
+      val restorer = new Thread(() => {
+        Thread.sleep(50)
+        val out = new java.io.FileOutputStream(lock)
+        out.write(ours)
+        out.close()
+      })
+      restorer.setDaemon(true)
+      restorer.start()
+      21L // gate reads: absent → confirm-delay → OUR token → trusted
+    }
+    assert(r == 21L,
+      "the gate adjudicated our own renewal gap as a heal-out")
+    assert(!lock.exists(), "lease not released")
+  }
+
+  test("completion gate: PERSISTENT absence, or absence resolving to a foreign token, still rejects the mutation (r18 ADVICE red controls)") {
+    val dir = java.nio.file.Files.createTempDirectory("lock_gateabs2").toString
+    val artifact = s"$dir/art"
+    val lock = new java.io.File(BuildLock.lockPath(artifact).toUri.getPath)
+    // repeated absence across the confirm delay = a healer really took it
+    intercept[BuildLock.LeaseLostException] {
+      BuildLock.withLease(spark, artifact, "healed-away-mutator",
+        leaseMs = 60000, pollMs = 50, mutation = true) {
+        assert(lock.delete())
+        33L
+      }
+    }
+    // absence resolving to a parseable FOREIGN token inside the confirm
+    // delay = the healer's claim landed mid-gate; reject immediately
+    intercept[BuildLock.LeaseLostException] {
+      BuildLock.withLease(spark, artifact, "raced-away-mutator",
+        leaseMs = 60000, pollMs = 50, mutation = true) {
+        assert(lock.delete())
+        val claimer = new Thread(() => {
+          Thread.sleep(50)
+          val out = new java.io.FileOutputStream(lock)
+          out.write((s"token=new-holder-token\nholder=other:99\n" +
+            s"expires=${System.currentTimeMillis() + 600000}").getBytes("UTF-8"))
+          out.close()
+        })
+        claimer.setDaemon(true)
+        claimer.start()
+        34L
+      }
+    }
+    // the foreign claim must survive our release untouched
+    val content = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+    assert(content.contains("token=new-holder-token"),
+      s"release clobbered the new claim: $content")
+    assert(lock.delete())
   }
 
   test("a torn lock (unparseable) is only healed once older than the lease; a live holder's lease is renewed, never healed") {
