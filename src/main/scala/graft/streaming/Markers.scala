@@ -261,7 +261,9 @@ object Markers {
     * producer's retry). Manifest changed, or no readable proof → leave
     * red for the claim's own gate (data may have landed — partially,
     * under a task-commit protocol — and only the operator can adjudicate
-    * a partial batch; [[appendBatchApplied]]-style gates stay red).
+    * a partial batch; [[appendBatchApplied]]-style gates stay red —
+    * [[inspect]] is the diagnostic that names the red markers and their
+    * evidence).
     */
   private[graft] def healDeadClaims(fs: FileSystem, indexDir: String): Unit = {
     val bdir = new Path(s"$indexDir/_batches")
@@ -289,6 +291,110 @@ object Markers {
       } catch { case _: java.io.IOException => () } // no/unreadable proof:
       // leave red — the claim's own gate reports it for manual repair
     }
+  }
+
+  /** Operator diagnostic for an index's `_batches` claim state (r18
+    * verdict "what's wrong" #2: the two designed red states resolved to
+    * "-1, operator adjudicates", but nothing told the operator WHICH
+    * markers were red or what the manifest evidence said — the incident
+    * runbook was hand-inspecting `_batches`). One row per marker (plus
+    * orphan proof sidecars), with the classification the heal/gate
+    * machinery itself would make and the evidence behind it:
+    *
+    *  - `applied`     — non-empty marker; `rows` is its recorded count.
+    *    Nothing to do.
+    *  - `dead_clean`  — empty claim whose `.pre` manifest proof matches
+    *    the current data listing: a crashed append that provably
+    *    committed nothing. Self-heals at the next mutator's lease entry
+    *    ([[healDeadClaims]]) or the batch's own retry. No action.
+    *  - `red_landed`  — empty claim whose proof shows the data listing
+    *    CHANGED since the claim (the narrow commit-vs-marker window, or
+    *    a proof invalidated before adjudication could run): data may
+    *    have landed, partially or fully. The gate stays -1. Runbook:
+    *    verify the batch's rows against the index (count its id range,
+    *    or re-derive from the source), then either delete the marker
+    *    and its `.pre` so the producer's retry re-applies (rows absent
+    *    or you removed the partial), or write the applied row count
+    *    into the marker (rows fully present).
+    *  - `red_no_proof` — empty claim with no readable `.pre` (a legacy
+    *    or hand-made claim): no machine evidence either way. Same
+    *    runbook as `red_landed`, minus the manifest hints.
+    *  - `orphan_proof` — a `.pre` without its marker (debris from a
+    *    crash inside the heal's two deletes): safe to delete.
+    *
+    * Read-only and lock-free: one `_batches` listing plus one data-file
+    * walk (the [[dataFileManifest]] budget), safe to run against a live
+    * index — a concurrent mutator can at worst make a `dead_clean` row
+    * momentarily stale, never invent a red one that was not there at
+    * the listing instant.
+    */
+  def inspect(
+      spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame = {
+    val fs = fsOf(spark, indexDir)
+    val bdir = new Path(s"$indexDir/_batches")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, String, Long, String)]
+    if (fs.exists(bdir)) {
+      val entries = fs.listStatus(bdir).toSeq.filter(_.isFile)
+      val markers = entries.filter(st => isBatchMarker(st.getPath.getName))
+      val markerNames = markers.map(_.getPath.getName).toSet
+      lazy val manifest = dataFileManifest(fs, indexDir) // one walk, shared
+      def readText(p: Path): Option[String] =
+        try {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+        } catch { case _: java.io.IOException => None }
+      def split(name: String): (String, Long) = {
+        val i = name.indexOf('-')
+        if (i < 0) ("", name.toLong)
+        else (name.substring(0, i), name.substring(i + 1).toLong)
+      }
+      markers.foreach { st =>
+        val name = st.getPath.getName
+        val (ns, id) = split(name)
+        if (st.getLen > 0) {
+          val n = readText(st.getPath).flatMap(_.trim.toLongOption).getOrElse(-1L)
+          out += ((name, ns, id, "applied", n,
+            s"marker records n=$n applied rows"))
+        } else readText(new Path(bdir, name + ".pre")) match {
+          case Some(recorded) if recorded == manifest =>
+            out += ((name, ns, id, "dead_clean", -1L,
+              "crashed claim; manifest proof matches the current data " +
+                "listing (nothing landed) — self-heals at the next " +
+                "mutator lease entry or the batch's own retry"))
+          case Some(recorded) =>
+            val rec = recorded.split('\n').filter(_.nonEmpty).toSet
+            val cur = manifest.split('\n').filter(_.nonEmpty).toSet
+            val added = (cur -- rec).toSeq.sorted
+            val removed = (rec -- cur).toSeq.sorted
+            out += ((name, ns, id, "red_landed", -1L,
+              s"DATA MAY HAVE LANDED: listing drifted since the claim " +
+                s"(+${added.size}/-${removed.size} files)" +
+                (if (added.nonEmpty)
+                  s"; added e.g. ${added.take(3).mkString(", ")}" else "") +
+                (if (removed.nonEmpty)
+                  s"; removed e.g. ${removed.take(3).mkString(", ")}" else "")))
+          case None =>
+            out += ((name, ns, id, "red_no_proof", -1L,
+              "empty claim with no readable .pre proof (legacy or " +
+                "hand-made) — operator adjudicates"))
+        }
+      }
+      entries.filter(_.getPath.getName.endsWith(".pre")).foreach { st =>
+        val base = st.getPath.getName.stripSuffix(".pre")
+        if (isBatchMarker(base) && !markerNames.contains(base)) {
+          val (ns, id) = split(base)
+          out += ((base + ".pre", ns, id, "orphan_proof", -1L,
+            "proof sidecar without its marker (heal crashed between its " +
+              "two deletes) — safe to delete"))
+        }
+      }
+    }
+    val sq = spark
+    import sq.implicits._
+    out.toSeq.sortBy(r => (r._2, r._3, r._1))
+      .toDF("marker", "namespace", "batch_id", "state", "rows", "evidence")
   }
 
   /** Sentinel the appendBatch paths return when the replay no-op

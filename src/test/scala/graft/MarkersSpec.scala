@@ -104,6 +104,66 @@ class MarkersSpec extends SparkTestBase {
     assert(rehealed == today)
   }
 
+  test("inspect classifies every claim state with its evidence, including the CONSTRUCTED data-landed-marker-unfilled red window (r18 verdict #2)") {
+    val sq = spark
+    import sq.implicits._
+    val dir = Files.createTempDirectory("markers_inspect").toString + "/idx"
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    // day-one build: a real index with an APPLIED day-1 marker
+    val n = graft.operators.Pq.appendBatch(
+      spark, emb, "vec_id", "embedding", dir, 1L, nlist = 4, m = 4, k = 8)
+    assert(n == 40L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bdir = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+    def write(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(bdir, name), true)
+      out.write(text.getBytes("UTF-8")); out.close()
+    }
+    val before = Markers.dataFileManifest(fs, dir)
+    // the NARROW WINDOW (never hit in 15 fuzz seeds): a claim whose
+    // append DID land files but died before the marker was filled —
+    // record the pre-claim manifest, then land a data file
+    write("day-8.pre", before)
+    write("day-8", "")
+    val cell = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .head.getPath
+    val landed = new org.apache.hadoop.fs.Path(cell, "part-landed-by-dead-day8.parquet")
+    val out = fs.create(landed, true); out.write("x".getBytes("UTF-8")); out.close()
+    // a clean dead claim: proof recorded AFTER the landed file, so the
+    // manifest still matches
+    write("day-7.pre", Markers.dataFileManifest(fs, dir))
+    write("day-7", "")
+    // a proofless claim and an orphan proof
+    write("day-9", "")
+    write("mb-11.pre", before)
+
+    val byMarker = Markers.inspect(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(byMarker("day-1")._1 == "applied" && byMarker("day-1")._2 == 40L)
+    assert(byMarker("day-7")._1 == "dead_clean")
+    val (s8, _, e8) = byMarker("day-8")
+    assert(s8 == "red_landed", s"day-8 classified $s8")
+    assert(e8.contains("DATA MAY HAVE LANDED") &&
+      e8.contains("part-landed-by-dead-day8.parquet"),
+      s"red evidence must name the landed file: $e8")
+    assert(byMarker("day-9")._1 == "red_no_proof")
+    assert(byMarker("mb-11.pre")._1 == "orphan_proof")
+
+    // the tool and the heal agree: healDeadClaims removes exactly the
+    // dead_clean claim, leaves both red states for the operator
+    Markers.healDeadClaims(fs, dir)
+    val after = Markers.inspect(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(!after.contains("day-7"), "dead_clean claim not healed")
+    assert(after("day-8") == "red_landed" && after("day-9") == "red_no_proof",
+      "a red claim must never be auto-healed")
+  }
+
   test("racing first-touch producers (separate JVMs) converge on ONE bound; losers read the winner's") {
     val dir = Files.createTempDirectory("markers_race").toString
     new java.io.File(s"$dir/_batches").mkdirs()
