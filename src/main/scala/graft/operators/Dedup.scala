@@ -782,6 +782,18 @@ object Dedup {
       .distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
+    // Convergence witness (opt guide §2.4 — remove shuffles outright):
+    // the id set is fixed across rounds and labels only ever DECREASE
+    // elementwise, so the label SUM strictly decreases iff any label
+    // changed. One aggregation over the just-materialized round replaces
+    // the old join-previous-labels + filter + count job (a two-sided
+    // shuffle join per round). DECIMAL(38) accumulation: |V| ≤ 1e10 ids
+    // of ≤ 2^63 still fits with 9 digits to spare, and exact integer
+    // arithmetic keeps the witness sound (a double sum could alias).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -803,11 +815,9 @@ object Dedup {
           col("id"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") < col("prev"))
-        .limit(1).count()
-      converged = changed == 0
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }

@@ -57,20 +57,45 @@ object QualityClassifier {
   def featurize(
       docs: DataFrame, label: Column, isTrain: Column,
       idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 1024): DataFrame = {
+    // Row-LOCAL histogram (opt guide §2.4 — remove shuffles outright): a
+    // doc's feature counts are a pure function of its OWN text, so the
+    // old explode → groupBy(doc, b) → groupBy(doc) pair of corpus-wide
+    // exchanges (the exploded ngram stream is ~2×tokens rows per doc,
+    // shuffled twice) computes per row instead: sort the bucket array and
+    // run-length encode it with array HOFs — the identical (b, cnt)
+    // multiset per doc, zero shuffles, whole-stage codegen throughout.
+    // The sorted array MUST be a bound attribute before the lambdas touch
+    // it: a HOF lambda re-evaluates any non-attribute operand per element,
+    // so inlining sort_array(ngramBuckets(...)) into element_at would cost
+    // O(n²·sort) per row (measured: 9× slower than the shuffle it
+    // replaces). Two projections keep each element_at an O(1) index.
+    val sorted = sort_array(concat(
+      HashFunctions.ngramBuckets(col(textCol), 1, 2, buckets),
+      array(lit(buckets))))
+    val bs = col("__bs")
+    val n = size(bs)
+    // 1-based positions where a run starts; each run ends where the next
+    // begins (the sentinel n+1 closes the last run)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === 1) || (element_at(bs, i) =!= element_at(bs, i - 1)))
+    val ends = concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
+      array(n + 1))
+    val fs = zip_with(col("__starts"), ends, (s, e) =>
+      struct(element_at(bs, s).as("b"), (e - s).cast("long").as("cnt")))
+      .cast("array<struct<b:int,cnt:bigint>>")
     docs
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol).cast("long").as("doc_id"),
         when(label, lit(1)).otherwise(lit(-1)).as("y"),
         isTrain.as("is_train"),
-        explode(
-          concat(HashFunctions.ngramBuckets(col(textCol), 1, 2, buckets),
-            array(lit(buckets)))).as("b"))
-      .groupBy(col("doc_id"), col("y"), col("is_train"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("y"), col("is_train"))
-      .agg(collect_list(struct(col("b"), col("cnt"))).as("fs"))
+        sorted.as("__bs"))
+      .withColumn("__starts", starts)
+      .select(
+        col("doc_id"), col("y"), col("is_train"),
+        fs.as("fs"))
+  }
 
   /** Past this many weights the model no longer rides the plan as a
     * CreateArray of `buckets`+1 literal expressions — plan size, analysis
@@ -120,15 +145,96 @@ object QualityClassifier {
     * misclassified slice IS that iterate's error count), plus one final
     * count job for the last iterate.
     */
+  /** Below this many total sparse feature entries in the training slice,
+    * [[train]] collects the slice once and runs every iteration on the
+    * driver (identical weights — the batch update is a pure function of
+    * the training multiset): `iters`+1 cluster jobs collapse to one
+    * bounded collect. 4M entries ≈ a few hundred MB of driver Rows, well
+    * inside the 8g bench driver; a bigger slice falls back to the
+    * distributed loop over the isolated slice.
+    */
+  val MaxLocalTrainEntries: Long = 4000000L
+
   def train(feats: DataFrame, buckets: Int = 1024, iters: Int = 20): Array[Long] = {
     require(iters >= 0, "iters must be non-negative")
+    // Isolate the labeled slice ONCE (opt guide §1.2/§2.3: fix the
+    // algorithm, scan only what the pass consumes): the loop used to
+    // re-filter `is_train` out of the FULL featurized corpus on every
+    // iteration — iters+1 corpus-wide scans to reach a slice the
+    // contract bounds (see [[qualityScores]]' maxTrain). The slice is
+    // materialized once; each pass then reads only it, and a slice small
+    // enough for the driver trains with ZERO per-iteration jobs.
+    val tr = feats.filter(col("is_train")).select(col("y"), col("fs"))
+      .localCheckpoint()
+    val entries = tr.agg(
+      coalesce(sum(size(col("fs"))), lit(0L)).as("entries")).head.getLong(0)
+    if (entries <= MaxLocalTrainEntries) {
+      val rows = tr.collect()
+      val ys = rows.map(_.getInt(0))
+      val bs = rows.map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)).toArray)
+      val cs = rows.map(_.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toArray)
+      trainLocal(ys, bs, cs, buckets, iters)
+    } else trainDistributed(tr, buckets, iters)
+  }
+
+  /** Driver-local twin of [[trainDistributed]] — the same exact long
+    * arithmetic over the same multiset, so the returned pocket weights
+    * are bit-identical (spec-asserted on a shared corpus). Error counts
+    * follow the distributed formula exactly: Σ cnt at the bias bucket
+    * over the misclassified slice.
+    */
+  private[graft] def trainLocal(
+      ys: Array[Int], bs: Array[Array[Int]], cs: Array[Array[Long]],
+      buckets: Int, iters: Int): Array[Long] = {
+    var w = new Array[Long](buckets + 1)
+    var best = w
+    var bestErr = Long.MaxValue
+    def errAndGrad(w: Array[Long]): (Long, Array[Long]) = {
+      val grad = new Array[Long](buckets + 1)
+      var err = 0L
+      var i = 0
+      while (i < ys.length) {
+        val b = bs(i); val c = cs(i)
+        var s = 0L
+        var j = 0
+        while (j < b.length) { s += w(b(j)) * c(j); j += 1 }
+        if (ys(i) * s <= 0L) {
+          var k = 0
+          while (k < b.length) {
+            grad(b(k)) += ys(i) * c(k)
+            if (b(k) == buckets) err += c(k)
+            k += 1
+          }
+        }
+        i += 1
+      }
+      (err, grad)
+    }
+    for (_ <- 0 until iters) {
+      val (err, grad) = errAndGrad(w)
+      if (err < bestErr) { bestErr = err; best = w }
+      val next = new Array[Long](buckets + 1)
+      var b = 0
+      while (b < next.length) { next(b) = w(b) + grad(b); b += 1 }
+      w = next
+    }
+    val lastErr = errAndGrad(w)._1
+    if (lastErr < bestErr) best = w
+    best
+  }
+
+  /** The distributed iteration loop over the ISOLATED training slice
+    * (already filtered to `is_train`, materialized by [[train]]) — the
+    * scale path when the labeled slice outgrows the driver.
+    */
+  private[graft] def trainDistributed(
+      tr: DataFrame, buckets: Int, iters: Int): Array[Long] = {
     var w = new Array[Long](buckets + 1)
     var best = w
     var bestErr = Long.MaxValue
     for (_ <- 0 until iters) {
-      val rows = feats
-        .filter(col("is_train") &&
-          col("y") * scoreCol(col("fs"), w) <= 0)
+      val rows = tr
+        .filter(col("y") * scoreCol(col("fs"), w) <= 0)
         .select(col("y"), explode(col("fs")).as("f"))
         .groupBy(col("f.b").as("b"))
         .agg(sum(col("y") * col("f.cnt")).as("g"),
@@ -141,8 +247,8 @@ object QualityClassifier {
       if (err < bestErr) { bestErr = err; best = w }
       w = w.zipWithIndex.map { case (v, b) => v + grad.getOrElse(b, 0L) }
     }
-    val lastErr = feats
-      .filter(col("is_train") && col("y") * scoreCol(col("fs"), w) <= 0)
+    val lastErr = tr
+      .filter(col("y") * scoreCol(col("fs"), w) <= 0)
       .count()
     if (lastErr < bestErr) best = w
     best

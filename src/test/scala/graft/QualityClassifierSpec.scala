@@ -61,6 +61,22 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(scored(1) == ((1L, -5L, false))) // its own -1 features
   }
 
+  test("driver-local training equals the distributed loop weight-for-weight") {
+    val docs = planted(60)
+    val feats = QualityClassifier
+      .featurize(docs, col("good"), pmod(col("doc_id"), lit(4)) <= 1)
+      .localCheckpoint()
+    // train() takes the driver-local path here (tiny slice, well under
+    // MaxLocalTrainEntries); the distributed loop over the same isolated
+    // slice must produce the identical pocket weights — the equality that
+    // makes the size-based dispatch invisible to every caller
+    val viaLocal = QualityClassifier.train(feats, iters = 7)
+    val tr = feats.filter(col("is_train")).select(col("y"), col("fs"))
+      .localCheckpoint()
+    val viaDistributed = QualityClassifier.trainDistributed(tr, 1024, 7)
+    assert(viaLocal.toSeq == viaDistributed.toSeq)
+  }
+
   test("model artifact roundtrips and serves identically (batch gate == scoreWith)") {
     val docs = planted(40)
     val feats = QualityClassifier
