@@ -87,8 +87,15 @@ object Bitext {
       idCol: String, vecCol: String,
       k: Int = 4, threshold: Double = 1.0,
       candidates: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
+    // A small corpus parquet scan often lands in 1-2 partitions, which
+    // serializes the broadcast-join scoring below (one task per streamed
+    // partition — the embeddingNearDupPairs lesson, opt guide §2.5 input
+    // skew). Spread the STREAMED side over the available slots before
+    // pinning it; y broadcasts, so its layout doesn't matter.
     val x = xs.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("xid"), col(vecCol).as("xv")).localCheckpoint()
+      .select(col(idCol).as("xid"), col(vecCol).as("xv"))
+      .repartition(xs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val y = ys.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("yid"), col(vecCol).as("yv")).localCheckpoint()
 

@@ -550,7 +550,13 @@ object Dedup {
     require(bands > 0 && (bands & (bands - 1)) == 0,
       "bands must be a power of two (analytic rate computed by squaring)")
     val sub = docs.filter(col(idCol).cast("long") < maxId)
-    val sh = shingled(sub, idCol, textCol, n).localCheckpoint()
+    // the subsample's scan is typically ONE partition (one small file),
+    // which would serialize the O(maxId²) brute-force pair join below in
+    // a single task (measured: 3.9 of q116's 4.6 s, one core busy);
+    // spread it over the available slots first (opt guide §2.5)
+    val sh = shingled(sub, idCol, textCol, n)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     require(!sh.isEmpty,
       s"bandingCalibration: no shingled docs with $idCol < $maxId - the gate " +
         "would validate nothing (vacuous pass); remap ids near 0 or raise maxId")
@@ -771,6 +777,44 @@ object Dedup {
     * converge in 2–3 either way. Throws if `maxIter` rounds don't
     * converge rather than returning wrong labels. Returns (id, component).
     */
+  /** Below this many (symmetrized, distinct) edges [[connectedComponents]]
+    * collects the edge list and computes the labels on the driver with
+    * min-rooted union-find — the identical fixpoint (min id per
+    * component), one bounded collect instead of O(log diameter) rounds of
+    * checkpoint + aggregation jobs. Near-dup edge lists are OUTPUT-sized
+    * (never corpus²), so at bench scales this path always engages; a
+    * 100 TB corpus whose pair graph outgrows the bound falls back to the
+    * distributed min-label/pointer-jumping loop unchanged.
+    */
+  val MaxLocalCcEdges: Long = 2000000L
+
+  /** Driver-local twin of the distributed fixpoint: union-find where
+    * union always roots at the SMALLER id, so each root IS its
+    * component's min id — the exact labels the iterative loop converges
+    * to (spec-asserted equal).
+    */
+  private def localComponents(es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    out
+  }
+
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
     val edges = pairs
@@ -778,6 +822,35 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
       .distinct()
       .localCheckpoint()
+    if (edges.count() <= MaxLocalCcEdges) {
+      val spark = pairs.sparkSession
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = localComponents(es).map { case (id, c) =>
+        org.apache.spark.sql.Row(id, c) }
+      // RDD-backed (not a LocalRelation): the label table is joined by
+      // several consumers and must not ride every plan as literal rows.
+      // Schema mirrors the distributed path's (nullable longs) so dumped
+      // parquet schemas stay byte-identical.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + labels.length / 10000))),
+        schema)
+    }
+    iterativeComponents(edges, maxIter)
+  }
+
+  /** The distributed min-label + pointer-jumping fixpoint over a
+    * materialized symmetrized edge list — the scale path of
+    * [[connectedComponents]] (and its spec-comparable twin for the
+    * driver-local fast path).
+    */
+  private[graft] def iterativeComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .select(col("id"), col("id").as("lbl"))

@@ -306,12 +306,19 @@ object Multimodal {
     */
   def bandKeys56(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
-    def chunk(c: Int): Column = shiftrightunsigned(col("ph"), c * 8) % 256
-    val keys = chunkPairs(maxHamming).map { case (i, j) =>
-      (lit((i * 7 + j).toLong << 16) + chunk(i) * 256 + chunk(j)).as("bk")
-    }
     hashes.select(col("doc_id").as("id"), col("ph"),
-      explode(array(keys: _*)).as("bk"))
+      explode(array(bkExprs(col("ph"), maxHamming): _*)).as("bk"))
+  }
+
+  /** The blocking-key expressions for one 56-bit fingerprint column —
+    * shared by [[bandKeys56]] and the multi-signal single-pass banding
+    * ([[hammingPairs56Tagged]]).
+    */
+  private def bkExprs(ph: Column, maxHamming: Int): Seq[Column] = {
+    def chunk(c: Int): Column = shiftrightunsigned(ph, c * 8) % 256
+    chunkPairs(maxHamming).map { case (i, j) =>
+      lit((i * 7 + j).toLong << 16) + chunk(i) * 256 + chunk(j)
+    }
   }
 
   /** The canonical-key rule (q53's intersection-first-bin discipline):
@@ -382,21 +389,60 @@ object Multimodal {
     * canonical-key single emission — serves the uncapped path, the
     * armed-but-no-hot-keys path, and the under-cap keys of a skew-split.
     */
-  private def bandedSelfJoin(banded: DataFrame, maxHamming: Int): DataFrame = {
+  private def bandedSelfJoin(
+      banded: DataFrame, maxHamming: Int,
+      keyCols: Seq[String] = Seq("bk")): DataFrame = {
     val ham = bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int")
+    val sig = if (keyCols.contains("sig")) Seq(col("a.sig").as("sig")) else Nil
     banded.as("a")
       .join(banded.as("b"),
-        col("a.bk") === col("b.bk")
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
           && col("a.id") < col("b.id")
           && ham <= maxHamming
           && canonicalBk(col("a.ph"), col("b.ph"), col("a.bk"), maxHamming))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), ham.as("hamming"))
+      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ham.as("hamming")) ++ sig: _*)
+  }
+
+  /** ONE banded pass over several fingerprint columns of the same
+    * materialized table (r19): the three media modalities used to run
+    * [[hammingPairs56]] each — three band explodes, three hot-key count
+    * jobs, three self-join exchanges over the SAME 32-byte hash rows.
+    * Tagging the banded stream with its signal and keying every join on
+    * (sig, bk) folds them into one explode, one count, one self-join —
+    * per-modality outputs identical (keys can never collide across
+    * signals), spec-asserted against the per-modality path. Returns
+    * (id_a, id_b, hamming, sig).
+    */
+  private[graft] def hammingPairs56Tagged(
+      fp: DataFrame, signals: Seq[(String, String)],
+      maxHamming: Int, bucketCap: Int): DataFrame = {
+    require(maxHamming <= 5, "7-chunk pair blocking is only lossless for hamming <= 5")
+    val perSig = signals.map { case (c, s) =>
+      transform(array(bkExprs(col(c), maxHamming): _*),
+        k => struct(lit(s).as("sig"), k.as("bk"), col(c).as("ph")))
+    }
+    val banded = fp
+      .select(col("doc_id").as("id"), explode(concat(perSig: _*)).as("e"))
+      .select(col("id"), col("e.sig").as("sig"), col("e.bk").as("bk"),
+        col("e.ph").as("ph"))
+    pairsOverBanded(banded, maxHamming, bucketCap, Seq("sig", "bk"))
   }
 
   def hammingPairs56(
-      hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame = {
-    val banded = bandKeys56(hashes, maxHamming)
-    if (bucketCap <= 0) bandedSelfJoin(banded, maxHamming)
+      hashes: DataFrame, maxHamming: Int, bucketCap: Int = 0): DataFrame =
+    pairsOverBanded(bandKeys56(hashes, maxHamming), maxHamming, bucketCap,
+      Seq("bk"))
+
+  /** The shared blocked-pair tail over a banded stream keyed by `keyCols`
+    * — ("bk") for one modality, ("sig", "bk") for the tagged multi-signal
+    * pass. All the capped-path guarantees ([[hammingPairs56]]'s scaladoc)
+    * hold per key, and keys are disjoint across signals by construction.
+    */
+  private def pairsOverBanded(
+      banded: DataFrame, maxHamming: Int, bucketCap: Int,
+      keyCols: Seq[String]): DataFrame = {
+    if (bucketCap <= 0) bandedSelfJoin(banded, maxHamming, keyCols)
     else {
       // SKEW-SPLIT, driver-decided (r12): a pair's two sides share one
       // bk, so one per-key count routes each key WHOLE down one of two
@@ -413,19 +459,19 @@ object Multimodal {
       // (canonicalBk dedups across DIFFERENT keys, never within one).
       // The driver-side isEmpty is an action at plan-construction time —
       // the q103/q107b bounded-driver-step discipline, documented here.
-      val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      val hot = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
         .filter(col("n") > bucketCap)
         .localCheckpoint()
-      if (hot.isEmpty) return bandedSelfJoin(banded, maxHamming)
+      if (hot.isEmpty) return bandedSelfJoin(banded, maxHamming, keyCols)
 
       val smallPairs = bandedSelfJoin(
-        banded.join(broadcast(hot.select("bk")), Seq("bk"), "left_anti"),
-        maxHamming)
+        banded.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti"),
+        maxHamming, keyCols)
 
       // only the HOT keys' rows reach the grid; materialize them once
       // (the q63 pc discipline) — in the degenerate regime that is ~the
       // whole stream, exactly the r11 behavior
-      val pc = banded.join(broadcast(hot), Seq("bk"))
+      val pc = banded.join(broadcast(hot), keyCols)
         .withColumn("chunks", ceil(col("n") / lit(bucketCap)).cast("int"))
         .withColumn("g", pmod(xxhash64(col("id")), col("chunks")).cast("int"))
         .localCheckpoint()
@@ -439,12 +485,15 @@ object Multimodal {
         // count is deliberate — byte-based AQE coalescing re-merges the
         // small pre-explode stream (rows ≠ work here) and re-serializes
         // the explode
-        .repartition(hashes.sparkSession.sessionState.conf.numShufflePartitions,
-          col("bk"), col("g"))
-      val aSide = pc.select(col("bk"), col("id").as("id_1"), col("ph").as("ph_1"),
-        col("g").as("lo"), explode(sequence(col("g"), col("chunks") - 1)).as("hi"))
-      val bSide = pc.select(col("bk"), col("id").as("id_2"), col("ph").as("ph_2"),
-        explode(sequence(lit(0), col("g"))).as("lo"), col("g").as("hi"))
+        .repartition(banded.sparkSession.sessionState.conf.numShufflePartitions,
+          (keyCols :+ "g").map(col): _*)
+      val sig = if (keyCols.contains("sig")) Seq(col("sig")) else Nil
+      val aSide = pc.select(sig ++ Seq(
+        col("bk"), col("id").as("id_1"), col("ph").as("ph_1"),
+        col("g").as("lo"), explode(sequence(col("g"), col("chunks") - 1)).as("hi")): _*)
+      val bSide = pc.select(sig ++ Seq(
+        col("bk"), col("id").as("id_2"), col("ph").as("ph_2"),
+        explode(sequence(lit(0), col("g"))).as("lo"), col("g").as("hi")): _*)
       val ham = bit_count(col("ph_1").bitwiseXOR(col("ph_2"))).cast("int")
       // a (lo < hi) cell meets each cross pair once with arbitrary side
       // order; a (lo == hi) cell meets both orders — keep one.
@@ -455,13 +504,15 @@ object Multimodal {
       // 50k-doc degenerate corpus). Forcing sort-merge keeps the
       // exploded sides partitioned by (bk, lo, hi) — the grid cells the
       // guard exists to spread
-      val hotPairs = aSide.hint("merge").join(bSide.hint("merge"), Seq("bk", "lo", "hi"))
+      val hotPairs = aSide.hint("merge")
+        .join(bSide.hint("merge"), keyCols ++ Seq("lo", "hi"))
         .filter((col("lo") < col("hi") || col("id_1") < col("id_2"))
           && col("id_1") =!= col("id_2")
           && ham <= maxHamming
           && canonicalBk(col("ph_1"), col("ph_2"), col("bk"), maxHamming))
-        .select(least(col("id_1"), col("id_2")).as("id_a"),
-          greatest(col("id_1"), col("id_2")).as("id_b"), ham.as("hamming"))
+        .select(Seq(least(col("id_1"), col("id_2")).as("id_a"),
+          greatest(col("id_1"), col("id_2")).as("id_b"),
+          ham.as("hamming")) ++ sig.map(_ => col("sig")): _*)
       smallPairs.unionByName(hotPairs)
     }
   }
@@ -1077,20 +1128,16 @@ object Multimodal {
       docs: DataFrame, maxHamming: Int = 4,
       bucketCap: Int = ProductionBucketCap): DataFrame = {
     // one decode pass for all three media hashes (see [[mediaFingerprints]]);
-    // the checkpoint pins the 32-byte rows so the three pair joins read
-    // them instead of re-decoding
+    // the checkpoint pins the 32-byte rows, and the TAGGED single pass
+    // ([[hammingPairs56Tagged]], r19) bands/counts/joins all three
+    // modalities in one pipeline instead of three
     val fp = mediaFingerprints(docs).localCheckpoint()
-    def modality(c: String) =
-      hammingPairs56(fp.select(col("doc_id"), col(c).as("ph")), maxHamming,
-        bucketCap)
     Dedup.minHashPairs(docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), lit("text").as("signal"))
-      .unionByName(modality("ph_image")
-        .select(col("id_a"), col("id_b"), lit("image").as("signal")))
-      .unionByName(modality("ph_audio")
-        .select(col("id_a"), col("id_b"), lit("audio").as("signal")))
-      .unionByName(modality("ph_video")
-        .select(col("id_a"), col("id_b"), lit("video").as("signal")))
+      .unionByName(hammingPairs56Tagged(fp,
+          Seq("ph_image" -> "image", "ph_audio" -> "audio", "ph_video" -> "video"),
+          maxHamming, bucketCap)
+        .select(col("id_a"), col("id_b"), col("sig").as("signal")))
   }
 
   def crossModalClusters(

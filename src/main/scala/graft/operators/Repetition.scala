@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
@@ -10,56 +10,76 @@ import org.apache.spark.sql.functions._
   * most common bigram. Training-data pipelines threshold these to drop
   * machine-generated and boilerplate pages before training.
   *
-  * Shape: explode → (doc, term) count → per-doc max/sum. Both shuffles
-  * carry (doc_id, term-hash-sized) rows with map-side partial aggregation;
-  * nothing holds a whole document's term distribution in one buffer, so a
-  * pathological 1 GB document costs bandwidth, not executor memory — the
-  * property an `aggregate()`-HOF-over-tokens formulation would lose.
+  * Shape (r19): a document's repetition profile is a pure function of its
+  * OWN tokens, so the old explode → (doc, term) count → per-doc max/sum
+  * double chain (5 exchanges: four aggregations and a join, every token
+  * occurrence shuffled twice) computes ROW-LOCALLY instead — sort the
+  * token (and bigram) array, run-length encode it with array HOFs, take
+  * size/runs/max-run. Zero shuffles, whole-stage codegen, identical
+  * values. Peak memory is unchanged in kind: the tokenized array already
+  * sat whole in the row before the explode, so the sorted copy is a
+  * constant factor, not a new failure mode.
   */
 object Repetition {
+
+  /** (longest run, distinct count) of a SORTED string array as ONE
+    * aggregate fold — struct(best, nd). Formulated so the lambda touches
+    * ONLY its accumulator and element: Catalyst's projection collapse and
+    * predicate pushdown freely re-inline column definitions into
+    * consuming expressions, and a positional-lambda formulation
+    * (element_at(sorted, i) per position) degrades to O(n²·sort) per row
+    * the moment `sorted` stops being a bound attribute (measured: q47
+    * 8 s → 26 s when the repetition filter was pushed into such a
+    * projection). A fold's array operand is evaluated once per enclosing
+    * expression evaluation no matter where the optimizer inlines it.
+    */
+  private def runStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, x) => {
+        val cont = acc.getField("prev") === x // null prev (first elem) ⇒ false branch
+        val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          when(cont, acc.getField("nd")).otherwise(acc.getField("nd") + 1L).as("nd"))
+      },
+      acc => struct(acc.getField("best").as("best"), acc.getField("nd").as("nd")))
 
   /** Per-document repetition profile over `idCol`/`textCol`:
     * n_tokens, dup_word_frac (1 − distinct/total), top_word_frac,
     * top_bigram_frac. Fractions rounded to 6 dp for engine-stable hashes.
     */
   def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
-
-    val words = base
-      .select(col(idCol), explode(col("toks")).as("t"))
-      .groupBy(col(idCol), col("t"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_cnt"))
-
+    val n = size(col("__toks"))
     // bigrams with duplicates kept (unlike shingles(): repetition is the
     // signal here, so the distinct-set kernel would erase it)
-    val n = size(col("toks"))
     val bigrams = zip_with(
-      slice(col("toks"), lit(1), n - 1),
-      slice(col("toks"), lit(2), n - 1),
+      slice(col("__toks"), lit(1), n - 1),
+      slice(col("__toks"), lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
-    val bg = base
-      .select(col(idCol), explode(bigrams).as("g"))
-      .groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg_cnt"))
-
-    // left join: a 1-token doc has no bigrams — its bigram fraction is 0
-    words
-      .join(bg, Seq(idCol), "left")
+    docs
+      // the old explode-based shape silently dropped null-text docs (an
+      // exploded null array emits nothing); keep that contract explicit
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), n.as("__n"),
+        runStats(sort_array(col("__toks"))).as("__w"),
+        runStats(sort_array(bigrams)).as("__b"))
       .select(
         col(idCol),
-        col("n_tokens"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        col("__n").cast("long").as("n_tokens"),
+        round(lit(1.0)
+          - col("__w").getField("nd").cast("double") / col("__n"), 6)
           .as("dup_word_frac"),
-        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_word_frac"),
-        round(
-          coalesce(col("top_bg_cnt").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+        round(col("__w").getField("best").cast("double") / col("__n"), 6)
+          .as("top_word_frac"),
+        // a 1-token doc has no bigrams: its fraction is 0 (the old left
+        // join's coalesce), never 0/0
+        round(when(col("__n") > 1,
+          col("__b").getField("best").cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)), 6)
           .as("top_bigram_frac"))
   }
 }

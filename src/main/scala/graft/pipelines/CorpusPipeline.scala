@@ -188,17 +188,16 @@ object CorpusPipeline {
       else {
         import graft.operators.Multimodal
         // one decode pass for all three media hashes (Multimodal
-        // .mediaFingerprints — the r11 shared scan), checkpointed so the
-        // three pair joins band-explode the slim hash rows
+        // .mediaFingerprints — the r11 shared scan), checkpointed, then
+        // ONE tagged band/count/join pass over all three modalities
+        // (hammingPairs56Tagged, r19) instead of three pipelines
         val fp = Multimodal.mediaFingerprints(s4).localCheckpoint()
-        def modality(c: String) = Multimodal.hammingPairs56(
-          fp.select(col("doc_id"), col(c).as("ph")), cfg.mediaMaxHamming,
-          cfg.mediaBucketCap)
-          .select(col("id_a"), col("id_b"))
         textPairs
-          .unionByName(modality("ph_image"))
-          .unionByName(modality("ph_audio"))
-          .unionByName(modality("ph_video"))
+          .unionByName(Multimodal.hammingPairs56Tagged(fp,
+              Seq("ph_image" -> "image", "ph_audio" -> "audio",
+                "ph_video" -> "video"),
+              cfg.mediaMaxHamming, cfg.mediaBucketCap)
+            .select(col("id_a"), col("id_b")))
       }
     // one clustering pass, three consumers (canonical, split key, audit)
     val compRaw = Dedup.connectedComponents(pairs, "id_a", "id_b")

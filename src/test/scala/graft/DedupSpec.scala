@@ -340,6 +340,25 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 50L))
   }
 
+  test("driver-local components equal the distributed fixpoint label-for-label") {
+    // chains + clumps + self-contained triangles across a scattered id
+    // space: the local union-find (the small-graph fast path) must match
+    // the iterative min-label/pointer-jumping loop exactly
+    val pairs = ((0L until 60L).map(i => (i * 7, i * 7 + 7)) ++      // long chain
+      (100L until 120L).flatMap(i => Seq((1000L, i), (i, 2000L))) ++ // star clumps
+      Seq((5000L, 5001L), (5001L, 5002L), (5002L, 5000L))            // triangle
+      ).toDF("id_a", "id_b")
+    val viaLocal = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val edges = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .union(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
+      .distinct().localCheckpoint()
+    val viaIterative = Dedup.iterativeComponents(edges, 50)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLocal == viaIterative)
+  }
+
   test("components of an empty pair set: empty result, survivors keep everything") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)

@@ -380,6 +380,27 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("tagged single-pass pairs equal the per-modality hammingPairs56, armed and disarmed") {
+    val docs = (0L until 40L).map { i =>
+      // near-dup ladder: pairs of ids share a base text with small edits
+      val base = s"shared body ${i / 2} " + ("lorem ipsum dolor sit amet " * 4)
+      (i, if (i % 2 == 0) base else base + " tail")
+    }.toDF("doc_id", "text")
+    val fp = Multimodal.mediaFingerprints(docs).localCheckpoint()
+    val signals = Seq("ph_image" -> "image", "ph_audio" -> "audio", "ph_video" -> "video")
+    for (cap <- Seq(0, 4)) { // disarmed, and armed far below class sizes
+      val tagged = Multimodal.hammingPairs56Tagged(fp, signals, 4, cap)
+        .as[(Long, Long, Int, String)].collect().toSet
+      val perModality = signals.flatMap { case (c, s) =>
+        Multimodal.hammingPairs56(
+          fp.select(fp("doc_id"), fp(c).as("ph")), 4, cap)
+          .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3, s))
+      }.toSet
+      assert(tagged == perModality,
+        s"cap=$cap: tagged ${tagged.size} pairs vs per-modality ${perModality.size}")
+    }
+  }
+
   test("cross-modal clusters: signal union, per-cluster audit column, absent singletons") {
     // cluster {0,1,2}: 0 and 1 are byte-identical (every signal fires);
     // 2 is a one-word different-LENGTH rewrite of 0 — shingle jaccard
