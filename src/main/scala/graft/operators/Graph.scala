@@ -194,15 +194,21 @@ object Graph {
     require(n > 0, "pageRank: empty graph")
     val base = (15L * Scale) / (100L * n)
 
-    var ranks = deg.select(col("node"), lit(Scale / n).as("pr"))
+    // ranks CARRIES deg (r19): the rank vector and the degree table share
+    // one node universe, so joining them back together every round was a
+    // per-iteration join that re-shuffled the N-row vector for nothing —
+    // contribs reads pr and deg off the same row, and `next` left-joins
+    // contribs against the vector itself (same node set as deg, so the
+    // row universe — and every long — is bit-identical).
+    var ranks = deg.select(col("node"), col("deg"), lit(Scale / n).as("pr"))
     for (i <- 1 to iters) {
       val contribs = e
-        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .join(ranks, e("src") === col("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = deg
-        .join(contribs, deg("node") === contribs("dst"), "left")
-        .select(col("node"),
+      val next = ranks
+        .join(contribs, ranks("node") === contribs("dst"), "left")
+        .select(col("node"), col("deg"),
           (lit(base) + expr("85L * coalesce(s, 0L) div 100L")).as("pr"))
       // checkpoint bounds lineage between rounds; the LAST round stays a
       // live plan so the caller sees (and plan-audits) the edge-side join

@@ -254,8 +254,11 @@ class PlanAuditSpec extends SparkTestBase {
     // (c) forced engagement: classes over cap 2 exist at every scale
     val (hotPinned, hotBad) = audit(
       operators.Multimodal.crossModalPairs(docs, bucketCap = 2))
-    assert(hotPinned >= 3,
-      s"expected one pinned pre-explode repartition per engaged media modality, found $hotPinned")
+    // r19: the three media modalities band/count/join in ONE tagged pass
+    // (hammingPairs56Tagged), so the engaged guard pins ONE pre-explode
+    // repartition for all media (keyed (sig, bk, g)) plus the text leg's
+    assert(hotPinned >= 2,
+      s"expected pinned pre-explode repartitions for the tagged media pass and the text leg, found $hotPinned")
     assert(hotBad == 0,
       "an exploded triangle side was planned broadcast")
   }
