@@ -215,14 +215,23 @@ class DedupSpec extends SparkTestBase {
     // disable auto-broadcast: at scale neither side fits in a broadcast,
     // so the plan we must certify is the sort-merge (spillable) one
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // ...and pin AQE's shuffled-hash rewrite off for the assertion: at
+    // scale the maps exceed its 64 MB bound and the plan IS sort-merge;
+    // this toy corpus would rewrite and certify the wrong plan
+    val shj = spark.conf.get(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0")
     try {
       val pairs = Dedup.simHashPairs(dup, "doc_id", "text")
       assert(pairs.count() == 199 * 200 / 2)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(!plan.contains("collect_list"), "simhash pair generation must stream")
       assert(plan.contains("SortMergeJoin"), s"expected a streaming self-join, got:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shj)
+    }
   }
 
   test("simhash hamming<=4 is supported by pair blocking (>=2 of 6 chunks agree)") {
