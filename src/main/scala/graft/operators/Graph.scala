@@ -210,9 +210,14 @@ object Graph {
         .join(contribs, ranks("node") === contribs("dst"), "left")
         .select(col("node"), col("deg"),
           (lit(base) + expr("85L * coalesce(s, 0L) div 100L")).as("pr"))
-      // checkpoint bounds lineage between rounds; the LAST round stays a
-      // live plan so the caller sees (and plan-audits) the edge-side join
-      ranks = if (i < iters) next.localCheckpoint() else next
+      // checkpoint bounds lineage between rounds — every SECOND round
+      // (r19): one round's plan is 3 small exchanges, so a 2-round window
+      // keeps planning cost flat while halving the materialization jobs
+      // (each checkpoint is its own job over the N-row vector; at 5
+      // iterations those jobs were ~a third of the loop's wall time). The
+      // LAST round stays a live plan so the caller sees (and plan-audits)
+      // the edge-side join.
+      ranks = if (i < iters && i % 2 == 0) next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("pr").as("pr_e12"),
       (expr("pr div 1000000L").cast("double") / lit(1000000.0)).as("pr"))
