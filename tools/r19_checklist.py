@@ -19,7 +19,7 @@ tag('r19: tagged single-pass media banding + CC + SHJ (6396950, e76f652)',
 tag('r19: row-local repetition fold + classifier train + SHJ',
     'q47_corpus_pipeline', 'q47b_corpus_pipeline_v2', 'q47c_corpus_pipeline_v3')
 tag('r19: row-local repetition aggregate fold (6396950)',
-    'q38_repetition_signals', 'q91_gopher_rules')
+    'q38_repetition_signals')
 tag('r19: subsample repartition before pair join (6396950)',
     'q116_banding_calibration')
 tag('r19: streamed-side repartition before broadcast scoring (6396950)',
