@@ -847,7 +847,10 @@ object SparkEntry {
     // than half its lines go
     "q113_line_dedup" -> ((s, dir) => {
       val toks = split(col("text"), " ")
-      val lined = Tables.documents(s, dir).select(
+      // the lining transform runs in the scan stage — spread the one-file
+      // test scan first (opt guide §2.5; no-op on multi-file inputs)
+      val lined = operators.Spread.ifNarrow(
+        Tables.documents(s, dir).select("doc_id", "text")).select(
         col("doc_id"),
         array_join(
           transform(
@@ -865,7 +868,9 @@ object SparkEntry {
     // for, while q113's 8-token lining would see none
     "q122_intradoc_dedup" -> ((s, dir) => {
       val toks = split(col("text"), " ")
-      val lined = Tables.documents(s, dir).select(
+      // same scan-stage spread as q113 (opt guide §2.5)
+      val lined = operators.Spread.ifNarrow(
+        Tables.documents(s, dir).select("doc_id", "text")).select(
         col("doc_id"),
         array_join(
           transform(

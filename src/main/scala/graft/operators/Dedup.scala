@@ -213,9 +213,13 @@ object Dedup {
     * all-max constant — every such doc would collide in every LSH band.
     */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), n).as("sh"))
+    // the shingle/MinHash kernels run in the SCAN stage (before any
+    // exchange); spread a narrow input first or they serialize on one
+    // core (opt guide §2.5 — no-op on multi-file production scans)
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.

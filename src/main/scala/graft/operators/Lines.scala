@@ -39,7 +39,8 @@ object Lines {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "a line is boilerplate only if it repeats across docs")
-    docs.filter(col(textCol).isNotNull)
+    Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\n")).as("line"))
       .filter(length(trim(col("line"))) > 0)
@@ -55,7 +56,10 @@ object Lines {
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minDocs: Int = 2, maxRemovedFrac: Double = 0.3): DataFrame = {
     require(minDocs >= 2, "a line is boilerplate only if it repeats across docs")
-    val base = docs.filter(col(textCol).isNotNull)
+    // line splitting/hashing runs in the scan stage; spread a narrow input
+    // first (opt guide §2.5 — no-op on multi-file production scans)
+    val base = Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("lines"))
 
     val stream = base
@@ -154,7 +158,10 @@ object Lines {
               acc.getField("dups"),
               (acc.getField("content") + 1).as("content")))
       })
-    docs.filter(col(textCol).isNotNull)
+    // the O(L²) per-doc fold runs in the scan stage; spread a narrow input
+    // first (opt guide §2.5 — no-op on multi-file production scans)
+    Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), folded.as("f"))
       .select(
         col("doc_id"),

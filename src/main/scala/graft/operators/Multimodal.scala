@@ -130,7 +130,9 @@ object Multimodal {
   def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    // encode/decode runs in the scan stage; spread a narrow input first
+    // (opt guide §2.5 — no-op on multi-file production scans)
+    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
       // a null payload has nothing to wrap or decode: the doc drops here,
       // like the explode-based text operators (repetition, tfidf)
       .filter(col("text").isNotNull)
@@ -804,7 +806,7 @@ object Multimodal {
   def asVideo(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -830,7 +832,7 @@ object Multimodal {
   def asAudio(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -1064,7 +1066,9 @@ object Multimodal {
   def mediaFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"))
+    // the container encode/decode kernels run in the scan stage; spread a
+    // narrow input first (opt guide §2.5 — no-op on multi-file scans)
+    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>

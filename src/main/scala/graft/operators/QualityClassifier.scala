@@ -84,7 +84,9 @@ object QualityClassifier {
     val fs = zip_with(col("__starts"), ends, (s, e) =>
       struct(element_at(bs, s).as("b"), (e - s).cast("long").as("cnt")))
       .cast("array<struct<b:int,cnt:bigint>>")
-    docs
+    // the ngram/bucket/sort kernel runs in the scan stage; spread a narrow
+    // input first (opt guide §2.5 — no-op on multi-file production scans)
+    Spread.ifNarrow(docs)
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol).cast("long").as("doc_id"),

@@ -59,7 +59,9 @@ object Repetition {
       slice(col("__toks"), lit(1), n - 1),
       slice(col("__toks"), lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
-    docs
+    // the sort/run-length kernels run in the scan stage; spread a narrow
+    // input first (opt guide §2.5 — no-op on multi-file production scans)
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       // the old explode-based shape silently dropped null-text docs (an
       // exploded null array emits nothing); keep that contract explicit
       .filter(col(textCol).isNotNull)

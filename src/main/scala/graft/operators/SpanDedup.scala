@@ -35,8 +35,11 @@ object SpanDedup {
   def spanStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 8): DataFrame = {
     // null text has no tokens to cover — drop, like the other explode
-    // operators (q40 wrap, q73 chunking), instead of emitting a null-size row
-    val toks = docs.filter(col(textCol).isNotNull)
+    // operators (q40 wrap, q73 chunking), instead of emitting a null-size row.
+    // The gram explode/hash runs in the scan stage; spread a narrow input
+    // first (opt guide §2.5 — no-op on multi-file production scans)
+    val toks = Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     // long, not int: the oracle's len() is BIGINT and the driver compares
     // schemas after sorting columns by name
@@ -95,7 +98,8 @@ object SpanDedup {
       textCol: String = "text", minLen: Int = 8, minSpanTokens: Int = 16): DataFrame = {
     require(minSpanTokens >= minLen,
       "a span shorter than minLen cannot be observed — raise minSpanTokens")
-    val toks = docs.filter(col(textCol).isNotNull)
+    val toks = Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     val grams = gramStream(toks, minLen)
     val repeated = grams.groupBy("gh").agg(count(lit(1)).as("c"))
@@ -165,7 +169,8 @@ object SpanDedup {
     */
   def removeSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 8, minSpanTokens: Int = 0): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
+    val toks = Spread.ifNarrow(
+      docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         split(col(textCol), " ").as("toks"))
 

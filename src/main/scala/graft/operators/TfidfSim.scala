@@ -85,7 +85,11 @@ object TfidfSim {
       threshold: Double = 0.6, blockCol: Option[String] = None,
       maxPostings: Int = 1024): DataFrame = {
     val blk = blockCol.map(c => col(c).as("blk")).toSeq
-    val tf = docs
+    // the tokenize/explode runs in the scan stage; spread a narrow input
+    // first (opt guide §2.5 — no-op on multi-file production scans)
+    val spread = Spread.ifNarrow(docs.select(
+      (Seq(idCol, textCol) ++ blockCol.toSeq).map(col): _*))
+    val tf = spread
       .select(Seq(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("term")) ++ blk: _*)
       .groupBy(col("doc") +: col("term") +: blk.map(_ => col("blk")): _*)
