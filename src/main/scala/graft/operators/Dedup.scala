@@ -450,16 +450,26 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxPostings: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = shingled(docs, idCol, textCol, n).withColumn("sz", size(col("sh")))
     val occ = d.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val dfPerShingle = occ.groupBy("s").agg(count(lit(1)).as("df"))
 
-    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // Per-doc prefix = the ℓ = sz − ⌈t·sz⌉ + 1 (df, s)-smallest shingles.
+    // Formulated as ONE hash aggregation + a row-local array sort/slice
+    // (r20, guide §2.4): the former row_number Window cost a full SORT of
+    // the (id, df, s) occurrence stream on top of the same exchange; the
+    // aggregate reuses the exchange and sorts each doc's own ≤ sz entries
+    // in-row instead. Same (id, s) set: array_sort on (df, s) structs
+    // orders by (df, s) lexicographically, exactly the window's orderBy.
     val prefix = occ.join(dfPerShingle, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("id"), col("s"))
+      .groupBy(col("id"))
+      .agg(
+        max(col("sz")).as("sz"), // sz is constant per id
+        array_sort(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("id"),
+        explode(slice(col("os"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("e"))
+      .select(col("id"), col("e.s").as("s"))
       .localCheckpoint()
 
     // Per-shingle chunk counts for both sides; inner join ⇒ only shingles

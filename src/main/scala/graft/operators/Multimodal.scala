@@ -130,9 +130,7 @@ object Multimodal {
   def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // encode/decode runs in the scan stage; spread a narrow input first
-    // (opt guide §2.5 — no-op on multi-file production scans)
-    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
+    docs.select(col("doc_id"), col("text"))
       // a null payload has nothing to wrap or decode: the doc drops here,
       // like the explode-based text operators (repetition, tfidf)
       .filter(col("text").isNotNull)
@@ -257,7 +255,9 @@ object Multimodal {
   def imagePhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asMedia(docs).mapPartitions { it =>
+    // full raster decode is the heavy kernel — spread a narrow input
+    // (opt guide §2.5); the cheap header-walk meta paths stay unspread
+    asMedia(Spread.ifNarrow(docs.select(col("doc_id"), col("text")))).mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map { r =>
         val (w, h, px) = rasterOf(r)
         (r.doc_id, perceptualHash(w, h, px))
@@ -806,7 +806,7 @@ object Multimodal {
   def asVideo(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
+    docs.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -832,7 +832,7 @@ object Multimodal {
   def asAudio(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Spread.ifNarrow(docs.select(col("doc_id"), col("text")))
+    docs.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -957,7 +957,8 @@ object Multimodal {
   def audioFingerprint(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asAudio(docs).mapPartitions { it =>
+    // PCM decode is the heavy kernel — spread a narrow input (guide §2.5)
+    asAudio(Spread.ifNarrow(docs.select(col("doc_id"), col("text")))).mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map { r =>
         (r.doc_id, gradientHash(envelopeOf(r)))
       })
@@ -1034,7 +1035,8 @@ object Multimodal {
   def videoFingerprint(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    asVideo(docs).mapPartitions { it =>
+    // frame decode is the heavy kernel — spread a narrow input (guide §2.5)
+    asVideo(Spread.ifNarrow(docs.select(col("doc_id"), col("text")))).mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap(_.map { r =>
         (r.doc_id, gradientHash(sampledFrameBytesOf(r)))
       })

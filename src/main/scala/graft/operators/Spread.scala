@@ -30,11 +30,29 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
 
+  /** The partition probe is only free on scan-shaped plans. On a plan
+    * with exchanges, `df.rdd.getNumPartitions` under AQE EXECUTES every
+    * query stage to finalize the adaptive plan (measured: 2 jobs / 2.8 s
+    * on a small join subtree — ProbeRddCost), so probing there would run
+    * the query twice. Such inputs are either already spread by an
+    * upstream guard or genuinely distributed; the guard passes them
+    * through untouched.
+    */
+  private def probeSafe(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.collectFirst {
+      case p if !(p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]) => p
+    }.isEmpty
+
   def ifNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    if (!probeSafe(df.queryExecution.analyzed)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the frame but runs nothing; file listing is
-    // session-cached, so the probe costs milliseconds
+    // on a scan-shaped plan getNumPartitions only plans (zero jobs); file
+    // listing is session-cached, so the probe costs milliseconds
     val parts = df.rdd.getNumPartitions
     if (parts * 2 <= target) df.repartition(target) else df
   }

@@ -85,11 +85,12 @@ object TfidfSim {
       threshold: Double = 0.6, blockCol: Option[String] = None,
       maxPostings: Int = 1024): DataFrame = {
     val blk = blockCol.map(c => col(c).as("blk")).toSeq
-    // the tokenize/explode runs in the scan stage; spread a narrow input
-    // first (opt guide §2.5 — no-op on multi-file production scans)
-    val spread = Spread.ifNarrow(docs.select(
-      (Seq(idCol, textCol) ++ blockCol.toSeq).map(col): _*))
-    val tf = spread
+    // NOT spread (r20): the pipeline is many small sequential jobs over
+    // checkpointed frames; a pinned wide input repartition gave each a
+    // 32-task train and measured +2.4 s in-bench. The tokenize scan is a
+    // small share of the query; the candidate/verify stages repartition
+    // through their own keyed exchanges.
+    val tf = docs
       .select(Seq(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("term")) ++ blk: _*)
       .groupBy(col("doc") +: col("term") +: blk.map(_ => col("blk")): _*)

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Repetition, Sampling}
+import graft.operators.{Dedup, Repetition, Sampling, Spread}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,24 @@ object CorpusPipeline {
     * checkpoint materializes survivor rows; [[clean]] at production scale
     * computes one chain with no extra materialization).
     */
+  /** Audit-path materialization (r20): the stage frames only feed COUNT
+    * rows and the slim downstream keys, so the checkpoint stores the
+    * narrow projection the consumers actually read instead of every
+    * input column (guide §2.3 — shuffle/materialize fewer bytes), and
+    * spreads a one-task frame first so the checkpoint write and every
+    * consumer read run at full parallelism (§2.5). Counts are unchanged
+    * by a projection; the clean/cleanV2/cleanV3 surfaces use
+    * checkpoint = false and keep full rows.
+    */
+  private def ckpt(df: DataFrame, cols: String*): DataFrame =
+    // narrow-only, deliberately NOT spread: the audit chain is ~60 small
+    // sequential jobs, and a pinned wide repartition here gives every one
+    // of them a 32-task train (AQE never coalesces REPARTITION_BY_NUM) —
+    // measured +3 s on q47d. The heavy kernels that consume these stages
+    // (minhash, media decode, classifier featurize) carry their own
+    // Spread guards at their operator heads.
+    df.select(cols.map(col): _*).localCheckpoint()
+
   private def stages(docs: DataFrame, cfg: Config, checkpoint: Boolean): Seq[(String, DataFrame)] = {
     val s1 = docs.filter(TextFunctions.langId(col("text")) === cfg.keepLang)
     val s2 = s1.filter(TextFunctions.tokenCount(col("text")) >= cfg.minTokens)
@@ -75,7 +93,7 @@ object CorpusPipeline {
     val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
     // checkpoint the last cheap-filter stage too: without it the audit's
     // stage-4..6 counts each recompute the repetition aggregation
-    val s3 = if (checkpoint) s3raw.localCheckpoint() else s3raw
+    val s3 = if (checkpoint) ckpt(s3raw, "doc_id", "text", "source") else s3raw
     val ppl: Seq[(String, DataFrame)] =
       if (!cfg.dropPplTail) Seq.empty
       else {
@@ -90,10 +108,11 @@ object CorpusPipeline {
       }
     val pplIn = ppl.lastOption.map(_._2).getOrElse(s3)
     val s4raw = Dedup.exactSurvivors(pplIn, "doc_id", "text")
-    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val s4 = if (checkpoint) ckpt(s4raw, "doc_id", "text", "source") else s4raw
     val pairs = Dedup.minHashPairs(s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
     val s5raw = Dedup.nearDupSurvivors(s4, "doc_id", pairs)
-    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
+    // the audit tail reads only (doc_id, source) from the near-dup stage
+    val s5 = if (checkpoint) ckpt(s5raw, "doc_id", "source") else s5raw
     val keep = Sampling.stratifiedN(
       s5.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
       .select("doc_id")
@@ -161,7 +180,9 @@ object CorpusPipeline {
       .filter(col("top_word_frac") <= cfg.maxTopWordFrac)
       .select("doc_id")
     val s3raw = s2.join(passRep, Seq("doc_id"), "left_semi")
-    val s3 = if (checkpointRepetition) s3raw.localCheckpoint() else s3raw
+    val s3 =
+      if (checkpointRepetition) ckpt(s3raw, "doc_id", "text", "source")
+      else s3raw
     Seq("normalize" -> s0, "lang" -> s1, "quality" -> s2, "repetition" -> s3)
   }
 
@@ -176,7 +197,7 @@ object CorpusPipeline {
   private def dedupSplitTail(
       input: DataFrame, cfg: Config, checkpoint: Boolean): DedupSplitTail = {
     val s4raw = Dedup.exactSurvivors(input, "doc_id", "text")
-    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val s4 = if (checkpoint) ckpt(s4raw, "doc_id", "text", "source") else s4raw
     val textPairs = Dedup.minHashPairs(
       s4, "doc_id", "text", threshold = cfg.jaccardThreshold)
       .select(col("id_a"), col("id_b"))
@@ -209,12 +230,13 @@ object CorpusPipeline {
     val s5raw = s4.join(
       unclustered.union(keepIds).withColumnRenamed("doc_id", "__keep"),
       s4("doc_id").cast("long") === col("__keep"), "left_semi")
-    val s5 = if (checkpoint) s5raw.localCheckpoint() else s5raw
+    // the audit tail reads only (doc_id, source) from these two stages
+    val s5 = if (checkpoint) ckpt(s5raw, "doc_id", "source") else s5raw
     val keep = Sampling.stratifiedN(
       s5.select(col("doc_id"), col("source")), "source", "doc_id", cfg.samplePerSource)
       .select("doc_id")
     val s6raw = s5.join(keep, Seq("doc_id"), "left_semi")
-    val s6 = if (checkpoint) s6raw.localCheckpoint() else s6raw
+    val s6 = if (checkpoint) ckpt(s6raw, "doc_id", "source") else s6raw
     val splits = Dedup.leakageSafeSplitsFrom(s6, "doc_id", comp)
     val sp = if (checkpoint) splits.localCheckpoint() else splits
     DedupSplitTail(
@@ -283,7 +305,7 @@ object CorpusPipeline {
     val keepCls = QualityClassifier.scoreWith(feats, w)
       .filter(col("pred")).select("doc_id")
     val s4raw = s3.join(keepCls, Seq("doc_id"), "left_semi")
-    val s4 = if (checkpoint) s4raw.localCheckpoint() else s4raw
+    val s4 = if (checkpoint) ckpt(s4raw, "doc_id", "text", "source") else s4raw
     val tail = dedupSplitTail(s4, cfg, checkpoint)
     val trainDocs = tail.sample.join(
       tail.splits.filter(col("split") === "train")
