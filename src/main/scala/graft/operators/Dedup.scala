@@ -493,8 +493,17 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    candidates
+    // VERIFY parallelism pin (r20, guide §2.5): the per-candidate
+    // array_intersect is CPU-dense per byte, and AQE's byte-based
+    // coalescing was folding the verify joins into TWO tasks at bench
+    // scale (measured: 2 tasks carrying 4.2 s of the query's CPU).
+    // Pinning both join keys' exchanges to the session parallelism keeps
+    // the verify stage wide; the pinned exchanges carry candidate-volume
+    // rows the joins would exchange anyway.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    candidates.repartition(par, col("id_a"))
       .join(d.select(col("id"), col("sh"), col("sz")).as("da"), col("id_a") === col("da.id"))
+      .repartition(par, col("id_b"))
       .join(d.select(col("id"), col("sh")).as("db"), col("id_b") === col("db.id"))
       .select(
         col("id_a").as("contained_id"), col("id_b").as("container_id"),
@@ -607,6 +616,12 @@ object Dedup {
   }
 
   /** Exact-verify candidate pairs against the shingle sets. */
+  // NOT pinned (r20, tried and rejected): containmentPairs' verify pin
+  // was tried here too, but the LSH-banded candidate sets are tiny and
+  // their exact-Jaccard verify carries little CPU — the two pinned
+  // exchanges were pure per-job overhead for every minHashPairs consumer
+  // (same-hour pair: q47d +1.9 s, q121 +1.2 s, q118 +0.7 s). The pin
+  // stays only where the verify is measured CPU-dense (containment).
   private def verifyPairs(candidates: DataFrame, d: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(d.as("da"), col("id_a") === col("da.id"))

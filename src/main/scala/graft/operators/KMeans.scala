@@ -72,7 +72,9 @@ object KMeans {
       df: DataFrame, centroids: Array[Array[Long]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    quantize(df, idCol, vecCol)
+    // the k×d distance kernel runs in the scan stage; spread a narrow
+    // batch input first (guide §2.5 — no-op on streams and wide scans)
+    quantize(Spread.ifNarrow(df), idCol, vecCol)
       .withColumn("dists", array(centroids.toSeq.map(distSq(col("v6"), _)): _*))
       .select(
         col("id"),
@@ -91,7 +93,12 @@ object KMeans {
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
 
-    val quantized = quantize(emb, idCol, vecCol).localCheckpoint()
+    // spread BEFORE the checkpoint: every Lloyd iteration re-scans this
+    // frame with the k×d distance kernel, so a one-file input would pin
+    // all of them to one task (guide §2.5; measured two 0.9 s single-task
+    // iteration jobs in q93)
+    val quantized = quantize(Spread.ifNarrow(
+      emb.select(col(idCol), col(vecCol))), idCol, vecCol).localCheckpoint()
 
     // Seed centroids: vectors of the k smallest ids, cluster j = rank.
     var centroids: Array[Array[Long]] = quantized

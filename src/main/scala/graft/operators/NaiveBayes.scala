@@ -87,6 +87,11 @@ object NaiveBayes {
       element_at(array(f.classes.map(lit): _*), -best.getField("ni") + 1).as("pred"): _*)
   }
 
+  // NOT spread (r20, tried and rejected): fit() runs three eager actions
+  // (class totals collect, counts checkpoint, vocab count) and each
+  // re-executes the input subtree — a spread exchange here is re-paid per
+  // action and measured +0.2-0.3 s on q84/q101; the per-row tokenize is
+  // too light to amortize it.
   private def base(docs: DataFrame): DataFrame = docs
     .filter(col("text").isNotNull)
     .select(col("doc_id").cast("long").as("doc_id"), col("lang"),

@@ -41,13 +41,22 @@ object Perplexity {
     */
   private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs
+    // zip_with over a BOUND token attribute (r20): the old positional
+    // element_at(toks, i) lambda captured the raw tokens() expression, and
+    // a HOF lambda re-evaluates any non-attribute operand per element —
+    // the tokenize ran twice per bigram, O(n²) splits per document (the
+    // q114 featurize lesson). The zip of the two shifted slices touches
+    // only its own elements; identical (id, w1, w2) stream.
+    // The tokenize/explode runs in the scan stage — spread a narrow input
+    // first (guide §2.5; no-op on multi-file production scans).
+    Spread.ifNarrow(docs.select(col(idCol), col(textCol)))
       .filter(size(toks) >= 2)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(toks) - 2), i =>
-          struct(
-            element_at(toks, i + 1).as("w1"),
-            element_at(toks, i + 2).as("w2")))).as("bg"))
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"),
+        explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 

@@ -64,6 +64,9 @@ object Profile {
         case _ => () // opaque types: null/distinct counts only
       }
     }
+    // NOT spread (r20, tried and rejected): the multi-distinct Expand runs
+    // in the scan stage, but spreading it measured flat — the Expand's
+    // partial aggregation is already cheap relative to the exchange.
     val one = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackExpr = s"stack(${entries.size}, " + entries
       .map { case (c, m, a) => s"'$c', '$m', `$a`" }.mkString(", ") +

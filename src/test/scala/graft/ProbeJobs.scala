@@ -19,7 +19,8 @@ object ProbeJobs {
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(js.properties.getProperty("callSite.short")).getOrElse("?")
+        val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(70))
+          .getOrElse("?")
         jobs.put(js.jobId, J(site, js.time))
         js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
       }
