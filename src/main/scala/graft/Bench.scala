@@ -110,7 +110,13 @@ object Bench {
     // suspect list stays a real environmental-noise signal.
     val onceAmortized = Seq(
       "q103_pagerank", "q107b_knn_ivfpq_indexed", "q82b_bm25_indexed",
-      "q85b_hybrid_rrf_indexed", "q85c_hybrid_rrf_ann")
+      "q85b_hybrid_rrf_indexed", "q85c_hybrid_rrf_ann",
+      // r20: q67's rep 1 trains the session-scoped even-id bigram LM
+      // (evenIdLm — the same train-once artifact q68/q70 read); after the
+      // r20 bigram rewrite its steady-state rep is ~0.5 s, so the train
+      // rep trips the 3x spread meter structurally. Warm it like the
+      // other session artifacts so the suspect list stays environmental.
+      "q67_perplexity")
     onceAmortized.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
